@@ -1,0 +1,308 @@
+"""Text normalisation front-end.
+
+Behavioural rebuild of the reference TextNormalizer
+(indextts/utils/front.py:11-218): CJK/English detection, punctuation
+mapping, pinyin-tone save/restore, CJK-name save/restore, English
+contraction expansion.  The reference delegates number/date expansion to
+WeTextProcessing ("tn") / wetext; neither ships in this image, so a
+lightweight built-in number normaliser is used as fallback and the external
+normalisers are picked up automatically when importable.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+
+class _BuiltinNormalizer:
+    """Minimal fallback for WeTextProcessing: expands digit runs so that the
+    tokenizer never sees raw digits (the BPE vocab has no digit pieces)."""
+
+    _ZH_DIGITS = "零一二三四五六七八九"
+    _ZH_UNITS = ["", "十", "百", "千"]
+    _ZH_GROUPS = ["", "萬", "億", "兆"]
+    _EN_ONES = [
+        "zero", "one", "two", "three", "four", "five", "six", "seven",
+        "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+        "fifteen", "sixteen", "seventeen", "eighteen", "nineteen",
+    ]
+    _EN_TENS = [
+        "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+        "eighty", "ninety",
+    ]
+
+    def __init__(self, lang: str):
+        self.lang = lang
+
+    # -- Chinese ----------------------------------------------------------
+    def _zh_four(self, n: int) -> str:
+        # 0 <= n < 10000
+        s = ""
+        digits = [int(c) for c in str(n)]
+        L = len(digits)
+        for i, d in enumerate(digits):
+            unit = self._ZH_UNITS[L - 1 - i]
+            if d == 0:
+                if s and not s.endswith("零") and any(digits[i + 1 :]):
+                    s += "零"
+            else:
+                s += self._ZH_DIGITS[d] + unit
+        # 一十X -> 十X
+        if s.startswith("一十"):
+            s = s[1:]
+        return s or "零"
+
+    def _zh_int(self, n: int) -> str:
+        if n == 0:
+            return "零"
+        groups = []
+        while n > 0:
+            groups.append(n % 10000)
+            n //= 10000
+        parts = []
+        for i in reversed(range(len(groups))):
+            g = groups[i]
+            if g:
+                parts.append(self._zh_four(g) + self._ZH_GROUPS[i])
+            elif parts and not parts[-1].endswith("零"):
+                parts.append("零")
+        s = "".join(parts).rstrip("零")
+        return s or "零"
+
+    def _zh_number(self, text: str) -> str:
+        if "." in text:
+            a, b = text.split(".", 1)
+            frac = "".join(self._ZH_DIGITS[int(c)] for c in b if c.isdigit())
+            return self._zh_int(int(a or 0)) + "點" + frac
+        return self._zh_int(int(text))
+
+    def _zh_digit_string(self, text: str) -> str:
+        return "".join(self._ZH_DIGITS[int(c)] for c in text if c.isdigit())
+
+    # -- English ----------------------------------------------------------
+    def _en_below_thousand(self, n: int) -> str:
+        parts = []
+        if n >= 100:
+            parts.append(self._EN_ONES[n // 100] + " hundred")
+            n %= 100
+            if n:
+                parts.append("and")
+        if n >= 20:
+            t = self._EN_TENS[n // 10]
+            if n % 10:
+                t += " " + self._EN_ONES[n % 10]
+            parts.append(t)
+        elif n > 0 or not parts:
+            parts.append(self._EN_ONES[n])
+        return " ".join(parts)
+
+    def _en_int(self, n: int) -> str:
+        if n == 0:
+            return "zero"
+        scales = [(10**9, "billion"), (10**6, "million"), (10**3, "thousand")]
+        parts = []
+        for value, name in scales:
+            if n >= value:
+                parts.append(self._en_below_thousand(n // value) + " " + name)
+                n %= value
+        if n:
+            parts.append(self._en_below_thousand(n))
+        return " ".join(parts)
+
+    def _en_number(self, text: str) -> str:
+        if "." in text:
+            a, b = text.split(".", 1)
+            frac = " ".join(self._EN_ONES[int(c)] for c in b if c.isdigit())
+            return self._en_int(int(a or 0)) + " point " + frac
+        return self._en_int(int(text))
+
+    def normalize(self, text: str) -> str:
+        def repl(m: "re.Match[str]") -> str:
+            raw = m.group(0).replace(",", "")
+            try:
+                if self.lang == "zh":
+                    # long digit strings (phone numbers etc.) read digit-wise
+                    if "." not in raw and len(raw) > 8:
+                        return self._zh_digit_string(raw)
+                    return self._zh_number(raw)
+                if "." not in raw and len(raw) > 9:
+                    return " ".join(self._EN_ONES[int(c)] for c in raw)
+                return self._en_number(raw)
+            except (ValueError, IndexError):
+                return m.group(0)
+
+        text = re.sub(r"\d[\d,]*(?:\.\d+)?", repl, text)
+        if self.lang == "en":
+            text = re.sub(r"%", " percent", text)
+            text = re.sub(r"\$", " dollars ", text)
+        else:
+            text = text.replace("%", "百分之")
+        return text
+
+
+class TextNormalizer:
+    """reference: indextts/utils/front.py:11-218."""
+
+    PINYIN_TONE_PATTERN = (
+        r"(?<![a-z])((?:[bpmfdtnlgkhjqxzcsryw]|[zcs]h)?"
+        r"(?:[aeiouüv]|[ae]i|u[aio]|ao|ou|i[aue]|[uüv]e|[uvü]ang?|uai|"
+        r"[aeiuv]n|[aeio]ng|ia[no]|i[ao]ng)|ng|er)([1-5])"
+    )
+    NAME_PATTERN = r"[一-鿿]+(?:[-·—][一-鿿]+){1,2}"
+    ENGLISH_CONTRACTION_PATTERN = (
+        r"(what|where|who|which|how|t?here|it|s?he|that|this)'s"
+    )
+
+    def __init__(self):
+        self.zh_normalizer = None
+        self.en_normalizer = None
+        self.char_rep_map = {
+            "：": ",", "；": ",", ";": ",", "，": ",", "。": ".", "！": "!",
+            "？": "?", "\n": " ", "·": "-", "、": ",", "...": "…", ",,,": "…",
+            "，，，": "…", "……": "…", "“": "'", "”": "'", '"': "'", "‘": "'",
+            "’": "'", "（": "'", "）": "'", "(": "'", ")": "'", "《": "'",
+            "》": "'", "【": "'", "】": "'", "[": "'", "]": "'", "—": "-",
+            "～": "-", "~": "-", "「": "'", "」": "'", ":": ",",
+        }
+        self.zh_char_rep_map = {"$": ".", **self.char_rep_map}
+
+    def match_email(self, email: str) -> bool:
+        return re.match(r"^[a-zA-Z0-9]+@[a-zA-Z0-9]+\.[a-zA-Z]+$", email) is not None
+
+    def use_chinese(self, s: str) -> bool:
+        has_chinese = bool(re.search(r"[一-鿿]", s))
+        has_alpha = bool(re.search(r"[a-zA-Z]", s))
+        if has_chinese or not has_alpha or self.match_email(s):
+            return True
+        return bool(re.search(self.PINYIN_TONE_PATTERN, s, re.IGNORECASE))
+
+    def load(self):
+        """Prefer WeTextProcessing/wetext when importable; otherwise use the
+        built-in fallback normaliser."""
+        if self.zh_normalizer is not None and self.en_normalizer is not None:
+            return
+        try:  # pragma: no cover - external dep not in test image
+            from tn.chinese.normalizer import Normalizer as NormalizerZh
+            from tn.english.normalizer import Normalizer as NormalizerEn
+
+            self.zh_normalizer = NormalizerZh(
+                remove_interjections=False, remove_erhua=False, overwrite_cache=False
+            )
+            self.en_normalizer = NormalizerEn(overwrite_cache=False)
+            return
+        except Exception:
+            pass
+        try:  # pragma: no cover
+            from wetext import Normalizer
+
+            self.zh_normalizer = Normalizer(remove_erhua=False, lang="zh", operator="tn")
+            self.en_normalizer = Normalizer(lang="en", operator="tn")
+            return
+        except Exception:
+            pass
+        self.zh_normalizer = _BuiltinNormalizer("zh")
+        self.en_normalizer = _BuiltinNormalizer("en")
+
+    def normalize(self, text: str) -> str:
+        if not self.zh_normalizer or not self.en_normalizer:
+            self.load()
+        if self.use_chinese(text):
+            text = re.sub(
+                self.ENGLISH_CONTRACTION_PATTERN, r"\1 is", text, flags=re.IGNORECASE
+            )
+            replaced_text, pinyin_list = self.save_pinyin_tones(text.rstrip())
+            replaced_text, name_list = self.save_names(replaced_text)
+            try:
+                result = self.zh_normalizer.normalize(replaced_text)
+            except Exception:
+                result = replaced_text
+            result = self.restore_names(result, name_list)
+            result = self.restore_pinyin_tones(result, pinyin_list)
+            pattern = re.compile("|".join(re.escape(p) for p in self.zh_char_rep_map))
+            result = pattern.sub(lambda x: self.zh_char_rep_map[x.group()], result)
+        else:
+            text = re.sub(
+                self.ENGLISH_CONTRACTION_PATTERN, r"\1 is", text, flags=re.IGNORECASE
+            )
+            try:
+                result = self.en_normalizer.normalize(text)
+            except Exception:
+                result = text
+            pattern = re.compile("|".join(re.escape(p) for p in self.char_rep_map))
+            result = pattern.sub(lambda x: self.char_rep_map[x.group()], result)
+        return result
+
+    def correct_pinyin(self, pinyin: str) -> str:
+        """jqx + u/ü → v (reference: front.py:148-158)."""
+        if pinyin[0] not in "jqxJQX":
+            return pinyin
+        pinyin = re.sub(
+            r"([jqx])[uü](n|e|an)*(\d)", r"\g<1>v\g<2>\g<3>", pinyin, flags=re.IGNORECASE
+        )
+        return pinyin.upper()
+
+    def save_names(self, text: str) -> Tuple[str, Optional[List[str]]]:
+        name_list = re.findall(re.compile(self.NAME_PATTERN, re.IGNORECASE), text)
+        if not name_list:
+            return text, None
+        name_list = list(set("".join(n) for n in name_list))
+        for i, name in enumerate(name_list):
+            text = text.replace(name, f"<n_{chr(ord('a') + i)}>")
+        return text, name_list
+
+    def restore_names(self, text: str, name_list: Optional[List[str]]) -> str:
+        if not name_list:
+            return text
+        for i, name in enumerate(name_list):
+            text = text.replace(f"<n_{chr(ord('a') + i)}>", name)
+        return text
+
+    def save_pinyin_tones(self, text: str) -> Tuple[str, Optional[List[str]]]:
+        pinyin_list = re.findall(
+            re.compile(self.PINYIN_TONE_PATTERN, re.IGNORECASE), text
+        )
+        if not pinyin_list:
+            return text, None
+        pinyin_list = list(set("".join(p) for p in pinyin_list))
+        for i, pinyin in enumerate(pinyin_list):
+            text = text.replace(pinyin, f"<pinyin_{chr(ord('a') + i)}>")
+        return text, pinyin_list
+
+    def restore_pinyin_tones(self, text: str, pinyin_list: Optional[List[str]]) -> str:
+        if not pinyin_list:
+            return text
+        for i, pinyin in enumerate(pinyin_list):
+            text = text.replace(f"<pinyin_{chr(ord('a') + i)}>", self.correct_pinyin(pinyin))
+        return text
+
+
+def tokenize_by_CJK_char(line: str, do_upper_case: bool = True) -> str:
+    """Split CJK chars apart, upper-case latin (reference:
+    indextts/utils/common.py:39-59)."""
+    pattern = (
+        "([\u1100-\u11ff\u2e80-\ua4cf\ua840-\uD7AF\uF900-\uFAFF"
+        "\uFE30-\uFE4F\uFF65-\uFFDC\U00020000-\U0002FFFF])"
+    )
+    chars = re.split(pattern, line.strip())
+    return " ".join(
+        w.strip().upper() if do_upper_case else w.strip() for w in chars if w.strip()
+    )
+
+
+def de_tokenized_by_CJK_char(line: str, do_lower_case: bool = False) -> str:
+    """Inverse of tokenize_by_CJK_char (reference: common.py:62-88)."""
+    english_word_pattern = re.compile(r"([A-Z]+(?:[\s-][A-Z-]+)*)", re.IGNORECASE)
+    english_sents = english_word_pattern.findall(line)
+    for i, sent in enumerate(english_sents):
+        line = line.replace(sent, f"<sent_{i}>")
+    words = line.split()
+    placeholder = re.compile(r"^.*?(<sent_(\d+)>)")
+    for i in range(len(words)):
+        m = placeholder.match(words[i])
+        if m:
+            idx = int(m.group(2))
+            words[i] = words[i].replace(m.group(1), english_sents[idx])
+            if do_lower_case:
+                words[i] = words[i].lower()
+    return "".join(words)

@@ -1,0 +1,113 @@
+"""Text front-end battery, modelled on the reference's inline self-tests
+(indextts/utils/front.py:427-526)."""
+
+import re
+
+import pytest
+
+from indextts_tpu.utils.textnorm import (
+    TextNormalizer,
+    de_tokenized_by_CJK_char,
+    tokenize_by_CJK_char,
+)
+from indextts_tpu.utils.tokenizer import TextTokenizer
+
+VOCAB = "/root/reference/vocab.txt"
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return TextTokenizer(VOCAB, TextNormalizer())
+
+
+def test_vocab_size(tokenizer):
+    assert tokenizer.vocab_size == 12000
+    assert tokenizer.bos_token_id == 0
+    assert tokenizer.eos_token_id == 1
+    assert tokenizer.unk_token_id == 2
+
+
+def test_cjk_tokenize_roundtrip():
+    s = tokenize_by_CJK_char("你好世界是 hello world 的中文")
+    assert s == "你 好 世 界 是 HELLO WORLD 的 中 文"
+    assert de_tokenized_by_CJK_char(s, do_lower_case=True) == "你好世界是hello world的中文"
+
+
+def test_pinyin_pattern_on_vocab(tokenizer):
+    # vocab ids 8474-10200 are pinyin pieces (front.py:494-497)
+    pat = re.compile(TextNormalizer.PINYIN_TONE_PATTERN, re.IGNORECASE)
+    for idx in range(8474, 10201):
+        piece = tokenizer.convert_ids_to_tokens(idx)
+        assert pat.match(piece), f"non-pinyin piece at {idx}: {piece}"
+
+
+def test_pinyin_pattern_negatives():
+    pat = re.compile(TextNormalizer.PINYIN_TONE_PATTERN, re.IGNORECASE)
+    for bad in ["beta1", "better1", "voice2", "bala2", "babala2", "hunger2"]:
+        assert pat.match(bad) is None, bad
+
+
+def test_punctuation_not_unk(tokenizer):
+    for t in [",", "▁,", ".", "▁.", "!", "?", "▁?", "-", "..."]:
+        ids = tokenizer.convert_tokens_to_ids(t)
+        assert tokenizer.unk_token_id not in ids, t
+
+
+def test_encode_no_unk(tokenizer):
+    cases = [
+        "我愛你！",
+        "I love you!",
+        "暈XUAN4是一種GAN3覺",
+        "IndexTTS 正式釋出1.0版本了",
+        "2.5平方電線",
+    ]
+    for case in cases:
+        ids = tokenizer.encode(case)
+        assert len(ids) > 0
+        assert tokenizer.unk_token_id not in ids, (case, tokenizer.tokenize(case))
+
+
+def test_pinyin_jqx_correction(tokenizer):
+    # XUAN4 -> XVAN4 (front.py:148-158)
+    pieces = tokenizer.tokenize("暈XUAN4是一種GAN3覺")
+    assert "XVAN4" in pieces
+    assert "GAN3" in pieces
+
+
+def test_decode_roundtrip(tokenizer):
+    ids = tokenizer.encode("I love you!")
+    assert tokenizer.decode(ids, do_lower_case=True) == "i love you!"
+
+
+def test_split_sentences_basic(tokenizer):
+    tokens = tokenizer.tokenize("我愛你！I love you! 這是第三句。")
+    sents = tokenizer.split_sentences(tokens, max_tokens_per_sentence=6)
+    assert len(sents) >= 2
+    joined = [t for s in sents for t in s]
+    assert joined == tokens  # no tokens lost or duplicated
+
+
+def test_split_sentences_respects_limit(tokenizer):
+    long_text = "他" * 300 + "。"
+    tokens = tokenizer.tokenize(long_text)
+    sents = tokenizer.split_sentences(tokens, max_tokens_per_sentence=120)
+    assert all(len(s) <= 120 for s in sents)
+
+
+def test_split_sentences_comma_fallback(tokenizer):
+    text = "一二三四五，六七八九十，" * 20 + "。"
+    tokens = tokenizer.tokenize(text)
+    sents = tokenizer.split_sentences(tokens, max_tokens_per_sentence=30)
+    assert all(len(s) <= 30 for s in sents)
+    joined = [t for s in sents for t in s]
+    assert joined == tokens
+
+
+def test_normalizer_numbers():
+    n = TextNormalizer()
+    n.load()
+    assert "四百六十五" in n.normalize("共465篇")
+    assert "one thousand" in n.normalize("It costs 1000 dollars")
+    # punctuation mapping
+    assert n.normalize("我愛你！") == "我愛你!"
+    assert n.normalize("where's the money?") == "where is the money?"
