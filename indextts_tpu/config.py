@@ -26,7 +26,7 @@ def _sub(cls, d: Optional[Dict[str, Any]]):
     return cls(**_filter_kwargs(cls, d))
 
 
-@dataclass
+@dataclass(frozen=True)
 class MelConfig:
     """Mel-spectrogram front-end (reference: config.yaml:43-50,
     indextts/utils/feature_extractors.py:43-60)."""
@@ -55,7 +55,7 @@ class DatasetConfig:
         return cls(mel=mel, **_filter_kwargs(cls, d))
 
 
-@dataclass
+@dataclass(frozen=True)
 class ConditionModuleConfig:
     """Conformer conditioning encoder (reference: config.yaml:68-74)."""
 
@@ -67,7 +67,7 @@ class ConditionModuleConfig:
     perceiver_mult: int = 2
 
 
-@dataclass
+@dataclass(frozen=True)
 class GPTConfig:
     """UnifiedVoice acoustic model (reference: config.yaml:52-74,
     indextts/gpt/model.py:312-374)."""
@@ -115,7 +115,7 @@ class GPTConfig:
         return self.max_mel_tokens + 2 + self.max_conditioning_inputs
 
 
-@dataclass
+@dataclass(frozen=True)
 class VQVAEConfig:
     """DVAE mel tokenizer (reference: config.yaml:76-87,
     indextts/vqvae/xtts_dvae.py:205-309)."""

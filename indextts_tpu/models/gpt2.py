@@ -1,0 +1,245 @@
+"""GPT-2 transformer trunk as a pure-functional JAX core.
+
+Numerically equivalent to the HF ``GPT2Model`` the reference builds
+(indextts/gpt/model.py:263-286: wpe nulled, wte external, gelu_new,
+ln eps 1e-5) but structured TPU-first:
+
+  * params are a pytree with all layers **stacked** on a leading axis so the
+    whole trunk is one ``lax.scan`` — one compiled block instead of 24,
+    much faster compile and better XLA scheduling;
+  * a preallocated static-shape ring KV cache for autoregressive decode
+    (replaces HF's dynamically-growing ``past_key_values``,
+    gpt/model.py:125-205);
+  * bf16 matmuls with fp32 accumulation (MXU-native), fp32 layernorm/softmax.
+
+Naming of leaves mirrors the HF checkpoint layout (h.N.attn.c_attn.weight
+etc. map 1:1 — see io/checkpoint.py converter).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Size:
+    layers: int
+    dim: int
+    heads: int
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
+    """HF "gelu_new" (tanh approximation), matching GPT2's activation."""
+    c = math.sqrt(2.0 / math.pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * jnp.power(x, 3.0))))
+
+
+def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm in fp32 regardless of input dtype."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def init_gpt2_params(rng: jax.Array, size: GPT2Size,
+                     dtype=jnp.float32) -> Dict[str, Any]:
+    """Random init matching GPT2's scheme (normal 0.02, zeros bias,
+    scaled residual projections)."""
+    L, D = size.layers, size.dim
+    k = jax.random.split(rng, 8)
+    std = 0.02
+    proj_std = std / math.sqrt(2 * L)
+
+    def nrm(key, shape, s):
+        return (jax.random.normal(key, shape, jnp.float32) * s).astype(dtype)
+
+    return {
+        "blocks": {
+            "ln_1": {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)},
+            "attn": {
+                "qkv_w": nrm(k[0], (L, D, 3 * D), std),
+                "qkv_b": jnp.zeros((L, 3 * D), dtype),
+                "proj_w": nrm(k[1], (L, D, D), proj_std),
+                "proj_b": jnp.zeros((L, D), dtype),
+            },
+            "ln_2": {"scale": jnp.ones((L, D), dtype), "bias": jnp.zeros((L, D), dtype)},
+            "mlp": {
+                "fc_w": nrm(k[2], (L, D, 4 * D), std),
+                "fc_b": jnp.zeros((L, 4 * D), dtype),
+                "proj_w": nrm(k[3], (L, 4 * D, D), proj_std),
+                "proj_b": jnp.zeros((L, D), dtype),
+            },
+        },
+        "ln_f": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+    }
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache: k/v are [L, B, H, T_max, head_dim]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, size: GPT2Size, batch: int, max_len: int,
+              dtype=jnp.bfloat16) -> "KVCache":
+        shape = (size.layers, batch, size.heads, max_len, size.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               bias: jnp.ndarray) -> jnp.ndarray:
+    """q,k,v: [B, H, T, hd]; bias: additive mask broadcastable to
+    [B, H, Tq, Tk].  fp32 softmax."""
+    head_dim = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(head_dim) + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    B, T, D = x.shape
+    return x.reshape(B, T, heads, D // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, T, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, T, H * hd)
+
+
+def _block(hidden: jnp.ndarray, blk: Dict[str, Any], heads: int,
+           attend) -> jnp.ndarray:
+    """One transformer block; `attend` maps (q, k, v) -> context and closes
+    over masks/caches."""
+    x = layer_norm(hidden, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+    qkv = jnp.einsum("btd,de->bte", x, blk["attn"]["qkv_w"],
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    qkv = qkv + blk["attn"]["qkv_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ctx = attend(_split_heads(q, heads), _split_heads(k, heads),
+                 _split_heads(v, heads))
+    proj = jnp.einsum("btd,de->bte", _merge_heads(ctx), blk["attn"]["proj_w"],
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    hidden = hidden + proj + blk["attn"]["proj_b"].astype(x.dtype)
+
+    x = layer_norm(hidden, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+    h = jnp.einsum("btd,de->bte", x, blk["mlp"]["fc_w"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    h = gelu_new(h + blk["mlp"]["fc_b"].astype(x.dtype))
+    h2 = jnp.einsum("bte,ed->btd", h, blk["mlp"]["proj_w"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    return hidden + h2 + blk["mlp"]["proj_b"].astype(x.dtype)
+
+
+def forward(params: Dict[str, Any], hidden: jnp.ndarray,
+            attention_mask: Optional[jnp.ndarray], size: GPT2Size,
+            remat: bool = False) -> jnp.ndarray:
+    """Full (teacher-forced) forward. hidden: [B, T, D] input embeddings;
+    attention_mask: [B, T] with 1=valid, 0=pad (may be None).
+    Returns ln_f(hidden_states): [B, T, D]."""
+    B, T, _ = hidden.shape
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    allow = causal[None, None, :, :]
+    if attention_mask is not None:
+        allow = jnp.logical_and(allow, attention_mask[:, None, None, :].astype(bool))
+    bias = jnp.where(allow, 0.0, NEG_INF).astype(jnp.float32)
+
+    def attend(q, k, v):
+        return _attention(q, k, v, bias)
+
+    def body(h, blk):
+        return _block(h, blk, size.heads, attend), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    hidden, _ = jax.lax.scan(body, hidden, params["blocks"])
+    return layer_norm(hidden, params["ln_f"]["scale"], params["ln_f"]["bias"])
+
+
+def prefill(params: Dict[str, Any], hidden: jnp.ndarray,
+            attention_mask: jnp.ndarray, size: GPT2Size,
+            cache_len: int) -> Tuple[jnp.ndarray, KVCache]:
+    """Process the prompt and build the KV cache.
+
+    hidden: [B, T, D]; attention_mask: [B, T].  The cache is allocated at
+    `cache_len` (static) with the first T slots filled.
+    Returns (ln_f output [B, T, D], cache).
+    """
+    B, T, _ = hidden.shape
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    allow = jnp.logical_and(causal[None, None], attention_mask[:, None, None, :].astype(bool))
+    bias = jnp.where(allow, 0.0, NEG_INF).astype(jnp.float32)
+
+    def body(h, blk):
+        kv_out = {}
+
+        def attend(q, k, v):
+            kv_out["k"], kv_out["v"] = k, v
+            return _attention(q, k, v, bias)
+
+        h = _block(h, blk, size.heads, attend)
+        pad = cache_len - T
+        k = jnp.pad(kv_out["k"], ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(kv_out["v"], ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return h, (k, v)
+
+    hidden, (ks, vs) = jax.lax.scan(body, hidden, params["blocks"])
+    out = layer_norm(hidden, params["ln_f"]["scale"], params["ln_f"]["bias"])
+    return out, KVCache(ks, vs)
+
+
+def decode_step(params: Dict[str, Any], hidden: jnp.ndarray, cache: KVCache,
+                position: jnp.ndarray, attention_mask: jnp.ndarray,
+                size: GPT2Size) -> Tuple[jnp.ndarray, KVCache]:
+    """Single-token incremental forward.
+
+    hidden: [B, 1, D] embedding of the current token;
+    position: scalar int32 — the slot this token's K/V occupies;
+    attention_mask: [B, cache_len] with 1 for every valid slot **including**
+    `position` itself.
+    Returns (ln_f output [B, 1, D], updated cache).
+    """
+    bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0,
+                     NEG_INF).astype(jnp.float32)
+
+    def body(h, layer):
+        blk, k_cache, v_cache = layer
+        store = {}
+
+        def attend(q, k, v):
+            k_all = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, 0, position, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, 0, position, 0))
+            store["k"], store["v"] = k_all, v_all
+            return _attention(q, k_all, v_all, bias)
+
+        h = _block(h, blk, size.heads, attend)
+        return h, (store["k"], store["v"])
+
+    hidden, (ks, vs) = jax.lax.scan(body, hidden, (params["blocks"], cache.k, cache.v))
+    out = layer_norm(hidden, params["ln_f"]["scale"], params["ln_f"]["bias"])
+    return out, KVCache(ks, vs)

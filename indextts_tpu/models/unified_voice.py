@@ -1,0 +1,407 @@
+"""UnifiedVoice: the autoregressive text+mel-code acoustic model.
+
+TPU-native rebuild of the reference model (indextts/gpt/model.py:312-720):
+a GPT-2 trunk with learned per-stream positional embeddings (wpe nulled),
+a conformer→perceiver conditioning encoder producing 32 latents, dual
+text/mel heads, and an incremental KV-cache decode path.
+
+Differences from the reference are architectural, not behavioural:
+  * the decode loop is a `lax.while_loop` over a preallocated cache with
+    on-device sampling (replaces HF `generate`, gpt/model.py:669-720);
+  * the training forward is fully vectorised (replaces the per-sample python
+    loops in train.py:168-346);
+  * everything compiles to static shapes (pad-to-bucket at the call site).
+
+Reference quirk reproduced on purpose: HF's position bookkeeping gives the
+n-th *generated* mel token position n+1 (position 1 is never used) because
+`attention_mask.shape[1] - mel_len` is evaluated after the mask has grown
+(gpt/model.py:164-167 + prepare_gpt_inputs:643-667).  Checkpoints are
+trained against this numbering, so we keep it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indextts_tpu.config import GPTConfig
+from indextts_tpu.models import conformer, gpt2, perceiver
+from indextts_tpu.models.gpt2 import GPT2Size, KVCache, layer_norm
+from indextts_tpu.ops import sampling
+
+
+def trunk_size(cfg: GPTConfig) -> GPT2Size:
+    return GPT2Size(layers=cfg.layers, dim=cfg.model_dim, heads=cfg.heads)
+
+
+def conformer_size(cfg: GPTConfig) -> conformer.ConformerSize:
+    cm = cfg.condition_module
+    return conformer.ConformerSize(
+        input_size=100,
+        output_size=cm.output_size,
+        attention_heads=cm.attention_heads,
+        linear_units=cm.linear_units,
+        num_blocks=cm.num_blocks,
+    )
+
+
+def perceiver_size(cfg: GPTConfig) -> perceiver.PerceiverSize:
+    cm = cfg.condition_module
+    return perceiver.PerceiverSize(
+        dim=cfg.model_dim,
+        dim_context=cm.output_size,
+        heads=cm.attention_heads,
+        ff_mult=cm.perceiver_mult,
+        num_latents=cfg.condition_num_latent,
+    )
+
+
+def init_params(rng: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    ks = jax.random.split(rng, 8)
+    D = cfg.model_dim
+    n_text = cfg.number_text_tokens * cfg.types + 1
+
+    def nrm(k, shape, std=0.02):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    return {
+        "conditioning_encoder": conformer.init_params(ks[0], conformer_size(cfg), dtype),
+        "perceiver_encoder": perceiver.init_params(ks[1], perceiver_size(cfg), dtype),
+        "text_embedding": {"weight": nrm(ks[2], (n_text, D))},
+        "mel_embedding": {"weight": nrm(ks[3], (cfg.number_mel_codes, D))},
+        # reference: LearnedPositionEmbeddings(max_mel_seq_len/max_text_seq_len)
+        # (gpt/model.py:372-374)
+        "mel_pos_embedding": {"weight": nrm(ks[4], (cfg.max_mel_seq_len, D))},
+        "text_pos_embedding": {"weight": nrm(ks[5], (cfg.max_text_seq_len, D))},
+        "gpt": gpt2.init_gpt2_params(ks[6], trunk_size(cfg), dtype),
+        "final_norm": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+        "text_head": {"kernel": nrm(ks[7], (D, n_text)), "bias": jnp.zeros((n_text,), dtype)},
+        "mel_head": {"kernel": nrm(jax.random.fold_in(ks[7], 1), (D, cfg.number_mel_codes)),
+                      "bias": jnp.zeros((cfg.number_mel_codes,), dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# conditioning
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def get_conditioning(params: Dict[str, Any], cfg: GPTConfig,
+                     cond_mel: jnp.ndarray,
+                     cond_mel_lengths: jnp.ndarray) -> jnp.ndarray:
+    """cond_mel: [B, n_mels, T] → conditioning latents [B, 32, D]
+    (reference: gpt/model.py:487-546, conformer_perceiver path)."""
+    enc, valid = conformer.forward(
+        params["conditioning_encoder"], jnp.swapaxes(cond_mel, 1, 2),
+        cond_mel_lengths, conformer_size(cfg))
+    # cond_mask_pad: prepend num_latents Trues (gpt/model.py:346,528)
+    B = enc.shape[0]
+    mask = jnp.concatenate(
+        [jnp.ones((B, cfg.condition_num_latent), bool), valid], axis=1)
+    return perceiver.forward(params["perceiver_encoder"], enc, mask,
+                             perceiver_size(cfg))
+
+
+def _lm_head(params, hidden):
+    """final_norm + mel head (reference lm_head, gpt/model.py:56)."""
+    h = layer_norm(hidden, params["final_norm"]["scale"], params["final_norm"]["bias"])
+    return h @ params["mel_head"]["kernel"] + params["mel_head"]["bias"]
+
+
+# ---------------------------------------------------------------------------
+# training forward (vectorised train.py:168-346)
+# ---------------------------------------------------------------------------
+
+def build_io_tokens(ids: jnp.ndarray, lengths: jnp.ndarray, start: int,
+                    stop: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[B, T] right-padded ids → ([B, T+2] inputs with start/stop,
+    [B, T+1] targets, [B, T+1] target mask).
+
+    inputs[i] = [start, ids[:L], stop, 0...]; targets = inputs[:, 1:];
+    mask covers the first L+1 target positions (train.py:233-255,302-312).
+    """
+    B, T = ids.shape
+    pos = jnp.arange(T + 2)[None, :]
+    L = lengths[:, None]
+    shifted = jnp.pad(ids, ((0, 0), (1, 1)))  # ids at positions 1..T
+    inputs = jnp.where(pos == 0, start,
+                       jnp.where(pos <= L, shifted,
+                                 jnp.where(pos == L + 1, stop, 0)))
+    targets = inputs[:, 1:]
+    tmask = jnp.arange(T + 1)[None, :] < (lengths[:, None] + 1)
+    return inputs, targets, tmask
+
+
+def _masked_ce(logits: jnp.ndarray, targets: jnp.ndarray,
+               mask: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def train_forward(
+    params: Dict[str, Any],
+    cfg: GPTConfig,
+    cond_latent: jnp.ndarray,      # [B, 32, D]
+    text_ids: jnp.ndarray,         # [B, Tt] right-padded
+    text_lengths: jnp.ndarray,     # [B]
+    mel_codes: jnp.ndarray,        # [B, Tm] right-padded
+    codes_lengths: jnp.ndarray,    # [B]
+    remat: bool = False,
+) -> Dict[str, Any]:
+    """Teacher-forced dual-CE forward.  Returns dict with loss_text,
+    loss_mel, mel_logits, mel_targets, mel_mask."""
+    size = trunk_size(cfg)
+    B = text_ids.shape[0]
+    cond_len = cond_latent.shape[1]
+
+    text_in, text_tgt, text_mask = build_io_tokens(
+        text_ids, text_lengths, cfg.start_text_token, cfg.stop_text_token)
+    mel_in, mel_tgt, mel_mask = build_io_tokens(
+        mel_codes, codes_lengths, cfg.start_mel_token, cfg.stop_mel_token)
+
+    Tt2, Tm2 = text_in.shape[1], mel_in.shape[1]
+    text_emb = (params["text_embedding"]["weight"][text_in]
+                + params["text_pos_embedding"]["weight"][:Tt2][None])
+    mel_emb = (params["mel_embedding"]["weight"][mel_in]
+               + params["mel_pos_embedding"]["weight"][:Tm2][None])
+
+    emb = jnp.concatenate([cond_latent.astype(text_emb.dtype), text_emb, mel_emb], axis=1)
+    attn = jnp.concatenate([
+        jnp.ones((B, cond_len), jnp.int32),
+        (jnp.arange(Tt2)[None] < (text_lengths[:, None] + 2)).astype(jnp.int32),
+        (jnp.arange(Tm2)[None] < (codes_lengths[:, None] + 2)).astype(jnp.int32),
+    ], axis=1)
+
+    hidden = gpt2.forward(params["gpt"], emb, attn, size, remat=remat)
+    latent = layer_norm(hidden[:, cond_len:], params["final_norm"]["scale"],
+                        params["final_norm"]["bias"])
+    text_latent = latent[:, :Tt2]
+    mel_latent = latent[:, Tt2:]
+
+    # drop the final position of each stream (train.py:297-298)
+    text_logits = (text_latent @ params["text_head"]["kernel"]
+                   + params["text_head"]["bias"])[:, :-1]
+    mel_logits = (mel_latent @ params["mel_head"]["kernel"]
+                  + params["mel_head"]["bias"])[:, :-1]
+
+    loss_text = _masked_ce(text_logits, text_tgt, text_mask)
+    loss_mel = _masked_ce(mel_logits, mel_tgt, mel_mask)
+    return {
+        "loss_text": loss_text,
+        "loss_mel": loss_mel,
+        "mel_logits": mel_logits,
+        "mel_targets": mel_tgt,
+        "mel_mask": mel_mask,
+        "text_logits": text_logits,
+        "text_targets": text_tgt,
+        "text_mask": text_mask,
+    }
+
+
+def top_k_accuracy(logits: jnp.ndarray, targets: jnp.ndarray,
+                   mask: jnp.ndarray, ks=(1, 10, 20)) -> Dict[str, jnp.ndarray]:
+    """Masked top-k accuracy in percent (train.py:348-371)."""
+    max_k = max(ks)
+    _, top = jax.lax.top_k(logits.astype(jnp.float32), max_k)  # [..., max_k]
+    hit = top == targets[..., None]
+    denom = jnp.maximum(mask.sum(), 1)
+    out = {}
+    for k in ks:
+        correct = jnp.any(hit[..., :k], axis=-1) & mask
+        out[f"acc_{k}"] = correct.sum() / denom * 100.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# latent forward (reference UnifiedVoice.forward(..., return_latent=True),
+# gpt/model.py:548-593) — feeds BigVGAN
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def latent_forward(
+    params: Dict[str, Any],
+    cfg: GPTConfig,
+    cond_latent: jnp.ndarray,    # [B, 32, D]
+    text_ids: jnp.ndarray,       # [B, Lt]
+    text_lengths: jnp.ndarray,   # [B]
+    mel_codes: jnp.ndarray,      # [B, Lc]
+    codes_lengths: jnp.ndarray,  # [B]
+) -> jnp.ndarray:
+    """Teacher-forced re-forward returning per-code latents [B, Lc, D] for
+    the vocoder (infer.py:864-875).  Positions beyond codes_lengths carry
+    stop-token latents, matching set_mel_padding (gpt/model.py:439-447)."""
+    size = trunk_size(cfg)
+    B, Lt = text_ids.shape
+    Lc = mel_codes.shape[1]
+    cond_len = cond_latent.shape[1]
+
+    # set_text_padding / set_mel_padding: replace pads with stop tokens
+    tpos = jnp.arange(Lt)[None]
+    text_ids = jnp.where(tpos < text_lengths[:, None], text_ids, cfg.stop_text_token)
+    mpos = jnp.arange(Lc)[None]
+    mel_codes = jnp.where(mpos < codes_lengths[:, None], mel_codes, cfg.stop_mel_token)
+
+    # pad one stop then prepend start (gpt/model.py:576-588)
+    text_in = jnp.pad(text_ids, ((0, 0), (1, 1)),
+                      constant_values=((0, 0), (cfg.start_text_token, cfg.stop_text_token)))
+    mel_in = jnp.pad(mel_codes, ((0, 0), (1, 1)),
+                     constant_values=((0, 0), (cfg.start_mel_token, cfg.stop_mel_token)))
+
+    text_emb = (params["text_embedding"]["weight"][text_in]
+                + params["text_pos_embedding"]["weight"][: Lt + 2][None])
+    mel_emb = (params["mel_embedding"]["weight"][mel_in]
+               + params["mel_pos_embedding"]["weight"][: Lc + 2][None])
+    emb = jnp.concatenate([cond_latent.astype(text_emb.dtype), text_emb, mel_emb], axis=1)
+
+    # reference get_logits runs with no attention mask (gpt/model.py:459-474)
+    hidden = gpt2.forward(params["gpt"], emb, None, size)
+    latent = layer_norm(hidden[:, cond_len:], params["final_norm"]["scale"],
+                        params["final_norm"]["bias"])
+    mel_latent = latent[:, Lt + 2 :]
+    return mel_latent[:, :-2]  # (gpt/model.py:591-593)
+
+
+# ---------------------------------------------------------------------------
+# inference: prompt preparation + decode loop
+# ---------------------------------------------------------------------------
+
+class PreparedPrompt(NamedTuple):
+    text_tokens: np.ndarray    # [B, L+2] left-padded, start/stop added
+    valid_from: np.ndarray     # [B] index of first valid slot
+    attn_text: np.ndarray      # [B, L+2] 1=valid
+
+
+def prepare_text_prompt(text_ids_list, start_token: int, stop_token: int) -> PreparedPrompt:
+    """Host-side equivalent of prepare_gpt_inputs (gpt/model.py:606-667):
+    strip any existing start/stop tokens, re-add them, left-pad to a common
+    length."""
+    cleaned = []
+    for ids in text_ids_list:
+        ids = np.asarray(ids).reshape(-1)
+        ids = ids[(ids != start_token) & (ids != stop_token)]
+        cleaned.append(np.concatenate([[start_token], ids, [stop_token]]))
+    L = max(len(c) for c in cleaned)
+    B = len(cleaned)
+    tokens = np.zeros((B, L), dtype=np.int32)
+    mask = np.zeros((B, L), dtype=np.int32)
+    valid_from = np.zeros((B,), dtype=np.int32)
+    for i, c in enumerate(cleaned):
+        pad = L - len(c)
+        tokens[i, pad:] = c
+        mask[i, pad:] = 1
+        valid_from[i] = pad
+    return PreparedPrompt(tokens, valid_from, mask)
+
+
+class DecodeResult(NamedTuple):
+    codes: jnp.ndarray     # [B, max_new] generated mel codes (stop-padded)
+    lengths: jnp.ndarray   # [B] generated length *excluding* stop token
+    finished: jnp.ndarray  # [B] whether stop was emitted
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new", "do_sample", "top_k", "cache_dtype",
+                     "temperature", "top_p", "repetition_penalty"),
+)
+def inference_speech(
+    params: Dict[str, Any],
+    cfg: GPTConfig,
+    cond_latent: jnp.ndarray,   # [B or 1, 32, D]
+    text_tokens: jnp.ndarray,   # [B, L+2] from prepare_text_prompt
+    text_mask: jnp.ndarray,     # [B, L+2]
+    rng: jax.Array,
+    max_new: int = 600,
+    temperature: float = 1.0,
+    top_k: int = 30,
+    top_p: float = 0.8,
+    repetition_penalty: float = 10.0,
+    do_sample: bool = True,
+    cache_dtype=jnp.bfloat16,
+) -> DecodeResult:
+    """Autoregressive mel-code generation (replaces HF generate,
+    gpt/model.py:669-720) as one jitted program: prefill + while_loop decode
+    with on-device sampling and early exit when every row has stopped."""
+    size = trunk_size(cfg)
+    B, Ltot = text_tokens.shape
+    cond_len = cond_latent.shape[1]
+    if cond_latent.shape[0] == 1 and B > 1:
+        cond_latent = jnp.broadcast_to(cond_latent, (B,) + cond_latent.shape[1:])
+
+    # --- prefill embeddings: [cond | text | start_mel] -------------------
+    # per-sample text positions: 0.. within the valid (non-pad) region
+    tpos = jnp.cumsum(text_mask, axis=1) - 1
+    tpos = jnp.clip(tpos, 0, cfg.max_text_seq_len - 1)
+    text_emb = (params["text_embedding"]["weight"][text_tokens]
+                + params["text_pos_embedding"]["weight"][tpos])
+    text_emb = text_emb * text_mask[..., None]
+
+    start_emb = (params["mel_embedding"]["weight"][cfg.start_mel_token]
+                 + params["mel_pos_embedding"]["weight"][0])
+    prefill_emb = jnp.concatenate(
+        [cond_latent.astype(text_emb.dtype), text_emb,
+         jnp.broadcast_to(start_emb, (B, 1, cfg.model_dim))], axis=1)
+    P = cond_len + Ltot + 1
+    cache_len = P + max_new
+
+    prefill_mask = jnp.concatenate(
+        [jnp.ones((B, cond_len), jnp.int32), text_mask.astype(jnp.int32),
+         jnp.ones((B, 1), jnp.int32)], axis=1)
+
+    hidden, cache = gpt2.prefill(
+        params["gpt"], prefill_emb.astype(cache_dtype), prefill_mask, size, cache_len)
+    first_logits = _lm_head(params, hidden[:, -1])
+
+    full_mask = jnp.zeros((B, cache_len), jnp.int32).at[:, :P].set(prefill_mask)
+    presence = sampling.init_penalty_presence(
+        cfg.number_mel_codes, B, prompt_token_ids=(1,),
+        start_token=cfg.start_mel_token)
+    finished0 = jnp.zeros((B,), bool)
+
+    tok0, presence, finished = sampling.sample_step(
+        jax.random.fold_in(rng, 0), first_logits, presence, finished0,
+        stop_token=cfg.stop_mel_token, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
+
+    codes0 = jnp.full((B, max_new), cfg.stop_mel_token, jnp.int32)
+    codes0 = codes0.at[:, 0].set(tok0)
+
+    def cond_fn(state):
+        step, _, _, _, finished, _, _ = state
+        return jnp.logical_and(step < max_new, ~jnp.all(finished))
+
+    def body_fn(state):
+        step, prev_tok, cache, presence, finished, codes, full_mask = state
+        # reference position numbering: generated token n → position n + 1
+        # (see module docstring); prev_tok was generated at step-1 → n=step
+        mel_pos = jnp.clip(step + 1, 0, cfg.max_mel_seq_len - 1)
+        emb = (params["mel_embedding"]["weight"][prev_tok]
+               + params["mel_pos_embedding"]["weight"][mel_pos])[:, None, :]
+        slot = P + step - 1
+        full_mask = jax.lax.dynamic_update_slice(
+            full_mask, jnp.ones((B, 1), jnp.int32), (0, slot))
+        hidden, cache = gpt2.decode_step(
+            params["gpt"], emb.astype(cache_dtype), cache, slot, full_mask, size)
+        logits = _lm_head(params, hidden[:, 0])
+        tok, presence, finished = sampling.sample_step(
+            jax.random.fold_in(rng, step + 1), logits, presence, finished,
+            stop_token=cfg.stop_mel_token, temperature=temperature,
+            top_k=top_k, top_p=top_p, repetition_penalty=repetition_penalty,
+            do_sample=do_sample)
+        codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
+        return step + 1, tok, cache, presence, finished, codes, full_mask
+
+    state = (jnp.int32(1), tok0, cache, presence, finished, codes0, full_mask)
+    _, _, _, _, finished, codes, _ = jax.lax.while_loop(cond_fn, body_fn, state)
+
+    is_stop = codes == cfg.stop_mel_token
+    any_stop = jnp.any(is_stop, axis=1)
+    first_stop = jnp.argmax(is_stop, axis=1)
+    lengths = jnp.where(any_stop, first_stop, max_new)
+    return DecodeResult(codes, lengths, finished)

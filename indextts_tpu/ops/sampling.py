@@ -1,0 +1,127 @@
+"""On-device sampling ops for the autoregressive decode loop.
+
+Replaces HF `generate`'s logits processors/warpers
+(reference: indextts/gpt/model.py:703-715, infer.py:628-635) with
+static-shape XLA ops.  Semantics match HF exactly:
+
+  * RepetitionPenaltyLogitsProcessor: for every token already present in the
+    sequence (including the prompt ids HF sees — see note in
+    `init_penalty_presence`), score = score/p if score > 0 else score*p;
+  * warper order: temperature → top-k → top-p (HF `_get_logits_warper`);
+  * top-p keeps the smallest set of tokens whose cumulative probability
+    exceeds `top_p`, always retaining the most probable token.
+
+All ops are batched [B, V] and jit/vmap-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def init_penalty_presence(vocab_size: int, batch: int,
+                          prompt_token_ids=(1,),
+                          start_token: Optional[int] = None) -> jnp.ndarray:
+    """Presence table [B, V] for repetition penalty.
+
+    HF applies the penalty over `input_ids`, and the reference's decode
+    prompt is `fake_inputs` — all-ones with a trailing start_mel_token
+    (gpt/model.py:658-667) — so token id 1 and the start token are penalised
+    from step 0.  Reproduced for parity.
+    """
+    presence = jnp.zeros((batch, vocab_size), dtype=bool)
+    for t in prompt_token_ids:
+        presence = presence.at[:, t].set(True)
+    if start_token is not None:
+        presence = presence.at[:, start_token].set(True)
+    return presence
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, presence: jnp.ndarray,
+                             penalty: float) -> jnp.ndarray:
+    """logits [B, V], presence [B, V] bool."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(presence, penalized, logits)
+
+
+def _top_p_mask(sorted_logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Given descending-sorted logits [B, K], return bool keep-mask."""
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # HF: remove tokens with cumulative probability above top_p, shifted so
+    # the first token above the threshold is kept.
+    remove = cum - probs > top_p
+    return ~remove
+
+
+def sample_token(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    *,
+    temperature: float = 1.0,
+    top_k: int = 30,
+    top_p: float = 0.8,
+    do_sample: bool = True,
+) -> jnp.ndarray:
+    """Sample next token ids [B] from logits [B, V].
+
+    Uses a lax.top_k shortlist (top_k ≤ 64 covers the default config) so the
+    per-step work is O(V) for the top-k scan plus O(K log K) — no full-vocab
+    sort on the hot path.
+    """
+    logits = logits.astype(jnp.float32)
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if temperature != 1.0:
+        logits = logits / temperature
+    V = logits.shape[-1]
+    k = top_k if 0 < top_k < V else min(V, 64) if top_p < 1.0 else V
+    if k < V:
+        shortlist, idx = jax.lax.top_k(logits, k)  # [B, k] descending
+    else:
+        idx = jnp.broadcast_to(jnp.arange(V)[None, :], logits.shape)
+        order = jnp.argsort(-logits, axis=-1)
+        shortlist = jnp.take_along_axis(logits, order, axis=-1)
+        idx = jnp.take_along_axis(idx, order, axis=-1)
+    if top_p < 1.0:
+        keep = _top_p_mask(shortlist, top_p)
+        shortlist = jnp.where(keep, shortlist, NEG_INF)
+    choice = jax.random.categorical(rng, shortlist, axis=-1)  # [B]
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+
+def sample_step(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    presence: jnp.ndarray,
+    finished: jnp.ndarray,
+    *,
+    stop_token: int,
+    temperature: float = 1.0,
+    top_k: int = 30,
+    top_p: float = 0.8,
+    repetition_penalty: float = 10.0,
+    do_sample: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One full sampling step: penalty → warp → sample → stop handling.
+
+    Returns (token [B], presence', finished').  Finished sequences emit
+    `stop_token` (HF pads with pad_token_id = stop_mel_token).
+    """
+    logits = apply_repetition_penalty(logits.astype(jnp.float32), presence,
+                                      repetition_penalty)
+    token = sample_token(
+        rng, logits, temperature=temperature, top_k=top_k, top_p=top_p,
+        do_sample=do_sample,
+    )
+    token = jnp.where(finished, stop_token, token)
+    presence = presence.at[jnp.arange(token.shape[0]), token].set(True)
+    finished = jnp.logical_or(finished, token == stop_token)
+    return token, presence, finished

@@ -1,9 +1,18 @@
 """Test harness: force an 8-device virtual CPU mesh so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md §4)."""
+paths are exercised without TPU hardware (SURVEY.md §4).
+
+The deployment image registers the TPU backend from sitecustomize at
+interpreter start (jax is already imported before pytest collects), so the
+platform must be switched via jax.config — env vars alone are too late.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

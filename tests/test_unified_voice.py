@@ -1,0 +1,151 @@
+"""UnifiedVoice core invariants on a tiny config.
+
+The padding/batching invariance test is the rebuild of the reference's only
+correctness test (tests/padding_test.py): greedy decode must be bit-identical
+across left-padding and batch composition.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+from indextts_tpu.models import unified_voice as uv
+
+CFG = GPTConfig(
+    model_dim=64,
+    layers=2,
+    heads=4,
+    max_mel_tokens=48,
+    max_text_tokens=30,
+    number_text_tokens=40,
+    number_mel_codes=50,
+    start_mel_token=46,
+    stop_mel_token=47,
+    condition_module=ConditionModuleConfig(
+        output_size=32, linear_units=64, attention_heads=4, num_blocks=2,
+        perceiver_mult=2,
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return uv.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_get_conditioning_shape(params):
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 100, 40)), jnp.float32)
+    lengths = jnp.asarray([40, 25])
+    conds = uv.get_conditioning(params, CFG, mel, lengths)
+    assert conds.shape == (2, CFG.condition_num_latent, CFG.model_dim)
+    assert np.isfinite(np.asarray(conds)).all()
+
+
+def test_conditioning_ignores_padding(params):
+    """Padded frames must not influence the conditioning latents."""
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((1, 100, 30)).astype(np.float32)
+    padded = np.concatenate([base, rng.standard_normal((1, 100, 10)).astype(np.float32) * 50], axis=2)
+    c1 = np.asarray(uv.get_conditioning(params, CFG, jnp.asarray(base), jnp.asarray([30])))
+    c2 = np.asarray(uv.get_conditioning(params, CFG, jnp.asarray(padded), jnp.asarray([30])))
+    np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-5)
+
+
+def test_train_forward_losses(params):
+    rng = np.random.default_rng(2)
+    B, Tt, Tm = 3, 8, 12
+    cond = jnp.asarray(rng.standard_normal((B, 32, CFG.model_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(2, 40, (B, Tt)), jnp.int32)
+    mel = jnp.asarray(rng.integers(0, 46, (B, Tm)), jnp.int32)
+    tl = jnp.asarray([8, 5, 3])
+    ml = jnp.asarray([12, 9, 6])
+    out = uv.train_forward(params, CFG, cond, text, tl, mel, ml)
+    assert np.isfinite(float(out["loss_text"]))
+    assert np.isfinite(float(out["loss_mel"]))
+    # random-init loss should be near log(vocab)
+    assert 2.0 < float(out["loss_mel"]) < 8.0
+    accs = uv.top_k_accuracy(out["mel_logits"], out["mel_targets"], out["mel_mask"])
+    assert 0.0 <= float(accs["acc_1"]) <= float(accs["acc_10"]) <= float(accs["acc_20"]) <= 100.0
+
+
+def test_train_forward_padding_invariance(params):
+    """Batch padding must not change per-sample losses: compare loss of a
+    single sample vs the same sample inside a padded batch."""
+    rng = np.random.default_rng(3)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(2, 40, (1, 6)), jnp.int32)
+    mel = jnp.asarray(rng.integers(0, 46, (1, 10)), jnp.int32)
+    out1 = uv.train_forward(params, CFG, cond, text, jnp.asarray([6]), mel, jnp.asarray([10]))
+    # pad to longer buffers
+    text_p = jnp.pad(text, ((0, 0), (0, 5)))
+    mel_p = jnp.pad(mel, ((0, 0), (0, 7)))
+    out2 = uv.train_forward(params, CFG, cond, text_p, jnp.asarray([6]), mel_p, jnp.asarray([10]))
+    np.testing.assert_allclose(float(out1["loss_mel"]), float(out2["loss_mel"]), rtol=1e-4)
+    np.testing.assert_allclose(float(out1["loss_text"]), float(out2["loss_text"]), rtol=1e-4)
+
+
+def test_latent_forward_shape(params):
+    rng = np.random.default_rng(4)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(2, 40, (1, 7)), jnp.int32)
+    codes = jnp.asarray(rng.integers(0, 46, (1, 15)), jnp.int32)
+    lat = uv.latent_forward(params, CFG, cond, text, jnp.asarray([7]), codes, jnp.asarray([15]))
+    assert lat.shape == (1, 15, CFG.model_dim)
+
+
+def greedy_decode(params, cond, texts, max_new=20):
+    prep = uv.prepare_text_prompt(texts, CFG.start_text_token, CFG.stop_text_token)
+    return uv.inference_speech(
+        params, CFG, cond, jnp.asarray(prep.text_tokens), jnp.asarray(prep.attn_text),
+        jax.random.PRNGKey(7), max_new=max_new, do_sample=False,
+        repetition_penalty=1.0, cache_dtype=jnp.float32,
+    )
+
+
+def test_decode_padding_batching_invariance(params):
+    """Rebuild of reference tests/padding_test.py:34-97: batched decode with
+    left padding == per-sample decode, greedy."""
+    rng = np.random.default_rng(5)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    t1 = rng.integers(2, 40, (9,))
+    t2 = rng.integers(2, 40, (4,))
+
+    r1 = greedy_decode(params, cond, [t1])
+    r2 = greedy_decode(params, cond, [t2])
+    rb = greedy_decode(params, cond, [t1, t2])
+
+    n1, n2 = int(r1.lengths[0]), int(r2.lengths[0])
+    nb1, nb2 = int(rb.lengths[0]), int(rb.lengths[1])
+    assert n1 == nb1
+    assert n2 == nb2
+    np.testing.assert_array_equal(np.asarray(r1.codes[0, :n1]), np.asarray(rb.codes[0, :nb1]))
+    np.testing.assert_array_equal(np.asarray(r2.codes[0, :n2]), np.asarray(rb.codes[1, :nb2]))
+
+
+def test_decode_with_bos_eos_invariance(params):
+    """Adding start/stop tokens to the input text must not change the output
+    (prepare strips them — gpt/model.py:631-634)."""
+    rng = np.random.default_rng(6)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    t = rng.integers(2, 40, (6,))
+    t_wrapped = np.concatenate([[CFG.start_text_token], t, [CFG.stop_text_token]])
+    r1 = greedy_decode(params, cond, [t])
+    r2 = greedy_decode(params, cond, [t_wrapped])
+    np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(r2.codes))
+
+
+def test_sampling_reproducible(params):
+    rng = np.random.default_rng(8)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    t = rng.integers(2, 40, (5,))
+    prep = uv.prepare_text_prompt([t], CFG.start_text_token, CFG.stop_text_token)
+    kwargs = dict(max_new=16, do_sample=True, temperature=1.0, top_k=10,
+                  top_p=0.9, repetition_penalty=2.0, cache_dtype=jnp.float32)
+    r1 = uv.inference_speech(params, CFG, cond, jnp.asarray(prep.text_tokens),
+                             jnp.asarray(prep.attn_text), jax.random.PRNGKey(3), **kwargs)
+    r2 = uv.inference_speech(params, CFG, cond, jnp.asarray(prep.text_tokens),
+                             jnp.asarray(prep.attn_text), jax.random.PRNGKey(3), **kwargs)
+    np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(r2.codes))
