@@ -1,0 +1,93 @@
+"""Benchmark: GPT autoregressive decode throughput on the flagship model.
+
+Prints ONE JSON line:
+  {"metric": "gpt_decode_tokens_per_sec_per_chip", "value": N,
+   "unit": "tokens/s", "vs_baseline": N / 1000}
+
+Baseline: BASELINE.md rebuild target — ≥1,000 decode tokens/s/chip on
+TPU v5e (the reference publishes no absolute numbers; RTF ≈ 23.4 ÷ tok/s,
+so 1k tok/s ⇒ RTF ≈ 0.023 for the GPT stage).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    # persistent compile cache: the decode program is a large while_loop and
+    # cold-compiles in minutes; cache makes reruns start in seconds
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                os.path.expanduser("~/.cache/jax_bench"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from indextts_tpu.config import GPTConfig
+    from indextts_tpu.models import unified_voice as uv
+
+    cfg = GPTConfig()
+    # one jitted program for init: the tunnel-attached chip has high
+    # per-dispatch latency, so eager per-tensor init is pathological
+    params = jax.jit(lambda k: uv.init_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    B = 1
+    text_len = 60
+    max_new = 200
+    rng = np.random.default_rng(0)
+    texts = [rng.integers(2, cfg.number_text_tokens, (text_len,)) for _ in range(B)]
+    prep = uv.prepare_text_prompt(texts, cfg.start_text_token, cfg.stop_text_token)
+    cond = jnp.asarray(
+        rng.standard_normal((1, cfg.condition_num_latent, cfg.model_dim)),
+        jnp.bfloat16)
+    tokens = jnp.asarray(prep.text_tokens)
+    mask = jnp.asarray(prep.attn_text)
+
+    def run(key):
+        return uv.inference_speech(
+            params, cfg, cond, tokens, mask, key, max_new=max_new,
+            temperature=1.0, top_k=30, top_p=0.8, repetition_penalty=10.0,
+            do_sample=True)
+
+    # warmup/compile — fetch a value to host: on the tunnel-attached backend
+    # only a real transfer guarantees the compile+run actually completed
+    for i in range(2):
+        r = run(jax.random.PRNGKey(i))
+        _ = np.asarray(r.lengths)
+
+    n_iters = 5
+    total_tokens = 0
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        r = run(jax.random.PRNGKey(i + 2))
+        steps = np.minimum(np.asarray(r.lengths) + 1, max_new)
+        total_tokens += int(steps.sum())
+    dt = time.perf_counter() - t0
+
+    tok_per_sec = total_tokens / dt
+    gpt_rtf = 23.4 / max(tok_per_sec, 1e-9)  # codes/sec of audio ÷ decode rate
+    print(f"[bench] {total_tokens} tokens in {dt:.2f}s over {n_iters} runs "
+          f"(B={B}, prompt={text_len}); implied GPT-stage RTF={gpt_rtf:.4f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "gpt_decode_tokens_per_sec_per_chip",
+        "value": round(tok_per_sec, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_per_sec / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

