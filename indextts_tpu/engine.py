@@ -35,6 +35,19 @@ from indextts_tpu.utils.textnorm import TextNormalizer
 from indextts_tpu.utils.tokenizer import TextTokenizer
 
 
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache — the decode program cold-compiles in
+    minutes; cached reloads take seconds."""
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_indextts"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _resolve_dtype(name: str):
     if name in ("bf16", "bfloat16"):
         return jnp.bfloat16
@@ -136,6 +149,7 @@ class IndexTTS:
         seed: Optional[int] = None,
     ):
         del device, use_cuda_kernel
+        enable_compile_cache()
         self.cfg = Config.load(cfg_path) if os.path.exists(cfg_path) else Config()
         self.model_dir = model_dir
         self.model_version = self.cfg.version
@@ -282,15 +296,21 @@ class IndexTTS:
 
     def _latents(self, cond_latent, text_tokens: np.ndarray, text_len: int,
                  codes: np.ndarray, code_len: int) -> jnp.ndarray:
-        """Teacher-forced re-forward for one sentence (infer.py:864-875)."""
+        """Teacher-forced re-forward for one sentence (infer.py:864-875).
+        Shapes are bucketed (text to 16, codes to 64) so the jitted program
+        set stays small; the returned latent keeps the padded length —
+        callers trim the synthesized wav to code_len*1024 samples."""
         width = _round_up(max(1, code_len), 64)
-        codes_p = np.full((1, width), self.stop_mel_token, dtype=np.int64)
+        twidth = _round_up(max(1, text_len), 16)
+        codes_p = np.full((1, width), self.stop_mel_token, dtype=np.int32)
         codes_p[0, :code_len] = codes[:code_len]
+        text_p = np.zeros((1, twidth), dtype=np.int32)
+        text_p[0, :text_len] = text_tokens[:text_len]
         lat = uv.latent_forward(
             self.gpt_params, self.cfg.gpt, cond_latent,
-            jnp.asarray(text_tokens[None, :text_len]), jnp.asarray([text_len]),
+            jnp.asarray(text_p), jnp.asarray([text_len]),
             jnp.asarray(codes_p), jnp.asarray([code_len]))
-        return lat[0, :code_len]
+        return lat[0]  # [width, D], valid prefix = code_len
 
     # -- public API -------------------------------------------------------
 
@@ -327,10 +347,9 @@ class IndexTTS:
             codes, lens = remove_long_silence(codes, lens, stop_token=self.stop_mel_token)
 
             t0 = time.perf_counter()
-            prep = uv.prepare_text_prompt(
-                [ids], self.cfg.gpt.start_text_token, self.cfg.gpt.stop_text_token)
             # latent re-forward uses raw token ids (infer.py:865-874)
-            latent = self._latents(cond_latent, ids, len(ids), codes[0], int(lens[0]))
+            code_len = int(lens[0])
+            latent = self._latents(cond_latent, ids, len(ids), codes[0], code_len)
             gpt_forward_time += time.perf_counter() - t0
 
             t0 = time.perf_counter()
@@ -339,7 +358,8 @@ class IndexTTS:
             wav = self._vocoder_fn(
                 self.bigvgan_params, latent[None].astype(self.vocoder_dtype),
                 mel_ref.astype(self.vocoder_dtype))
-            wav = np.asarray(wav[0, 0], dtype=np.float32)
+            n_samples = code_len * self.cfg.gpt.mel_length_compression
+            wav = np.asarray(wav[0, 0], dtype=np.float32)[:n_samples]
             bigvgan_time += time.perf_counter() - t0
             wavs.append(np.clip(32767.0 * wav, -32767.0, 32767.0))
 
@@ -391,10 +411,11 @@ class IndexTTS:
                     warnings.warn("generation reached max_mel_tokens", RuntimeWarning)
                     has_warned = True
                 t0 = time.perf_counter()
+                code_len = int(lens[i])
                 latent = self._latents(cond_latent, id_lists[i], len(id_lists[i]),
-                                        codes[i], int(lens[i]))
+                                        codes[i], code_len)
                 gpt_forward_time += time.perf_counter() - t0
-                all_latents.append((item["idx"], latent))
+                all_latents.append((item["idx"], np.asarray(latent)[:code_len]))
 
         all_latents.sort(key=lambda kv: kv[0])
         chunk_size = 2
@@ -402,15 +423,19 @@ class IndexTTS:
         mel_ref = jnp.swapaxes(cond_mel, 1, 2) if cond_mel is not None else jnp.zeros(
             (1, 8, self.cfg.bigvgan.num_mels))
         for i in range(0, len(all_latents), chunk_size):
-            latent = jnp.concatenate([l for _, l in all_latents[i : i + chunk_size]],
-                                      axis=0)[None]
+            latent = np.concatenate([l for _, l in all_latents[i : i + chunk_size]],
+                                     axis=0)
+            n_samples = latent.shape[0] * self.cfg.gpt.mel_length_compression
+            width = _round_up(latent.shape[0], 64)
+            latent = np.pad(latent, ((0, width - latent.shape[0]), (0, 0)))[None]
             t0 = time.perf_counter()
             wav = self._vocoder_fn(self.bigvgan_params,
-                                   latent.astype(self.vocoder_dtype),
+                                   jnp.asarray(latent, self.vocoder_dtype),
                                    mel_ref.astype(self.vocoder_dtype))
             bigvgan_time += time.perf_counter() - t0
-            wavs.append(np.clip(32767.0 * np.asarray(wav[0, 0], np.float32),
-                                 -32767.0, 32767.0))
+            wavs.append(np.clip(
+                32767.0 * np.asarray(wav[0, 0], np.float32)[:n_samples],
+                -32767.0, 32767.0))
 
         wav = np.concatenate(wavs) if wavs else np.zeros(1, np.float32)
         end_time = time.perf_counter()

@@ -120,6 +120,19 @@ def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x [B,T,K] @ w [K,N].  `w` may be a plain array or an int8
+    weight-only-quantised dict {"q": int8 [K,N], "s": fp32 [1,N]} — the
+    dequant fuses into the matmul operand load, so HBM traffic is int8
+    (the decode loop is weight-bandwidth-bound)."""
+    if isinstance(w, dict):
+        wd = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)
+        return jnp.einsum("btk,kn->btn", x, wd,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("btk,kn->btn", x, w,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
     B, T, D = x.shape
     return x.reshape(B, T, heads, D // heads).transpose(0, 2, 1, 3)
@@ -135,22 +148,16 @@ def _block(hidden: jnp.ndarray, blk: Dict[str, Any], heads: int,
     """One transformer block; `attend` maps (q, k, v) -> context and closes
     over masks/caches."""
     x = layer_norm(hidden, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
-    qkv = jnp.einsum("btd,de->bte", x, blk["attn"]["qkv_w"],
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    qkv = qkv + blk["attn"]["qkv_b"].astype(x.dtype)
+    qkv = _mm(x, blk["attn"]["qkv_w"]) + blk["attn"]["qkv_b"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     ctx = attend(_split_heads(q, heads), _split_heads(k, heads),
                  _split_heads(v, heads))
-    proj = jnp.einsum("btd,de->bte", _merge_heads(ctx), blk["attn"]["proj_w"],
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+    proj = _mm(_merge_heads(ctx), blk["attn"]["proj_w"])
     hidden = hidden + proj + blk["attn"]["proj_b"].astype(x.dtype)
 
     x = layer_norm(hidden, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
-    h = jnp.einsum("btd,de->bte", x, blk["mlp"]["fc_w"],
-                   preferred_element_type=jnp.float32).astype(x.dtype)
-    h = gelu_new(h + blk["mlp"]["fc_b"].astype(x.dtype))
-    h2 = jnp.einsum("bte,ed->btd", h, blk["mlp"]["proj_w"],
-                    preferred_element_type=jnp.float32).astype(x.dtype)
+    h = gelu_new(_mm(x, blk["mlp"]["fc_w"]) + blk["mlp"]["fc_b"].astype(x.dtype))
+    h2 = _mm(h, blk["mlp"]["proj_w"])
     return hidden + h2 + blk["mlp"]["proj_b"].astype(x.dtype)
 
 

@@ -107,10 +107,18 @@ def get_conditioning(params: Dict[str, Any], cfg: GPTConfig,
                              perceiver_size(cfg))
 
 
+def _head_mm(h: jnp.ndarray, kernel) -> jnp.ndarray:
+    """Head matmul; kernel may be int8-quantised {"q","s"} (ops/quantization)."""
+    if isinstance(kernel, dict):
+        kernel = (kernel["q"].astype(h.dtype) * kernel["s"].astype(h.dtype))
+    return jnp.einsum("...k,kn->...n", h, kernel,
+                      preferred_element_type=jnp.float32).astype(h.dtype)
+
+
 def _lm_head(params, hidden):
     """final_norm + mel head (reference lm_head, gpt/model.py:56)."""
     h = layer_norm(hidden, params["final_norm"]["scale"], params["final_norm"]["bias"])
-    return h @ params["mel_head"]["kernel"] + params["mel_head"]["bias"]
+    return _head_mm(h, params["mel_head"]["kernel"]) + params["mel_head"]["bias"]
 
 
 # ---------------------------------------------------------------------------
@@ -185,9 +193,9 @@ def train_forward(
     mel_latent = latent[:, Tt2:]
 
     # drop the final position of each stream (train.py:297-298)
-    text_logits = (text_latent @ params["text_head"]["kernel"]
+    text_logits = (_head_mm(text_latent, params["text_head"]["kernel"])
                    + params["text_head"]["bias"])[:, :-1]
-    mel_logits = (mel_latent @ params["mel_head"]["kernel"]
+    mel_logits = (_head_mm(mel_latent, params["mel_head"]["kernel"])
                   + params["mel_head"]["bias"])[:, :-1]
 
     loss_text = _masked_ce(text_logits, text_tgt, text_mask)

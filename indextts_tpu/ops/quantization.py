@@ -2,76 +2,58 @@
 
 Capability rebuild of the reference's bitsandbytes path
 (indextts/infer.py:50-182,317-353): the GPT trunk + text/mel head weights
-are quantised per-output-channel to an int grid.  On TPU the compute stays
-bf16 (weights are dequantised into the matmul — XLA fuses the scale), so
-this reproduces the numeric effect of weight-only PTQ; int8 storage for HBM
-savings is applied at rest.
+are quantised per-output-channel to an int grid and stored as
+``{"q": int8, "s": fp32 scale}``.  The matmul helpers
+(models/gpt2._mm, models/unified_voice._head_mm) dequantise inside the
+einsum, so XLA fuses the convert into the operand load and HBM traffic on
+the bandwidth-bound decode path drops ~2× (int8) vs bf16.
+
+int4 is stored in an int8 container with the int4 grid (values in [-8, 7]);
+same bandwidth as int8 at rest here, but numerically the int4 tier.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
 def quantize_int(w: jnp.ndarray, bits: int = 8,
-                 axis: int = -1) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-channel quantisation along all dims except `axis`.
-
-    Returns (q int8, scale) with w ≈ q * scale broadcast over `axis`."""
+                 reduce_axes: Sequence[int] = (-2,)) -> Dict[str, jnp.ndarray]:
+    """Symmetric quantisation with per-channel scales; `reduce_axes` are the
+    contraction dims (absorbed into the scale)."""
     qmax = 2 ** (bits - 1) - 1
-    reduce_axes = tuple(i for i in range(w.ndim) if i != axis % w.ndim)
-    amax = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True)
+    reduce_axes = tuple(a % w.ndim for a in reduce_axes)
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes, keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / qmax
-    q = jnp.clip(jnp.round(w / scale), -qmax - 1, qmax).astype(jnp.int8)
-    return q, scale.astype(jnp.float32)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -qmax - 1, qmax)
+    return {"q": q.astype(jnp.int8), "s": scale.astype(jnp.float32)}
 
 
-def dequantize_int(q: jnp.ndarray, scale: jnp.ndarray,
-                   dtype=jnp.bfloat16) -> jnp.ndarray:
-    return (q.astype(jnp.float32) * scale).astype(dtype)
-
-
-def quantized_matmul(x: jnp.ndarray, q: jnp.ndarray,
-                     scale: jnp.ndarray) -> jnp.ndarray:
-    """x [*, K] @ (q [K, N] * scale [1, N]) with bf16 compute."""
-    w = dequantize_int(q, scale, x.dtype)
-    return jnp.einsum("...k,kn->...n", x, w, preferred_element_type=jnp.float32).astype(x.dtype)
-
-
-_QUANT_TARGETS = (
-    ("gpt", "blocks", "attn", "qkv_w"),
-    ("gpt", "blocks", "attn", "proj_w"),
-    ("gpt", "blocks", "mlp", "fc_w"),
-    ("gpt", "blocks", "mlp", "proj_w"),
-    ("text_head", "kernel"),
-    ("mel_head", "kernel"),
-)
+def dequantize(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (qw["q"].astype(jnp.float32) * qw["s"]).astype(dtype)
 
 
 def quantize_gpt_params(params: Dict[str, Any], bits: int = 8,
                         dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Round-trip the trunk + head matrices through the int grid (the
-    reference quantises `gpt`, `text_head`, `mel_head` Linears,
-    infer.py:324-330).  Output tree keeps the original structure so every
-    forward works unchanged."""
-    import copy
-
-    params = jax.tree.map(lambda x: x, params)  # shallow-ish copy of leaves
-
-    def _get(tree, path):
-        for p in path[:-1]:
-            tree = tree[p]
-        return tree, path[-1]
-
-    for path in _QUANT_TARGETS:
-        try:
-            parent, leaf = _get(params, path)
-        except KeyError:
-            continue
-        w = parent[leaf]
-        q, scale = quantize_int(w, bits=bits, axis=-1)
-        parent[leaf] = dequantize_int(q, scale, dtype)
-    return params
+    """Quantise the trunk + head matrices (the reference quantises `gpt`,
+    `text_head`, `mel_head` Linears, infer.py:324-330).  Trunk weights are
+    stacked [L, K, N] → scale [L, 1, N]; heads [K, N] → scale [1, N]."""
+    out = jax.tree.map(lambda x: x, params)
+    blocks = out["gpt"]["blocks"]
+    attn = dict(blocks["attn"])
+    mlp = dict(blocks["mlp"])
+    for group, leaf in (("attn", "qkv_w"), ("attn", "proj_w"),
+                        ("mlp", "fc_w"), ("mlp", "proj_w")):
+        tgt = attn if group == "attn" else mlp
+        tgt[leaf] = quantize_int(tgt[leaf], bits, reduce_axes=(1,))
+    out["gpt"] = {**out["gpt"],
+                  "blocks": {**blocks, "attn": attn, "mlp": mlp}}
+    for head in ("text_head", "mel_head"):
+        if head in out:
+            out[head] = {**out[head],
+                          "kernel": quantize_int(out[head]["kernel"], bits,
+                                                  reduce_axes=(0,))}
+    return out

@@ -1,0 +1,65 @@
+"""int8/int4 weight-only quantization: structure, accuracy, forward compat."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from indextts_tpu.models import gpt2
+from indextts_tpu.ops import quantization as q
+
+SIZE = gpt2.GPT2Size(layers=2, dim=64, heads=4)
+
+
+def test_quantize_roundtrip_accuracy():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 64, 128)).astype(np.float32) * 0.02)
+    qw = q.quantize_int(w, bits=8, reduce_axes=(1,))
+    assert qw["q"].dtype == jnp.int8
+    assert qw["s"].shape == (3, 1, 128)
+    back = q.dequantize(qw, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+    assert err < 0.01  # int8 grid: < 1% of range
+
+
+def test_quantized_trunk_forward_close():
+    import tests.test_unified_voice as tu
+    from indextts_tpu.models import unified_voice as uv
+
+    params = uv.init_params(jax.random.PRNGKey(0), tu.CFG)
+    qparams = q.quantize_gpt_params(params, bits=8, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    cond = jnp.asarray(rng.standard_normal((1, 32, tu.CFG.model_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(2, 40, (1, 6)), jnp.int32)
+    mel = jnp.asarray(rng.integers(0, 46, (1, 10)), jnp.int32)
+    out = uv.train_forward(params, tu.CFG, cond, text, jnp.asarray([6]), mel, jnp.asarray([10]))
+    qout = uv.train_forward(qparams, tu.CFG, cond, text, jnp.asarray([6]), mel, jnp.asarray([10]))
+    # quantisation perturbs, but losses stay close at int8
+    assert abs(float(out["loss_mel"]) - float(qout["loss_mel"])) < 0.1
+    assert abs(float(out["loss_text"]) - float(qout["loss_text"])) < 0.1
+
+
+def test_quantized_decode_runs():
+    import tests.test_unified_voice as tu
+    from indextts_tpu.models import unified_voice as uv
+
+    params = uv.init_params(jax.random.PRNGKey(0), tu.CFG)
+    qparams = q.quantize_gpt_params(params, bits=8, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    cond = jnp.asarray(rng.standard_normal((1, 32, tu.CFG.model_dim)), jnp.float32)
+    t = rng.integers(2, 40, (5,))
+    prep = uv.prepare_text_prompt([t], tu.CFG.start_text_token, tu.CFG.stop_text_token)
+    r = uv.inference_speech(qparams, tu.CFG, cond, jnp.asarray(prep.text_tokens),
+                            jnp.asarray(prep.attn_text), jax.random.PRNGKey(0),
+                            max_new=8, do_sample=False, repetition_penalty=1.0,
+                            cache_dtype=jnp.float32)
+    assert r.codes.shape == (1, 8)
+
+
+def test_int4_grid():
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    qw = q.quantize_int(w, bits=4, reduce_axes=(0,))
+    vals = np.unique(np.asarray(qw["q"]))
+    assert vals.min() >= -8 and vals.max() <= 7
