@@ -197,7 +197,8 @@ class IndexTTS:
             self.mean_condition = extras.get("mean_condition")
         else:
             warnings.warn(f"gpt checkpoint {self.gpt_path} not found; random init")
-            self.gpt_params = uv.init_params(jax.random.PRNGKey(0), gcfg)
+            self.gpt_params = jax.jit(
+                lambda k: uv.init_params(k, gcfg))(jax.random.PRNGKey(0))
             self.mean_condition = None
         self.gpt_params = jax.tree.map(
             lambda x: jnp.asarray(x, self.gpt_dtype), self.gpt_params)
@@ -212,8 +213,9 @@ class IndexTTS:
             self.bigvgan_params = ckpt_io.load_bigvgan_checkpoint(bv_path, self.cfg.bigvgan)
         else:
             warnings.warn(f"bigvgan checkpoint {bv_path} not found; random init")
-            self.bigvgan_params = bigvgan_model.init_params(
-                jax.random.PRNGKey(1), self.cfg.bigvgan)
+            self.bigvgan_params = jax.jit(
+                lambda k: bigvgan_model.init_params(k, self.cfg.bigvgan))(
+                    jax.random.PRNGKey(1))
         self.bigvgan_params = jax.tree.map(
             lambda x: jnp.asarray(x, self.vocoder_dtype), self.bigvgan_params)
 
@@ -281,9 +283,8 @@ class IndexTTS:
         pad = width - prep.text_tokens.shape[1]
         tokens = np.pad(prep.text_tokens, ((0, 0), (pad, 0)))
         mask = np.pad(prep.attn_text, ((0, 0), (pad, 0)))
-        result = uv.inference_speech(
-            self.gpt_params, self.cfg.gpt, cond_latent,
-            jnp.asarray(tokens), jnp.asarray(mask), rng,
+        num_beams = int(generation.get("num_beams", 1))
+        kwargs = dict(
             max_new=int(generation.get("max_mel_tokens", 600)),
             temperature=float(generation.get("temperature", 1.0)),
             top_k=int(generation.get("top_k", 30)),
@@ -292,6 +293,15 @@ class IndexTTS:
             do_sample=bool(generation.get("do_sample", True)),
             cache_dtype=self.gpt_dtype if self.gpt_dtype != jnp.float32 else jnp.float32,
         )
+        if num_beams > 1:
+            result = uv.inference_speech_beam(
+                self.gpt_params, self.cfg.gpt, cond_latent,
+                jnp.asarray(tokens), jnp.asarray(mask), rng,
+                num_beams=num_beams, **kwargs)
+        else:
+            result = uv.inference_speech(
+                self.gpt_params, self.cfg.gpt, cond_latent,
+                jnp.asarray(tokens), jnp.asarray(mask), rng, **kwargs)
         return np.asarray(result.codes), np.asarray(result.lengths)
 
     def _latents(self, cond_latent, text_tokens: np.ndarray, text_len: int,

@@ -413,3 +413,153 @@ def inference_speech(
     first_stop = jnp.argmax(is_stop, axis=1)
     lengths = jnp.where(any_stop, first_stop, max_new)
     return DecodeResult(codes, lengths, finished)
+
+
+# ---------------------------------------------------------------------------
+# beam decode (reference default: generate(num_beams=3, do_sample=True),
+# infer.py:628-635 → HF beam_sample)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new", "num_beams", "do_sample", "top_k",
+                     "cache_dtype", "temperature", "top_p",
+                     "repetition_penalty"),
+)
+def inference_speech_beam(
+    params: Dict[str, Any],
+    cfg: GPTConfig,
+    cond_latent: jnp.ndarray,
+    text_tokens: jnp.ndarray,
+    text_mask: jnp.ndarray,
+    rng: jax.Array,
+    max_new: int = 600,
+    num_beams: int = 3,
+    temperature: float = 1.0,
+    top_k: int = 30,
+    top_p: float = 0.8,
+    repetition_penalty: float = 10.0,
+    do_sample: bool = True,
+    cache_dtype=jnp.bfloat16,
+) -> DecodeResult:
+    """Beam(-sample) mel-code generation, HF semantics: per-beam repetition
+    penalty → log_softmax → + beam scores → flatten [nb·V] → warpers →
+    draw 2·nb candidates → bank finished, continue best nb.  The KV cache is
+    reordered per step by beam parent (HF _reorder_cache,
+    gpt/model.py:207-218)."""
+    from indextts_tpu.ops import beam as beam_lib
+
+    size = trunk_size(cfg)
+    B, Ltot = text_tokens.shape
+    nb = num_beams
+    V = cfg.number_mel_codes
+    cond_len = cond_latent.shape[1]
+    if cond_latent.shape[0] == 1 and B > 1:
+        cond_latent = jnp.broadcast_to(cond_latent, (B,) + cond_latent.shape[1:])
+
+    # expand every row to nb beams
+    def tile(x):
+        return jnp.repeat(x, nb, axis=0)
+
+    tpos = jnp.clip(jnp.cumsum(text_mask, axis=1) - 1, 0, cfg.max_text_seq_len - 1)
+    text_emb = (params["text_embedding"]["weight"][text_tokens]
+                + params["text_pos_embedding"]["weight"][tpos])
+    text_emb = text_emb * text_mask[..., None]
+    start_emb = (params["mel_embedding"]["weight"][cfg.start_mel_token]
+                 + params["mel_pos_embedding"]["weight"][0])
+    prefill_emb = jnp.concatenate(
+        [cond_latent.astype(text_emb.dtype), text_emb,
+         jnp.broadcast_to(start_emb, (B, 1, cfg.model_dim))], axis=1)
+    P = cond_len + Ltot + 1
+    cache_len = P + max_new
+    prefill_mask = jnp.concatenate(
+        [jnp.ones((B, cond_len), jnp.int32), text_mask.astype(jnp.int32),
+         jnp.ones((B, 1), jnp.int32)], axis=1)
+
+    hidden, cache = gpt2.prefill(
+        params["gpt"], tile(prefill_emb).astype(cache_dtype),
+        tile(prefill_mask), size, cache_len)
+    logits0 = _lm_head(params, hidden[:, -1])             # [B*nb, V]
+
+    full_mask = jnp.zeros((B * nb, cache_len), jnp.int32).at[:, :P].set(
+        tile(prefill_mask))
+    presence = sampling.init_penalty_presence(
+        V, B * nb, prompt_token_ids=(1,), start_token=cfg.start_mel_token)
+    state = beam_lib.init_beam_state(B, nb, max_new)
+    seqs0 = jnp.zeros((B, nb, max_new), jnp.int32)
+
+    def flat_scores(logits, presence, scores):
+        lg = sampling.apply_repetition_penalty(
+            logits.astype(jnp.float32), presence, repetition_penalty)
+        lp = jax.nn.log_softmax(lg, axis=-1).reshape(B, nb, V)
+        flat = (lp + scores[:, :, None]).reshape(B, nb * V)
+        if temperature != 1.0:
+            flat = flat / temperature
+        k = top_k if 0 < top_k < nb * V else nb * V
+        if k < nb * V or top_p < 1.0:
+            shortlist, _ = jax.lax.top_k(flat, k)
+            kth = shortlist[:, -1:]
+            flat = jnp.where(flat < kth, beam_lib.NEG_INF, flat)
+            if top_p < 1.0:
+                probs = jax.nn.softmax(flat, axis=-1)
+                order = jnp.argsort(-flat, axis=-1)
+                sp = jnp.take_along_axis(probs, order, axis=-1)
+                cum = jnp.cumsum(sp, axis=-1)
+                remove_sorted = cum - sp > top_p
+                remove = jnp.zeros_like(remove_sorted)
+                remove = jnp.take_along_axis(
+                    remove_sorted, jnp.argsort(order, axis=-1), axis=-1)
+                flat = jnp.where(remove, beam_lib.NEG_INF, flat)
+        return flat
+
+    def select(rng_i, logits, state, seqs, presence, cache, full_mask, step):
+        flat = flat_scores(logits, presence, state.scores)
+        state, parent, token, seqs = beam_lib.beam_step(
+            rng_i, flat, nb, state, seqs, step, cfg.stop_mel_token, do_sample)
+        # reorder per-beam tensors by parent (absolute rows)
+        rows = (jnp.arange(B)[:, None] * nb + parent).reshape(-1)   # [B*nb]
+        cache = gpt2.KVCache(cache.k[:, rows], cache.v[:, rows])
+        presence = presence[rows]
+        full_mask = full_mask[rows]
+        tok_flat = token.reshape(-1)
+        presence = presence.at[jnp.arange(B * nb), tok_flat].set(True)
+        return state, tok_flat, seqs, presence, cache, full_mask
+
+    state, tok, seqs, presence, cache, full_mask = select(
+        jax.random.fold_in(rng, 0), logits0, state, seqs0, presence, cache,
+        full_mask, jnp.int32(0))
+
+    def cond_fn(carry):
+        step, state, *_ = carry
+        # done when every batch's worst banked hypothesis beats its best
+        # running beam (length_penalty=0, HF early_stopping=False)
+        done = state.fin_scores[:, -1] >= jnp.max(state.scores, axis=1)
+        return jnp.logical_and(step < max_new, ~jnp.all(done))
+
+    def body_fn(carry):
+        step, state, tok, seqs, presence, cache, full_mask = carry
+        mel_pos = jnp.clip(step + 1, 0, cfg.max_mel_seq_len - 1)
+        emb = (params["mel_embedding"]["weight"][tok]
+               + params["mel_pos_embedding"]["weight"][mel_pos])[:, None, :]
+        slot = P + step - 1
+        full_mask = jax.lax.dynamic_update_slice(
+            full_mask, jnp.ones((B * nb, 1), jnp.int32), (0, slot))
+        hidden, cache = gpt2.decode_step(
+            params["gpt"], emb.astype(cache_dtype), cache, slot, full_mask, size)
+        logits = _lm_head(params, hidden[:, 0])
+        state, tok, seqs, presence, cache, full_mask = select(
+            jax.random.fold_in(rng, step), logits, state, seqs, presence,
+            cache, full_mask, step)
+        return step + 1, state, tok, seqs, presence, cache, full_mask
+
+    carry = (jnp.int32(1), state, tok, seqs, presence, cache, full_mask)
+    step, state, tok, seqs, *_ = jax.lax.while_loop(cond_fn, body_fn, carry)
+
+    best_seq, best_len = beam_lib.finalize(state, seqs, step)
+    finished = state.fin_scores[:, 0] > beam_lib.NEG_INF / 2
+    # banked sequences carry the stop token at position len-1; running beams
+    # carry `step` valid tokens with no stop
+    lengths = jnp.clip(jnp.where(finished, best_len - 1, best_len), 0, max_new)
+    codes = jnp.where(jnp.arange(max_new)[None, :] < lengths[:, None],
+                      best_seq, cfg.stop_mel_token)
+    return DecodeResult(codes, lengths, finished)

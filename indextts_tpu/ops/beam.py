@@ -1,0 +1,122 @@
+"""Static-shape beam decode helpers.
+
+The reference decodes with HF `generate(num_beams=3, do_sample=True, ...)`
+(infer.py:628-635) — "beam sample": per step, beam log-probs are summed
+with warped token log-probs over the flattened [beams × vocab] space, 2·nb
+candidates are drawn (sampled, or top-k when do_sample=False), finished
+candidates are banked as hypotheses and the best nb continuing candidates
+become the new beams.
+
+This module provides the per-step candidate selection and the hypothesis
+bank as pure functions over static shapes; the loop lives in
+models/unified_voice.inference_speech_beam.  length_penalty=0 (the
+reference default) ⇒ raw cumulative log-prob scoring.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+class BeamState(NamedTuple):
+    scores: jnp.ndarray        # [B, nb] cumulative log-probs of live beams
+    # hypothesis bank: best finished sequences per batch
+    fin_scores: jnp.ndarray    # [B, nb]
+    fin_seqs: jnp.ndarray      # [B, nb, max_len]
+    fin_lens: jnp.ndarray      # [B, nb]
+
+
+def init_beam_state(batch: int, num_beams: int, max_len: int) -> BeamState:
+    scores = jnp.full((batch, num_beams), NEG_INF).at[:, 0].set(0.0)
+    return BeamState(
+        scores=scores,
+        fin_scores=jnp.full((batch, num_beams), NEG_INF),
+        fin_seqs=jnp.zeros((batch, num_beams, max_len), jnp.int32),
+        fin_lens=jnp.zeros((batch, num_beams), jnp.int32),
+    )
+
+
+def beam_step(
+    rng: jax.Array,
+    flat: jnp.ndarray,       # [B, nb*V] beam-score + warped log-prob totals
+    num_beams: int,
+    state: BeamState,
+    seqs: jnp.ndarray,       # [B, nb, max_len] running sequences
+    step: jnp.ndarray,       # current length of running sequences
+    stop_token: int,
+    do_sample: bool,
+) -> Tuple[BeamState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One beam(-sample) step over precomputed flattened candidate totals
+    (the caller applies processors/warpers, HF beam_sample order).
+
+    Returns (state', beam_parent [B, nb], next_token [B, nb],
+    seqs' [B, nb, max_len]).  Candidates that end with `stop_token` are
+    banked into the hypothesis bank; the nb best non-stop candidates
+    continue."""
+    B = flat.shape[0]
+    nb = num_beams
+    V = flat.shape[1] // nb
+    cand = 2 * nb
+
+    if do_sample:
+        # sample 2nb distinct candidates via Gumbel top-k over the flat dist
+        g = jax.random.gumbel(rng, flat.shape)
+        _, idx = jax.lax.top_k(flat + g, cand)
+        sc = jnp.take_along_axis(flat, idx, axis=1)
+        order = jnp.argsort(-sc, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        sc = jnp.take_along_axis(sc, order, axis=1)
+    else:
+        sc, idx = jax.lax.top_k(flat, cand)              # already sorted desc
+
+    parent = idx // V                                     # [B, cand]
+    token = (idx % V).astype(jnp.int32)
+    is_stop = token == stop_token
+
+    # --- bank finished candidates -------------------------------------
+    # candidate sequences = parent's prefix + stop; keep the nb best
+    # finished overall (merge with existing bank)
+    cand_seqs = jnp.take_along_axis(
+        seqs, parent[:, :, None], axis=1)                 # [B, cand, L]
+    cand_seqs = jax.vmap(
+        lambda s, t: s.at[:, step].set(t), in_axes=(0, 0))(cand_seqs, token)
+    fin_cand_scores = jnp.where(is_stop, sc, NEG_INF)
+    all_scores = jnp.concatenate([state.fin_scores, fin_cand_scores], axis=1)
+    all_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
+    all_lens = jnp.concatenate(
+        [state.fin_lens,
+         jnp.broadcast_to(step + 1, (B, cand)).astype(jnp.int32)], axis=1)
+    top_sc, top_ix = jax.lax.top_k(all_scores, nb)
+    fin_seqs = jnp.take_along_axis(all_seqs, top_ix[:, :, None], axis=1)
+    fin_lens = jnp.take_along_axis(all_lens, top_ix, axis=1)
+
+    # --- pick nb continuing (non-stop) candidates ----------------------
+    cont_rank = jnp.where(is_stop, NEG_INF, sc)
+    _, keep = jax.lax.top_k(cont_rank, nb)                # [B, nb]
+    new_scores = jnp.take_along_axis(jnp.where(is_stop, NEG_INF, sc), keep, axis=1)
+    new_parent = jnp.take_along_axis(parent, keep, axis=1)
+    new_token = jnp.take_along_axis(token, keep, axis=1)
+    new_seqs = jnp.take_along_axis(cand_seqs, keep[:, :, None], axis=1)
+
+    state = BeamState(new_scores, top_sc, fin_seqs, fin_lens)
+    return state, new_parent, new_token, new_seqs
+
+
+def finalize(state: BeamState, seqs: jnp.ndarray,
+             step: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best hypothesis per batch: the bank if any finished, else the best
+    running beam.  Returns (sequences [B, max_len], lengths [B])."""
+    B, nb, L = seqs.shape
+    have_fin = state.fin_scores[:, 0] > NEG_INF / 2
+    best_fin_seq = state.fin_seqs[:, 0]
+    best_fin_len = state.fin_lens[:, 0]
+    best_run = jnp.argmax(state.scores, axis=1)
+    best_run_seq = jnp.take_along_axis(seqs, best_run[:, None, None], axis=1)[:, 0]
+    out_seq = jnp.where(have_fin[:, None], best_fin_seq, best_run_seq)
+    out_len = jnp.where(have_fin, best_fin_len, step)
+    return out_seq, out_len

@@ -61,6 +61,26 @@ def _top_p_mask(sorted_logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return ~remove
 
 
+def apply_typical_filter(logits: jnp.ndarray, mass: float = 0.9,
+                         min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """Typical sampling filter (reference utils/typical_sampling.py:4-30, HF
+    TypicalLogitsWarper): keep the locally-typical set — tokens whose
+    -log p is closest to the distribution entropy — covering `mass`."""
+    norm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    p = jnp.exp(norm)
+    ent = -jnp.sum(jnp.where(p > 0, norm * p, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-norm - ent)
+    order = jnp.argsort(shifted, axis=-1)  # ascending: most typical first
+    sorted_p = jnp.take_along_axis(p, order, axis=-1)
+    cum = jnp.cumsum(sorted_p, axis=-1)
+    last_ind = jnp.sum((cum < mass).astype(jnp.int32), axis=-1, keepdims=True)
+    last_ind = jnp.maximum(last_ind, min_tokens_to_keep - 1)
+    threshold = jnp.take_along_axis(
+        jnp.take_along_axis(shifted, order, axis=-1), last_ind, axis=-1)
+    remove = shifted > threshold
+    return jnp.where(remove, NEG_INF, logits)
+
+
 def sample_token(
     rng: jax.Array,
     logits: jnp.ndarray,

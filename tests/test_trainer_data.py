@@ -1,0 +1,172 @@
+"""Data pipeline + trainer integration on synthetic processed_data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_unified_voice import CFG
+from indextts_tpu.config import Config, LoRAConfig, TrainConfig
+from indextts_tpu.data.dataset import DataLoader, FinetuneDataset, collate
+from indextts_tpu.models import unified_voice as uv
+from indextts_tpu.train import lora as lora_lib
+from indextts_tpu.train import trainer
+from indextts_tpu.utils.textnorm import TextNormalizer
+from indextts_tpu.utils.tokenizer import TextTokenizer
+
+VOCAB = "/root/reference/vocab.txt"
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("processed_data")
+    rng = np.random.default_rng(0)
+    speakers = ["spk_a", "spk_b"]
+    for spk in speakers:
+        d = root / spk
+        (d / "codes").mkdir(parents=True)
+        (d / "mels").mkdir()
+        records = {"train": [], "valid": []}
+        for i in range(6):
+            n_codes = int(rng.integers(8, 16))
+            codes = rng.integers(0, 46, (n_codes,)).astype(np.int64)
+            mel = rng.standard_normal((100, n_codes * 4)).astype(np.float32)
+            np.save(d / "codes" / f"c{i}.npy", codes)
+            np.save(d / "mels" / f"c{i}.npy", mel)
+            rec = {
+                "audio": f"/fake/{spk}/c{i}.wav",
+                "text": "你好世界" if i % 2 == 0 else "今天天氣很好",
+                "duration": float(n_codes * 1024 / 24000 + 1.0),
+                "codes": f"codes/c{i}.npy",
+                "mels": f"mels/c{i}.npy",
+            }
+            records["train" if i < 5 else "valid"].append(rec)
+        for split, recs in records.items():
+            with open(d / f"metadata_{split}.jsonl", "w") as f:
+                for rec in recs:
+                    f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+    with open(root / "speaker_info.json", "w") as f:
+        json.dump([{"speaker": s} for s in speakers], f)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tokenizer():
+    return TextTokenizer(VOCAB, TextNormalizer())
+
+
+def test_dataset_loads(data_dir, tokenizer):
+    ds = FinetuneDataset(data_dir, "train", tokenizer)
+    assert len(ds) == 10  # 2 speakers × 5 train clips
+    rng = np.random.default_rng(0)
+    item = ds.get_item(0, rng)
+    assert item["mel_codes"].ndim == 1
+    assert item["cond_mel"].shape[0] == 100
+    assert len(item["text_ids"]) > 0
+
+
+def test_conditioning_is_different_clip(data_dir, tokenizer):
+    ds = FinetuneDataset(data_dir, "train", tokenizer)
+    rng = np.random.default_rng(1)
+    # same-speaker conditioning: cond mel should usually differ from own mel
+    diffs = 0
+    for _ in range(5):
+        item = ds.get_item(0, rng)
+        if item["cond_mel"].shape != item["mel"].shape or \
+           not np.allclose(item["cond_mel"], item["mel"]):
+            diffs += 1
+    assert diffs >= 4
+
+
+def test_index_cache_roundtrip(data_dir, tokenizer):
+    ds1 = FinetuneDataset(data_dir, "train", tokenizer)
+    assert os.path.exists(os.path.join(data_dir, "train_index.pkl"))
+    ds2 = FinetuneDataset(data_dir, "train", tokenizer)
+    assert len(ds1) == len(ds2)
+
+
+def test_loader_batches(data_dir, tokenizer):
+    ds = FinetuneDataset(data_dir, "train", tokenizer)
+    loader = DataLoader(ds, batch_size=4, seed=0, pad_multiple=8)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["text_ids"].shape[0] == 4
+    assert b["text_ids"].shape[1] % 8 == 0
+    assert b["mel_codes"].shape[1] % 8 == 0
+    assert (b["codes_lengths"] > 0).all()
+
+
+def test_loader_sharding(data_dir, tokenizer):
+    ds = FinetuneDataset(data_dir, "train", tokenizer)
+    l0 = DataLoader(ds, batch_size=2, seed=0, num_shards=2, shard_index=0)
+    l1 = DataLoader(ds, batch_size=2, seed=0, num_shards=2, shard_index=1)
+    i0 = l0._epoch_indices()
+    i1 = l1._epoch_indices()
+    assert set(i0).isdisjoint(set(i1))
+    assert len(i0) + len(i1) == len(ds)
+
+
+def test_train_step_learns(data_dir, tokenizer):
+    """A few LoRA steps on one batch must reduce the loss."""
+    ds = FinetuneDataset(data_dir, "train", tokenizer)
+    loader = DataLoader(ds, batch_size=4, seed=0, pad_multiple=8)
+    raw = next(iter(loader))
+    batch = trainer.Batch(
+        text_ids=raw["text_ids"] % 40,  # tiny model vocab
+        text_lengths=raw["text_lengths"],
+        mel_codes=raw["mel_codes"], codes_lengths=raw["codes_lengths"],
+        cond_mel=raw["cond_mel"], cond_lengths=raw["cond_lengths"])
+
+    base = uv.init_params(jax.random.PRNGKey(0), CFG)
+    tc = TrainConfig()
+    lora_cfg = tc.lora
+    # crank lr so a few steps visibly move the loss on the tiny model
+    tc_fast = TrainConfig(optimizer=type(tc.optimizer)(learning_rate=1e-2))
+    opt = trainer.make_optimizer(tc_fast, total_steps=20)
+    state = trainer.init_train_state(jax.random.PRNGKey(1), CFG, lora_cfg, opt)
+
+    losses = []
+    for i in range(8):
+        state, metrics = trainer.train_step(
+            state, base, batch, jax.random.PRNGKey(i), CFG, lora_cfg, opt, 0.1, 0.0)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert all(np.isfinite(losses))
+
+
+def test_lora_merge_matches_materialize():
+    lora_cfg = LoRAConfig()
+    base = uv.init_params(jax.random.PRNGKey(0), CFG)
+    lora = lora_lib.init_lora_params(jax.random.PRNGKey(1), CFG, lora_cfg)
+    # make B nonzero so the delta is real
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    mat = lora_lib.materialize(base, lora, lora_cfg)
+    merged = lora_lib.merge(base, lora, lora_cfg, save_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(mat["gpt"]["blocks"]["attn"]["qkv_w"]),
+        np.asarray(merged["gpt"]["blocks"]["attn"]["qkv_w"]), rtol=1e-6)
+    # non-target leaves untouched
+    np.testing.assert_array_equal(
+        np.asarray(base["text_embedding"]["weight"]),
+        np.asarray(merged["text_embedding"]["weight"]))
+
+
+def test_eval_step(data_dir, tokenizer):
+    ds = FinetuneDataset(data_dir, "valid", tokenizer)
+    loader = DataLoader(ds, batch_size=2, seed=0, shuffle=False, drop_last=False,
+                        pad_multiple=8)
+    raw = next(iter(loader))
+    batch = trainer.Batch(
+        text_ids=raw["text_ids"] % 40, text_lengths=raw["text_lengths"],
+        mel_codes=raw["mel_codes"], codes_lengths=raw["codes_lengths"],
+        cond_mel=raw["cond_mel"], cond_lengths=raw["cond_lengths"])
+    base = uv.init_params(jax.random.PRNGKey(0), CFG)
+    lora_cfg = LoRAConfig()
+    lora = lora_lib.init_lora_params(jax.random.PRNGKey(1), CFG, lora_cfg)
+    m = trainer.eval_step(lora, base, batch, CFG, lora_cfg, 0.1)
+    assert np.isfinite(float(m["loss"]))
