@@ -36,12 +36,16 @@ def main() -> None:
     from indextts_tpu.config import GPTConfig
     from indextts_tpu.models import unified_voice as uv
 
+    from indextts_tpu.ops import quantization as quant
+
     cfg = GPTConfig()
     # one jitted program for init: the tunnel-attached chip has high
     # per-dispatch latency, so eager per-tensor init is pathological
     params = jax.jit(lambda k: uv.init_params(k, cfg, dtype=jnp.bfloat16))(
         jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    params_q = jax.jit(lambda p: quant.quantize_gpt_params(p, bits=8))(params)
+    jax.block_until_ready(params_q)
 
     B = 1
     text_len = 60
@@ -55,32 +59,36 @@ def main() -> None:
     tokens = jnp.asarray(prep.text_tokens)
     mask = jnp.asarray(prep.attn_text)
 
-    def run(key):
+    def run(p, key):
         return uv.inference_speech(
-            params, cfg, cond, tokens, mask, key, max_new=max_new,
+            p, cfg, cond, tokens, mask, key, max_new=max_new,
             temperature=1.0, top_k=30, top_p=0.8, repetition_penalty=10.0,
             do_sample=True)
 
-    # warmup/compile — fetch a value to host: on the tunnel-attached backend
-    # only a real transfer guarantees the compile+run actually completed
-    for i in range(2):
-        r = run(jax.random.PRNGKey(i))
-        _ = np.asarray(r.lengths)
+    def measure(p, label):
+        # warmup/compile — fetch a value to host: on the tunnel-attached
+        # backend only a real transfer guarantees completion
+        for i in range(2):
+            _ = np.asarray(run(p, jax.random.PRNGKey(i)).lengths)
+        n_iters = 5
+        total_tokens = 0
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            r = run(p, jax.random.PRNGKey(i + 2))
+            steps = np.minimum(np.asarray(r.lengths) + 1, max_new)
+            total_tokens += int(steps.sum())
+        dt = time.perf_counter() - t0
+        rate = total_tokens / dt
+        print(f"[bench:{label}] {total_tokens} tokens in {dt:.2f}s "
+              f"→ {rate:.1f} tok/s", file=sys.stderr)
+        return rate
 
-    n_iters = 5
-    total_tokens = 0
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        r = run(jax.random.PRNGKey(i + 2))
-        steps = np.minimum(np.asarray(r.lengths) + 1, max_new)
-        total_tokens += int(steps.sum())
-    dt = time.perf_counter() - t0
-
-    tok_per_sec = total_tokens / dt
+    rate_bf16 = measure(params, "bf16")
+    rate_int8 = measure(params_q, "int8-weights")
+    tok_per_sec = max(rate_bf16, rate_int8)
     gpt_rtf = 23.4 / max(tok_per_sec, 1e-9)  # codes/sec of audio ÷ decode rate
-    print(f"[bench] {total_tokens} tokens in {dt:.2f}s over {n_iters} runs "
-          f"(B={B}, prompt={text_len}); implied GPT-stage RTF={gpt_rtf:.4f}",
-          file=sys.stderr)
+    print(f"[bench] best config implies GPT-stage RTF={gpt_rtf:.4f} "
+          f"(B={B}, prompt={text_len})", file=sys.stderr)
     print(json.dumps({
         "metric": "gpt_decode_tokens_per_sec_per_chip",
         "value": round(tok_per_sec, 2),

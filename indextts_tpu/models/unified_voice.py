@@ -69,9 +69,24 @@ def init_params(rng: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Dict[str, 
     def nrm(k, shape, std=0.02):
         return (jax.random.normal(k, shape) * std).astype(dtype)
 
+    if cfg.condition_type in ("conformer_perceiver", "conformer_encoder"):
+        cond_params = conformer.init_params(ks[0], conformer_size(cfg), dtype)
+        perc_params = perceiver.init_params(ks[1], perceiver_size(cfg), dtype)
+    elif cfg.condition_type == "perceiver":
+        from indextts_tpu.models import legacy_conditioning as legacy
+
+        cond_params = legacy.init_conditioning_encoder(ks[0], 100, D, 6, dtype)
+        perc_params = perceiver.init_params(
+            ks[1], dataclasses.replace(perceiver_size(cfg), dim_context=D,
+                                        ff_mult=4, heads=8), dtype)
+    else:  # mean-pooled legacy default (gpt/model.py:364,534-545)
+        from indextts_tpu.models import legacy_conditioning as legacy
+
+        cond_params = legacy.init_conditioning_encoder(ks[0], 100, D, 6, dtype)
+        perc_params = {}
     return {
-        "conditioning_encoder": conformer.init_params(ks[0], conformer_size(cfg), dtype),
-        "perceiver_encoder": perceiver.init_params(ks[1], perceiver_size(cfg), dtype),
+        "conditioning_encoder": cond_params,
+        "perceiver_encoder": perc_params,
         "text_embedding": {"weight": nrm(ks[2], (n_text, D))},
         "mel_embedding": {"weight": nrm(ks[3], (cfg.number_mel_codes, D))},
         # reference: LearnedPositionEmbeddings(max_mel_seq_len/max_text_seq_len)
@@ -95,16 +110,30 @@ def get_conditioning(params: Dict[str, Any], cfg: GPTConfig,
                      cond_mel: jnp.ndarray,
                      cond_mel_lengths: jnp.ndarray) -> jnp.ndarray:
     """cond_mel: [B, n_mels, T] → conditioning latents [B, 32, D]
-    (reference: gpt/model.py:487-546, conformer_perceiver path)."""
-    enc, valid = conformer.forward(
-        params["conditioning_encoder"], jnp.swapaxes(cond_mel, 1, 2),
-        cond_mel_lengths, conformer_size(cfg))
-    # cond_mask_pad: prepend num_latents Trues (gpt/model.py:346,528)
-    B = enc.shape[0]
-    mask = jnp.concatenate(
-        [jnp.ones((B, cfg.condition_num_latent), bool), valid], axis=1)
-    return perceiver.forward(params["perceiver_encoder"], enc, mask,
-                             perceiver_size(cfg))
+    (reference: gpt/model.py:487-546)."""
+    B = cond_mel.shape[0]
+    if cfg.condition_type in ("conformer_perceiver", "conformer_encoder"):
+        enc, valid = conformer.forward(
+            params["conditioning_encoder"], jnp.swapaxes(cond_mel, 1, 2),
+            cond_mel_lengths, conformer_size(cfg))
+        # cond_mask_pad: prepend num_latents Trues (gpt/model.py:346,528)
+        mask = jnp.concatenate(
+            [jnp.ones((B, cfg.condition_num_latent), bool), valid], axis=1)
+        return perceiver.forward(params["perceiver_encoder"], enc, mask,
+                                 perceiver_size(cfg))
+    from indextts_tpu.models import legacy_conditioning as legacy
+
+    if cfg.condition_type == "perceiver":
+        enc = legacy.conditioning_encoder(
+            params["conditioning_encoder"], cond_mel, cfg.heads)  # [B, D, T]
+        psize = dataclasses.replace(perceiver_size(cfg), dim_context=cfg.model_dim,
+                                     ff_mult=4, heads=8)
+        return perceiver.forward(params["perceiver_encoder"],
+                                 jnp.swapaxes(enc, 1, 2), None, psize)
+    # mean-pooled default (gpt/model.py:534-545)
+    pooled = legacy.conditioning_encoder(
+        params["conditioning_encoder"], cond_mel, cfg.heads, mean=True)
+    return pooled[:, None, :]
 
 
 def _head_mm(h: jnp.ndarray, kernel) -> jnp.ndarray:

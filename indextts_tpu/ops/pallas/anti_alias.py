@@ -44,11 +44,11 @@ def _phase_filters() -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _kernel(x_ref, alpha_ref, beta_ref, y_ref, *, tile_t: int):
-    """x_ref: [1, Cb, 1, tile_t+12] window of edge-padded input (window i
+    """x_ref: [1, 1, Cb, tile_t+12] window of edge-padded input (window i
     covers xe[t0 .. t0+tile_t+12), xe = edge_pad(x, 6));
     alpha/beta: [Cb, 1] already exp()'d; y_ref: [1, Cb, tile_t]."""
     fe, fo = _phase_filters()
-    x = x_ref[0, :, 0, :].astype(jnp.float32)
+    x = x_ref[0, 0, :, :].astype(jnp.float32)
     alpha = alpha_ref[:].astype(jnp.float32)
     beta = beta_ref[:].astype(jnp.float32)
 
@@ -90,17 +90,19 @@ def _interior(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
     Cp, Tp = C + pad_c, T + pad_t
 
     # overlapping (+12 halo) windows materialised via gather — XLA fuses
-    # this with the pad; overlap is 12/tile_t ≈ 2% extra traffic
+    # this with the pad; overlap is 12/tile_t ≈ 2% extra traffic.
+    # layout [B, n_t, Cp, K]: the block's last two dims (tile_c, K) satisfy
+    # the TPU (8, 128)-or-full tiling rule
     n_t = Tp // tile_t
     idx = (np.arange(n_t)[:, None] * tile_t + np.arange(tile_t + 12)[None, :])
-    windows = xe[:, :, idx]  # [B, Cp, n_t, tile_t+12]
+    windows = xe[:, :, idx].transpose(0, 2, 1, 3)  # [B, n_t, Cp, tile_t+12]
 
     out = pl.pallas_call(
         functools.partial(_kernel, tile_t=tile_t),
         grid=(B, Cp // tile_c, n_t),
         in_specs=[
-            pl.BlockSpec((1, tile_c, 1, tile_t + 12),
-                          lambda bb, cc, tt: (bb, cc, tt, 0),
+            pl.BlockSpec((1, 1, tile_c, tile_t + 12),
+                          lambda bb, cc, tt: (bb, tt, cc, 0),
                           memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_c, 1), lambda bb, cc, tt: (cc, 0),
                           memory_space=pltpu.VMEM),
