@@ -32,11 +32,16 @@ from indextts_tpu.utils.tokenizer import TextTokenizer
 @dataclass
 class Sample:
     speaker: str
-    text: str
-    codes_path: str
-    mels_path: str
     duration: float
     text_len: int
+    # eager mode: resolved fields
+    text: Optional[str] = None
+    codes_path: Optional[str] = None
+    mels_path: Optional[str] = None
+    # lazy mode: byte-offset reference into the manifest
+    manifest: Optional[str] = None
+    offset: int = 0
+    length: int = 0
 
 
 class FinetuneDataset:
@@ -58,6 +63,7 @@ class FinetuneDataset:
         min_text_length: int = 0,
         max_text_length: int = 0,
         use_index_cache: bool = True,
+        lazy: bool = False,
     ):
         self.data_path = data_path
         self.split = split
@@ -91,6 +97,28 @@ class FinetuneDataset:
         for speaker in speakers:
             manifest = os.path.join(data_path, speaker, f"metadata_{split}.jsonl")
             if not os.path.exists(manifest):
+                continue
+            if lazy:
+                # byte-offset index mode: native C++ scan extracts the
+                # filter fields; records load on demand (data_utils.py:
+                # 475-603 lazy mode, without the broadcast machinery)
+                from indextts_tpu.data.native_index import index_manifest
+
+                mi = index_manifest(manifest)
+                for off, ln, dur, tlen in zip(mi.offsets, mi.lengths,
+                                               mi.durations, mi.text_lens):
+                    if not (min_duration <= dur <= max_duration):
+                        continue
+                    if min_text_length and 0 <= tlen < min_text_length:
+                        continue
+                    if max_text_length and tlen > max_text_length:
+                        continue
+                    idx = len(self.samples)
+                    self.samples.append(Sample(
+                        speaker=speaker, duration=float(dur),
+                        text_len=int(tlen), manifest=manifest,
+                        offset=int(off), length=int(ln)))
+                    self.by_speaker.setdefault(speaker, []).append(idx)
                 continue
             with open(manifest, "r", encoding="utf-8") as f:
                 for line in f:
@@ -148,13 +176,25 @@ class FinetuneDataset:
                     break
         return w
 
+    def _resolved(self, idx: int) -> Sample:
+        """Materialise a lazy sample's fields from its manifest byte range."""
+        s = self.samples[idx]
+        if s.codes_path is None and s.manifest is not None:
+            from indextts_tpu.data.native_index import read_record
+
+            rec = read_record(s.manifest, s.offset, s.length)
+            s.text = rec["text"]
+            s.codes_path = self._resolve(s.speaker, rec["codes"])
+            s.mels_path = self._resolve(s.speaker, rec["mels"])
+        return s
+
     def get_item(self, idx: int, rng: np.random.Generator,
                  cross_speaker_ratio: float = 0.0) -> Dict[str, Any]:
         """Load one training example.  Conditioning is a *different* clip of
         the same speaker (zero-shot strategy, data_utils.py:357-403), or a
         clip from another speaker with probability cross_speaker_ratio
         (data_utils.py:405-458)."""
-        s = self.samples[idx]
+        s = self._resolved(idx)
         codes = np.load(s.codes_path).reshape(-1).astype(np.int32)
         mel = np.load(s.mels_path)
         if mel.ndim == 3:
@@ -175,7 +215,7 @@ class FinetuneDataset:
                 cond_idx = idx
                 while cond_idx == idx:
                     cond_idx = int(rng.choice(pool))
-        cond_mel = np.load(self.samples[cond_idx].mels_path)
+        cond_mel = np.load(self._resolved(cond_idx).mels_path)
         if cond_mel.ndim == 3:
             cond_mel = cond_mel[0]
         return {

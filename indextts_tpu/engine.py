@@ -114,10 +114,7 @@ def bucket_sentences(sentences: Sequence[Sequence[str]],
         else:
             last_bucket.append(sent)
             last_median = last_bucket[len(last_bucket) // 2]["len"]
-    out_buckets: List[List[Dict[str, Any]]] = []
-    only_ones: List[Dict[str, Any]] = []
-    for b in buckets:
-        (only_ones if len(b) == 1 else out_buckets).append(b[0] if len(b) == 1 else b)  # type: ignore[arg-type]
+    # merge singleton buckets into under-filled ones (infer.py:532-549)
     out_buckets = [b for b in buckets if len(b) > 1]
     only_ones = [b[0] for b in buckets if len(b) == 1]
     if only_ones:
@@ -283,7 +280,8 @@ class IndexTTS:
         pad = width - prep.text_tokens.shape[1]
         tokens = np.pad(prep.text_tokens, ((0, 0), (pad, 0)))
         mask = np.pad(prep.attn_text, ((0, 0), (pad, 0)))
-        num_beams = int(generation.get("num_beams", 1))
+        # reference decode default: num_beams=3 (infer.py:633)
+        num_beams = int(generation.get("num_beams", 3))
         kwargs = dict(
             max_new=int(generation.get("max_mel_tokens", 600)),
             temperature=float(generation.get("temperature", 1.0)),
@@ -321,6 +319,27 @@ class IndexTTS:
             jnp.asarray(text_p), jnp.asarray([text_len]),
             jnp.asarray(codes_p), jnp.asarray([code_len]))
         return lat[0]  # [width, D], valid prefix = code_len
+
+    def _latents_batch(self, cond_latent, id_lists, codes: np.ndarray,
+                       lens: np.ndarray) -> np.ndarray:
+        """Batched teacher-forced re-forward for a bucket → [B, width, D]."""
+        B = len(id_lists)
+        tlens = np.asarray([len(ids) for ids in id_lists], np.int32)
+        twidth = _round_up(int(tlens.max()), 16)
+        width = _round_up(max(1, int(lens.max())), 64)
+        text_p = np.zeros((B, twidth), np.int32)
+        codes_p = np.full((B, width), self.stop_mel_token, np.int32)
+        for i, ids in enumerate(id_lists):
+            text_p[i, : tlens[i]] = ids
+            n = int(lens[i])
+            codes_p[i, :n] = codes[i, :n]
+        if cond_latent.shape[0] == 1 and B > 1:
+            cond_latent = jnp.broadcast_to(cond_latent, (B,) + cond_latent.shape[1:])
+        lat = uv.latent_forward(
+            self.gpt_params, self.cfg.gpt, cond_latent,
+            jnp.asarray(text_p), jnp.asarray(tlens),
+            jnp.asarray(codes_p), jnp.asarray(lens.astype(np.int32)))
+        return np.asarray(lat)
 
     # -- public API -------------------------------------------------------
 
@@ -416,16 +435,16 @@ class IndexTTS:
                 cond_latent, id_lists, jax.random.fold_in(rng, bi), gen)
             gpt_gen_time += time.perf_counter() - t0
             codes, lens = remove_long_silence(codes, lens, stop_token=self.stop_mel_token)
+            if not has_warned and (lens >= int(gen.get("max_mel_tokens", 600))).any():
+                warnings.warn("generation reached max_mel_tokens", RuntimeWarning)
+                has_warned = True
+            # batched latent re-forward over the whole bucket (the reference
+            # loops per sentence here, infer.py:699-723)
+            t0 = time.perf_counter()
+            latents = self._latents_batch(cond_latent, id_lists, codes, lens)
+            gpt_forward_time += time.perf_counter() - t0
             for i, item in enumerate(bucket):
-                if not has_warned and int(lens[i]) >= int(gen.get("max_mel_tokens", 600)):
-                    warnings.warn("generation reached max_mel_tokens", RuntimeWarning)
-                    has_warned = True
-                t0 = time.perf_counter()
-                code_len = int(lens[i])
-                latent = self._latents(cond_latent, id_lists[i], len(id_lists[i]),
-                                        codes[i], code_len)
-                gpt_forward_time += time.perf_counter() - t0
-                all_latents.append((item["idx"], np.asarray(latent)[:code_len]))
+                all_latents.append((item["idx"], latents[i][: int(lens[i])]))
 
         all_latents.sort(key=lambda kv: kv[0])
         chunk_size = 2

@@ -296,8 +296,16 @@ def latent_forward(
                + params["mel_pos_embedding"]["weight"][: Lc + 2][None])
     emb = jnp.concatenate([cond_latent.astype(text_emb.dtype), text_emb, mel_emb], axis=1)
 
-    # reference get_logits runs with no attention mask (gpt/model.py:459-474)
-    hidden = gpt2.forward(params["gpt"], emb, None, size)
+    # The reference runs this forward unmasked on exact-length B=1 inputs
+    # (gpt/model.py:459-474).  We mask the padded tail instead, which is
+    # identical for exact-length inputs and makes *batched* re-forwards over
+    # right-padded buckets equivalent to the reference's per-sentence runs.
+    attn = jnp.concatenate([
+        jnp.ones((B, cond_len), jnp.int32),
+        (jnp.arange(Lt + 2)[None] < (text_lengths[:, None] + 2)).astype(jnp.int32),
+        (jnp.arange(Lc + 2)[None] < (codes_lengths[:, None] + 2)).astype(jnp.int32),
+    ], axis=1)
+    hidden = gpt2.forward(params["gpt"], emb, attn, size)
     latent = layer_norm(hidden[:, cond_len:], params["final_norm"]["scale"],
                         params["final_norm"]["bias"])
     mel_latent = latent[:, Lt + 2 :]

@@ -1,0 +1,56 @@
+"""Tensor-parallel parameter sharding for the GPT trunk.
+
+The TPU analogue of the reference's layer-wise inference model parallelism
+(HF parallelize()/get_device_map, gpt/model.py:64-79): instead of placing
+whole layers on different devices (serialising them), the trunk's matmuls
+are sharded over a ``model`` mesh axis — qkv/fc column-parallel, proj
+row-parallel — and XLA inserts the all-reduces over ICI.  The flagship fits
+one chip, so this is an option for bigger variants / lower latency, not a
+requirement.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def gpt_param_specs(axis: str = "model") -> Dict[str, Any]:
+    """PartitionSpecs matching models/gpt2 param layout (blocks stacked on a
+    leading layer axis)."""
+    rep = P()
+    return {
+        "blocks": {
+            "ln_1": {"scale": rep, "bias": rep},
+            "attn": {
+                # column-parallel qkv: shard the 3D output dim
+                "qkv_w": P(None, None, axis),
+                "qkv_b": P(None, axis),
+                # row-parallel proj: shard the input dim → psum after
+                "proj_w": P(None, axis, None),
+                "proj_b": rep,
+            },
+            "ln_2": {"scale": rep, "bias": rep},
+            "mlp": {
+                "fc_w": P(None, None, axis),
+                "fc_b": P(None, axis),
+                "proj_w": P(None, axis, None),
+                "proj_b": rep,
+            },
+        },
+        "ln_f": {"scale": rep, "bias": rep},
+    }
+
+
+def shard_gpt_params(params: Dict[str, Any], mesh: Mesh,
+                     axis: str = "model") -> Dict[str, Any]:
+    """Place trunk params with tensor-parallel shardings; XLA propagates the
+    shardings through the scan and inserts collectives."""
+    specs = gpt_param_specs(axis)
+
+    def place(p, spec):
+        return jax.device_put(p, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, params, specs)

@@ -1,0 +1,128 @@
+"""Engine-level regression test — the rebuild of the reference's
+tests/regression_test.py, runnable on CPU with a scaled-down model: full
+pipeline text → tokens → decode → latents → vocoder → WAV."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+
+from indextts_tpu.config import Config
+
+SAMPLE = "/root/reference/tests/sample_prompt.wav"
+VOCAB = "/root/reference/vocab.txt"
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    cfg = Config.from_dict({
+        "gpt": {
+            "model_dim": 64, "layers": 2, "heads": 4, "max_mel_tokens": 64,
+            "max_text_tokens": 120,
+            "condition_module": {
+                "output_size": 32, "linear_units": 64, "attention_heads": 4,
+                "num_blocks": 2, "perceiver_mult": 2,
+            },
+        },
+        "bigvgan": {
+            "upsample_rates": [4, 4, 4, 4, 2, 2],
+            "upsample_kernel_sizes": [8, 8, 4, 4, 4, 4],
+            "upsample_initial_channel": 64,
+            "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3]],
+            "speaker_embedding_dim": 8,
+            "gpt_dim": 64,
+            "use_fused_kernel": False,
+        },
+    })
+    cfg.save(str(d / "config.yaml"))
+    import shutil
+
+    shutil.copy(VOCAB, d / "vocab.txt")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def engine(model_dir):
+    import warnings
+
+    from indextts_tpu import engine as engine_mod
+
+    # tiny model, random weights — structural/e2e check only
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts = engine_mod.IndexTTS(
+            cfg_path=os.path.join(model_dir, "config.yaml"),
+            model_dir=model_dir, is_fp16=False,
+            precision_config={"gpt": "fp32", "vocoder": "fp32"})
+    return tts
+
+
+def test_engine_ecapa_size_consistency(engine):
+    # tiny bigvgan uses speaker_embedding_dim=8 and default ECAPA channels
+    assert engine.cfg.bigvgan.speaker_embedding_dim == 8
+
+
+def test_infer_produces_wav(engine, tmp_path):
+    out = str(tmp_path / "out.wav")
+    path = engine.infer(SAMPLE, "你好。", out, max_mel_tokens=8,
+                        do_sample=False, repetition_penalty=1.0, num_beams=1)
+    assert path == out
+    from indextts_tpu.utils.audio import read_wav
+
+    wav, sr = read_wav(out)
+    assert sr == 24000
+    assert wav.shape[-1] >= 1024  # ≥ 1 mel code of audio
+    stats = engine.last_stats
+    assert stats["rtf"] > 0
+
+
+def test_infer_fast_produces_wav(engine, tmp_path):
+    out = str(tmp_path / "fast.wav")
+    path = engine.infer_fast(
+        SAMPLE, "第一句。第二句。Third one.", out, max_mel_tokens=8,
+        do_sample=False, repetition_penalty=1.0, num_beams=1,
+        max_text_tokens_per_sentence=20)
+    assert path == out
+    from indextts_tpu.utils.audio import read_wav
+
+    wav, sr = read_wav(out)
+    assert wav.shape[-1] >= 1024
+
+
+def test_prompt_cache(engine):
+    engine._prompt_mel(SAMPLE)
+    first = engine.cache_cond_mel
+    engine._prompt_mel(SAMPLE)
+    assert engine.cache_cond_mel is first  # cache hit, no recompute
+
+
+def test_remove_long_silence():
+    from indextts_tpu.engine import remove_long_silence
+
+    codes = np.full((1, 100), 52, dtype=np.int64)
+    codes[0, :5] = 7
+    lens = np.asarray([100])
+    out, new_lens = remove_long_silence(codes, lens, stop_token=8193)
+    # 95 silence frames compressed to 10
+    assert int(new_lens[0]) == 5 + 10
+    # below threshold: untouched
+    codes2 = np.full((1, 40), 52, dtype=np.int64)
+    codes2[0, 25:] = 3
+    out2, lens2 = remove_long_silence(codes2, np.asarray([40]), stop_token=8193)
+    assert int(lens2[0]) == 40
+
+
+def test_bucket_sentences():
+    from indextts_tpu.engine import bucket_sentences
+
+    sents = [["a"] * n for n in (5, 6, 30, 31, 7, 29, 100)]
+    buckets = bucket_sentences(sents, bucket_max_size=4)
+    got = sorted(i["idx"] for b in buckets for i in b)
+    assert got == list(range(len(sents)))  # nothing lost
+    for b in buckets:
+        assert 1 <= len(b) <= 4

@@ -1,0 +1,90 @@
+"""Codec extraction pipeline on synthetic audio (reconstruction of the
+missing tools/extract_codec.py — data contract per SURVEY.md §2.12)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from indextts_tpu.config import Config
+from indextts_tpu.data.extract import (
+    extract_audio_list,
+    medoid_index,
+    parse_audio_list,
+    speaker_of,
+)
+from indextts_tpu.utils.audio import write_wav
+
+TINY = Config.from_dict({
+    "gpt": {
+        "model_dim": 64, "layers": 2, "heads": 4,
+        "condition_module": {"output_size": 32, "linear_units": 64,
+                              "attention_heads": 4, "num_blocks": 2,
+                              "perceiver_mult": 2},
+    },
+    "vqvae": {"channels": 100, "num_tokens": 64, "hidden_dim": 16,
+               "codebook_dim": 24, "num_resnet_blocks": 2},
+})
+
+
+@pytest.fixture(scope="module")
+def audio_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    lists_dir = root / "audio_list"
+    lists_dir.mkdir()
+    lines = []
+    spk_dir = root / "spk_x"
+    spk_dir.mkdir()
+    for i in range(4):
+        wav = (rng.standard_normal(24000 + i * 4000) * 3000).astype(np.int16)
+        path = spk_dir / f"clip{i}.wav"
+        write_wav(str(path), wav, 24000)
+        lines.append(f"{path}\t這是第{i}句測試文本。")
+    list_path = lists_dir / "spk_x.list"
+    list_path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(root), str(list_path)
+
+
+def test_parse_and_speaker(audio_tree):
+    root, list_path = audio_tree
+    entries = parse_audio_list(list_path)
+    assert len(entries) == 4
+    assert speaker_of(entries[0][0]) == "spk_x"
+
+
+def test_medoid_index():
+    rng = np.random.default_rng(1)
+    lat = rng.standard_normal((5, 32, 8))
+    lat[3] = lat.mean(axis=0)  # closest to the centroid → medoid
+    assert medoid_index(lat) == 3
+
+
+def test_extraction_outputs(audio_tree, tmp_path):
+    root, list_path = audio_tree
+    out = str(tmp_path / "processed")
+    info = extract_audio_list(list_path, out, TINY, model_dir="/nonexistent",
+                              valid_ratio=0.25, extract_condition=True)
+    assert "spk_x" in info
+    st = info["spk_x"]
+    assert st["num_clips"] == 4
+    assert st["num_train"] + st["num_valid"] == 4
+
+    spk = os.path.join(out, "spk_x")
+    # per-clip artifacts
+    codes = np.load(os.path.join(spk, "codes", "clip0.npy"))
+    mel = np.load(os.path.join(spk, "mels", "clip0.npy"))
+    assert mel.shape[0] == 100
+    assert codes.shape[0] == mel.shape[1] // 4  # 4x time reduction
+    # manifests with the reference keys
+    with open(os.path.join(spk, "metadata_train.jsonl")) as f:
+        rec = json.loads(f.readline())
+    assert set(rec) == {"audio", "text", "duration", "codes", "mels"}
+    # medoid condition (1, 32, D)
+    med = np.load(os.path.join(spk, "medoid_condition.npy"))
+    assert med.shape == (1, 32, TINY.gpt.model_dim)
+    # global speaker_info.json
+    with open(os.path.join(out, "speaker_info.json")) as f:
+        speakers = json.load(f)
+    assert speakers[0]["speaker"] == "spk_x"

@@ -149,3 +149,31 @@ def test_sampling_reproducible(params):
     r2 = uv.inference_speech(params, CFG, cond, jnp.asarray(prep.text_tokens),
                              jnp.asarray(prep.attn_text), jax.random.PRNGKey(3), **kwargs)
     np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(r2.codes))
+
+
+def test_latent_forward_batch_invariance(params):
+    """Batched right-padded latent re-forward must equal per-sample exact
+    runs (the engine batches per bucket; the reference runs B=1)."""
+    rng = np.random.default_rng(9)
+    cond = jnp.asarray(rng.standard_normal((2, 32, CFG.model_dim)), jnp.float32)
+    t1, t2 = rng.integers(2, 40, (7,)), rng.integers(2, 40, (4,))
+    c1, c2 = rng.integers(0, 46, (12,)), rng.integers(0, 46, (8,))
+
+    lat1 = uv.latent_forward(params, CFG, cond[:1], jnp.asarray(t1[None]),
+                             jnp.asarray([7]), jnp.asarray(c1[None]), jnp.asarray([12]))
+    lat2 = uv.latent_forward(params, CFG, cond[1:], jnp.asarray(t2[None]),
+                             jnp.asarray([4]), jnp.asarray(c2[None]), jnp.asarray([8]))
+
+    text_b = np.zeros((2, 7), np.int32)
+    text_b[0] = t1
+    text_b[1, :4] = t2
+    codes_b = np.full((2, 12), CFG.stop_mel_token, np.int32)
+    codes_b[0] = c1
+    codes_b[1, :8] = c2
+    lat_b = uv.latent_forward(params, CFG, cond, jnp.asarray(text_b),
+                              jnp.asarray([7, 4]), jnp.asarray(codes_b),
+                              jnp.asarray([12, 8]))
+    np.testing.assert_allclose(np.asarray(lat_b[0, :12]), np.asarray(lat1[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lat_b[1, :8]), np.asarray(lat2[0]),
+                               rtol=1e-4, atol=1e-5)
