@@ -353,7 +353,8 @@ class DecodeResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new", "do_sample", "top_k", "cache_dtype",
-                     "temperature", "top_p", "repetition_penalty"),
+                     "temperature", "top_p", "repetition_penalty",
+                     "typical_sampling", "typical_mass"),
 )
 def inference_speech(
     params: Dict[str, Any],
@@ -368,6 +369,8 @@ def inference_speech(
     top_p: float = 0.8,
     repetition_penalty: float = 10.0,
     do_sample: bool = True,
+    typical_sampling: bool = False,
+    typical_mass: float = 0.9,
     cache_dtype=jnp.bfloat16,
 ) -> DecodeResult:
     """Autoregressive mel-code generation (replaces HF generate,
@@ -412,7 +415,8 @@ def inference_speech(
     tok0, presence, finished = sampling.sample_step(
         jax.random.fold_in(rng, 0), first_logits, presence, finished0,
         stop_token=cfg.stop_mel_token, temperature=temperature, top_k=top_k,
-        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
+        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample,
+        typical_sampling=typical_sampling, typical_mass=typical_mass)
 
     codes0 = jnp.full((B, max_new), cfg.stop_mel_token, jnp.int32)
     codes0 = codes0.at[:, 0].set(tok0)
@@ -438,7 +442,8 @@ def inference_speech(
             jax.random.fold_in(rng, step + 1), logits, presence, finished,
             stop_token=cfg.stop_mel_token, temperature=temperature,
             top_k=top_k, top_p=top_p, repetition_penalty=repetition_penalty,
-            do_sample=do_sample)
+            do_sample=do_sample, typical_sampling=typical_sampling,
+            typical_mass=typical_mass)
         codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
         return step + 1, tok, cache, presence, finished, codes, full_mask
 

@@ -129,14 +129,20 @@ def sample_step(
     top_p: float = 0.8,
     repetition_penalty: float = 10.0,
     do_sample: bool = True,
+    typical_sampling: bool = False,
+    typical_mass: float = 0.9,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One full sampling step: penalty → warp → sample → stop handling.
+    """One full sampling step: penalty → (typical) → warp → sample → stop.
 
     Returns (token [B], presence', finished').  Finished sequences emit
-    `stop_token` (HF pads with pad_token_id = stop_mel_token).
+    `stop_token` (HF pads with pad_token_id = stop_mel_token).  The typical
+    filter runs as a logits *processor* before the warpers, matching the
+    reference's LogitsProcessorList placement (gpt/model.py:703-708).
     """
     logits = apply_repetition_penalty(logits.astype(jnp.float32), presence,
                                       repetition_penalty)
+    if typical_sampling:
+        logits = apply_typical_filter(logits, typical_mass)
     token = sample_token(
         rng, logits, temperature=temperature, top_k=top_k, top_p=top_p,
         do_sample=do_sample,
