@@ -19,6 +19,14 @@ import numpy as np
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1,
+                    help="decode batch size (serving throughput mode)")
+    ap.add_argument("--max-new", type=int, default=200)
+    args = ap.parse_args()
+
     import jax
 
     # persistent compile cache: the decode program is a large while_loop and
@@ -47,9 +55,9 @@ def main() -> None:
     params_q = jax.jit(lambda p: quant.quantize_gpt_params(p, bits=8))(params)
     jax.block_until_ready(params_q)
 
-    B = 1
+    B = args.batch
     text_len = 60
-    max_new = 200
+    max_new = args.max_new
     rng = np.random.default_rng(0)
     texts = [rng.integers(2, cfg.number_text_tokens, (text_len,)) for _ in range(B)]
     prep = uv.prepare_text_prompt(texts, cfg.start_text_token, cfg.stop_text_token)

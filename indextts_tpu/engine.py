@@ -188,7 +188,13 @@ class IndexTTS:
             else os.path.join(model_dir, self.cfg.gpt_checkpoint)
         )
         self.speaker_conditions: Dict[str, np.ndarray] = {}
-        if os.path.exists(self.gpt_path):
+        if os.path.isdir(self.gpt_path):
+            # native orbax checkpoint (merged-LoRA dirs from train/run.py)
+            like = jax.eval_shape(
+                lambda: uv.init_params(jax.random.PRNGKey(0), gcfg))
+            self.gpt_params = ckpt_io.load_pytree(self.gpt_path, like)
+            self.mean_condition = None
+        elif os.path.exists(self.gpt_path):
             self.gpt_params, extras = ckpt_io.load_gpt_checkpoint(self.gpt_path, gcfg)
             self.speaker_conditions = extras.get("speaker_conditions", {})
             self.mean_condition = extras.get("mean_condition")
@@ -461,10 +467,9 @@ class IndexTTS:
             wav = self._vocoder_fn(self.bigvgan_params,
                                    jnp.asarray(latent, self.vocoder_dtype),
                                    mel_ref.astype(self.vocoder_dtype))
+            wav_np = np.asarray(wav[0, 0], np.float32)[:n_samples]  # sync
             bigvgan_time += time.perf_counter() - t0
-            wavs.append(np.clip(
-                32767.0 * np.asarray(wav[0, 0], np.float32)[:n_samples],
-                -32767.0, 32767.0))
+            wavs.append(np.clip(32767.0 * wav_np, -32767.0, 32767.0))
 
         wav = np.concatenate(wavs) if wavs else np.zeros(1, np.float32)
         end_time = time.perf_counter()

@@ -52,6 +52,13 @@ def create_app(
     def health():
         return {"status": "ok", "model_loaded": state["tts"] is not None}
 
+    # static browser UI (reference api.py:90-95 mounts static/index.html)
+    static_dir = os.path.join(os.path.dirname(__file__), "..", "..", "static")
+    if os.path.isdir(static_dir):
+        from fastapi.staticfiles import StaticFiles
+
+        app.mount("/ui", StaticFiles(directory=static_dir, html=True), name="ui")
+
     @app.get("/models")
     def models():
         """Checkpoint discovery (api.py:97-116)."""

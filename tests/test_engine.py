@@ -126,3 +126,30 @@ def test_bucket_sentences():
     assert got == list(range(len(sents)))  # nothing lost
     for b in buckets:
         assert 1 <= len(b) <= 4
+
+
+def test_engine_loads_orbax_checkpoint(model_dir, tmp_path):
+    """A merged-LoRA orbax dir (trainer output) loads as the GPT model."""
+    import warnings
+
+    import jax
+
+    from indextts_tpu import engine as engine_mod
+    from indextts_tpu.config import Config
+    from indextts_tpu.io import checkpoint as ckpt_io
+    from indextts_tpu.models import unified_voice as uv
+
+    cfg = Config.load(os.path.join(model_dir, "config.yaml"))
+    params = uv.init_params(jax.random.PRNGKey(5), cfg.gpt)
+    ckpt_dir = str(tmp_path / "model_epoch_0")
+    ckpt_io.save_pytree(ckpt_dir, jax.device_get(params))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts = engine_mod.IndexTTS(
+            cfg_path=os.path.join(model_dir, "config.yaml"),
+            model_dir=model_dir, gpt_path=ckpt_dir,
+            precision_config={"gpt": "fp32", "vocoder": "fp32"})
+    loaded = np.asarray(tts.gpt_params["text_embedding"]["weight"])
+    np.testing.assert_allclose(loaded, np.asarray(params["text_embedding"]["weight"]),
+                               rtol=1e-6)
