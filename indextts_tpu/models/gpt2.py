@@ -218,6 +218,43 @@ def prefill(params: Dict[str, Any], hidden: jnp.ndarray,
     return out, KVCache(ks, vs)
 
 
+def decode_step_rows(params: Dict[str, Any], hidden: jnp.ndarray,
+                     cache: KVCache, positions: jnp.ndarray,
+                     attention_mask: jnp.ndarray,
+                     size: GPT2Size) -> Tuple[jnp.ndarray, KVCache]:
+    """Single-token incremental forward with **per-row** cache positions —
+    the primitive for continuous batching, where every slot sits at a
+    different sequence offset.
+
+    hidden: [B, 1, D]; positions: [B] int32 write slots;
+    attention_mask: [B, cache_len] (must already include `positions`).
+    """
+    B = hidden.shape[0]
+    bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0,
+                     NEG_INF).astype(jnp.float32)
+    rows = jnp.arange(B)
+
+    def body(h, layer):
+        blk, k_cache, v_cache = layer
+        store = {}
+
+        def attend(q, k, v):
+            # batched scatter: row b writes its K/V at positions[b]
+            k_all = k_cache.at[rows, :, positions, :].set(
+                k[:, :, 0, :].astype(k_cache.dtype))
+            v_all = v_cache.at[rows, :, positions, :].set(
+                v[:, :, 0, :].astype(v_cache.dtype))
+            store["k"], store["v"] = k_all, v_all
+            return _attention(q, k_all, v_all, bias)
+
+        h = _block(h, blk, size.heads, attend)
+        return h, (store["k"], store["v"])
+
+    hidden, (ks, vs) = jax.lax.scan(body, hidden, (params["blocks"], cache.k, cache.v))
+    out = layer_norm(hidden, params["ln_f"]["scale"], params["ln_f"]["bias"])
+    return out, KVCache(ks, vs)
+
+
 def decode_step(params: Dict[str, Any], hidden: jnp.ndarray, cache: KVCache,
                 position: jnp.ndarray, attention_mask: jnp.ndarray,
                 size: GPT2Size) -> Tuple[jnp.ndarray, KVCache]:

@@ -80,9 +80,13 @@ def loss_fn(lora_params, base_params, batch: Batch, rng, cfg: GPTConfig,
     if cfg_dropout_ratio > 0.0:
         drop = jax.random.bernoulli(rng, cfg_dropout_ratio)
         cond_latent = jnp.where(drop, jnp.zeros_like(cond_latent), cond_latent)
+    # remat the layer scan: trade recompute for activation memory so the
+    # full-size trunk trains at real batch sizes (jax.checkpoint is the XLA
+    # equivalent of the reference's gradient checkpointing option,
+    # gpt/model.py:277-278)
     out = uv.train_forward(
         params, cfg, cond_latent, batch.text_ids, batch.text_lengths,
-        batch.mel_codes, batch.codes_lengths)
+        batch.mel_codes, batch.codes_lengths, remat=True)
     loss = text_weight * out["loss_text"] + (1.0 - text_weight) * out["loss_mel"]
     metrics = {
         "loss": loss,

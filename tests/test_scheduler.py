@@ -1,0 +1,66 @@
+"""Continuous-batching scheduler: pooled decode must equal per-request
+decode exactly (greedy), slots must refill from the queue."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_unified_voice import CFG
+from indextts_tpu.models import unified_voice as uv
+from indextts_tpu.serve.scheduler import ContinuousBatcher
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = uv.init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    return params, cond, rng
+
+
+def _single_decode(params, cond, text, max_new):
+    prep = uv.prepare_text_prompt([text], CFG.start_text_token, CFG.stop_text_token)
+    width = max(16, -(-prep.text_tokens.shape[1] // 16) * 16)
+    pad = width - prep.text_tokens.shape[1]
+    tokens = np.pad(prep.text_tokens, ((0, 0), (pad, 0)))
+    mask = np.pad(prep.attn_text, ((0, 0), (pad, 0)))
+    r = uv.inference_speech(
+        params, CFG, cond, jnp.asarray(tokens), jnp.asarray(mask),
+        jax.random.PRNGKey(0), max_new=max_new, do_sample=False,
+        repetition_penalty=1.0, cache_dtype=jnp.float32)
+    n = int(r.lengths[0])
+    return np.asarray(r.codes[0, :n])
+
+
+def test_pool_matches_single_greedy(setup):
+    params, cond, rng = setup
+    texts = [rng.integers(2, 40, (n,)) for n in (9, 4, 6, 11, 5)]
+    max_new = 24
+
+    batcher = ContinuousBatcher(
+        params, CFG, cond, num_slots=2, max_text_width=16, max_new=max_new,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32)
+    ids = [batcher.submit(t, max_new=max_new) for t in texts]
+    results = batcher.run()
+    assert set(results) == set(ids)
+
+    for rid, text in zip(ids, texts):
+        expected = _single_decode(params, cond, text, max_new)
+        got = results[rid]
+        np.testing.assert_array_equal(got, expected,
+                                      err_msg=f"req {rid} mismatch")
+
+
+def test_pool_more_requests_than_slots(setup):
+    params, cond, rng = setup
+    texts = [rng.integers(2, 40, (5,)) for _ in range(7)]
+    batcher = ContinuousBatcher(
+        params, CFG, cond, num_slots=3, max_text_width=16, max_new=10,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32)
+    ids = [batcher.submit(t) for t in texts]
+    results = batcher.run()
+    assert set(results) == set(ids)
+    for rid in ids:
+        assert len(results[rid]) <= 10
