@@ -189,16 +189,20 @@ class FinetuneDataset:
         return s
 
     def get_item(self, idx: int, rng: np.random.Generator,
-                 cross_speaker_ratio: float = 0.0) -> Dict[str, Any]:
+                 cross_speaker_ratio: float = 0.0,
+                 load_mel: bool = False) -> Dict[str, Any]:
         """Load one training example.  Conditioning is a *different* clip of
         the same speaker (zero-shot strategy, data_utils.py:357-403), or a
         clip from another speaker with probability cross_speaker_ratio
-        (data_utils.py:405-458)."""
+        (data_utils.py:405-458).  The clip's own mel is only loaded on
+        request (training consumes codes + conditioning mel only)."""
         s = self._resolved(idx)
         codes = np.load(s.codes_path).reshape(-1).astype(np.int32)
-        mel = np.load(s.mels_path)
-        if mel.ndim == 3:
-            mel = mel[0]
+        mel = None
+        if load_mel:
+            mel = np.load(s.mels_path)
+            if mel.ndim == 3:
+                mel = mel[0]
         text_ids = np.asarray(self.tokenizer.encode(s.text), dtype=np.int32)
 
         cond_idx = idx
@@ -222,7 +226,7 @@ class FinetuneDataset:
             "speaker": s.speaker,
             "text_ids": text_ids,
             "mel_codes": codes,
-            "mel": mel.astype(np.float32),
+            "mel": mel.astype(np.float32) if mel is not None else None,
             "cond_mel": cond_mel.astype(np.float32),
         }
 
@@ -276,7 +280,11 @@ class DataLoader:
         shard_index: int = 0,
         pad_multiple: int = 32,
         prefetch: int = 2,
+        fixed_widths: Optional[Tuple[int, int, int]] = None,
     ):
+        """`fixed_widths` = (text, codes, cond_mel) static pad targets —
+        required for multi-host SPMD where every process must produce
+        identically-shaped local shards."""
         self.ds = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -288,6 +296,7 @@ class DataLoader:
         self.shard_index = shard_index
         self.pad_multiple = pad_multiple
         self.prefetch = prefetch
+        self.fixed_widths = fixed_widths
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -324,10 +333,13 @@ class DataLoader:
                     break
                 items = [self.ds.get_item(int(i), rng, self.cross_speaker_ratio)
                          for i in chunk]
-                pm = self.pad_multiple
-                pad_t = -(-max(len(it["text_ids"]) for it in items) // pm) * pm
-                pad_c = -(-max(len(it["mel_codes"]) for it in items) // pm) * pm
-                pad_m = -(-max(it["cond_mel"].shape[-1] for it in items) // pm) * pm
+                if self.fixed_widths is not None:
+                    pad_t, pad_c, pad_m = self.fixed_widths
+                else:
+                    pm = self.pad_multiple
+                    pad_t = -(-max(len(it["text_ids"]) for it in items) // pm) * pm
+                    pad_c = -(-max(len(it["mel_codes"]) for it in items) // pm) * pm
+                    pad_m = -(-max(it["cond_mel"].shape[-1] for it in items) // pm) * pm
                 q.put(collate(items, pad_t, pad_c, pad_m))
             q.put(None)
 

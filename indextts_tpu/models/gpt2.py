@@ -265,25 +265,36 @@ def decode_step(params: Dict[str, Any], hidden: jnp.ndarray, cache: KVCache,
     attention_mask: [B, cache_len] with 1 for every valid slot **including**
     `position` itself.
     Returns (ln_f output [B, 1, D], updated cache).
+
+    Implementation note: a fori_loop with dynamic_update_slice into the full
+    [L, ...] cache (instead of a scan stacking new per-layer caches) lets
+    XLA keep the cache buffers in place across the loop — the decode step is
+    bandwidth-bound and the cache is its second-largest traffic source after
+    the weights.
     """
     bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0,
                      NEG_INF).astype(jnp.float32)
 
-    def body(h, layer):
-        blk, k_cache, v_cache = layer
-        store = {}
+    def body(l, carry):
+        h, k_all, v_all = carry
+        blk = jax.tree.map(lambda x: jax.lax.dynamic_index_in_dim(
+            x, l, axis=0, keepdims=False), params["blocks"])
 
         def attend(q, k, v):
-            k_all = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, 0, position, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, 0, position, 0))
-            store["k"], store["v"] = k_all, v_all
-            return _attention(q, k_all, v_all, bias)
+            kc = jax.lax.dynamic_update_slice(
+                k_all, k.astype(k_all.dtype)[None], (l, 0, 0, position, 0))
+            vc = jax.lax.dynamic_update_slice(
+                v_all, v.astype(v_all.dtype)[None], (l, 0, 0, position, 0))
+            attend.cache = (kc, vc)
+            k_l = jax.lax.dynamic_index_in_dim(kc, l, axis=0, keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(vc, l, axis=0, keepdims=False)
+            return _attention(q, k_l, v_l, bias)
 
         h = _block(h, blk, size.heads, attend)
-        return h, (store["k"], store["v"])
+        k_all, v_all = attend.cache
+        return h, k_all, v_all
 
-    hidden, (ks, vs) = jax.lax.scan(body, hidden, (params["blocks"], cache.k, cache.v))
+    hidden, ks, vs = jax.lax.fori_loop(
+        0, size.layers, body, (hidden, cache.k, cache.v))
     out = layer_norm(hidden, params["ln_f"]["scale"], params["ln_f"]["bias"])
     return out, KVCache(ks, vs)

@@ -79,11 +79,19 @@ class Trainer:
         n_devices = jax.device_count()
         per_step_batch = max(self.tc.batch_size, n_devices)
         per_step_batch -= per_step_batch % n_devices
+        # multi-host: each process loads its deterministic shard of every
+        # global batch (replaces rank-0 scan + broadcast, data_utils.py:574-601)
+        fixed = None
+        if jax.process_count() > 1:
+            # multi-host SPMD: every process must emit identical shapes
+            fixed = (cfg.gpt.max_text_tokens, cfg.gpt.max_mel_tokens, 2048)
         self.loader = DataLoader(
-            self.train_ds, per_step_batch, seed=self.tc.seed,
+            self.train_ds, per_step_batch // jax.process_count(),
+            seed=self.tc.seed,
             cross_speaker_ratio=self.tc.cross_speaker_ratio,
             text_length_weights=self.tc.text_length_weights,
-            num_shards=1, shard_index=0)
+            num_shards=jax.process_count(), shard_index=jax.process_index(),
+            fixed_widths=fixed)
         self.valid_loader = DataLoader(
             self.valid_ds, min(self.tc.valid_batch_size, max(1, len(self.valid_ds))),
             seed=self.tc.seed, shuffle=False, drop_last=False)

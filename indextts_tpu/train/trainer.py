@@ -132,8 +132,14 @@ def eval_step(lora_params, base_params, batch: Batch, cfg: GPTConfig,
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
-    """Place a host batch sharded over the data axis."""
+    """Place a host batch sharded over the data axis.  In multi-host runs
+    each process passes its local shard and the global array is assembled
+    across processes."""
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return Batch(*(
+            jax.make_array_from_process_local_data(sharding, np.asarray(x))
+            for x in batch))
     return Batch(*(jax.device_put(np.asarray(x), sharding) for x in batch))
 
 

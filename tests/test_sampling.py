@@ -76,3 +76,21 @@ def test_greedy_ignores_rng():
     t1 = sampling.sample_token(jax.random.PRNGKey(0), logits, do_sample=False)
     t2 = sampling.sample_token(jax.random.PRNGKey(9), logits, do_sample=False)
     assert int(t1[0]) == int(t2[0]) == int(np.argmax(np.asarray(logits)))
+
+
+def test_typical_filter_matches_hf():
+    from transformers import TypicalLogitsWarper
+
+    from indextts_tpu.ops.sampling import apply_typical_filter
+
+    V, B = 40, 3
+    rng = np.random.default_rng(4)
+    logits = rng.standard_normal((B, V)).astype(np.float32) * 2
+    ref = TypicalLogitsWarper(mass=0.9)(None, torch.from_numpy(logits.copy())).numpy()
+    ours = np.asarray(apply_typical_filter(jnp.asarray(logits), mass=0.9))
+    # filter value differs (-inf vs finfo.min); compare keep/remove pattern
+    removed_ref = np.isinf(ref) & (ref < 0)
+    removed_ours = ours < np.finfo(np.float32).min / 2
+    np.testing.assert_array_equal(removed_ours, removed_ref)
+    keep = ~removed_ref
+    np.testing.assert_allclose(ours[keep], ref[keep], rtol=1e-5)

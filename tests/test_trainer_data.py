@@ -75,7 +75,7 @@ def test_conditioning_is_different_clip(data_dir, tokenizer):
     # same-speaker conditioning: cond mel should usually differ from own mel
     diffs = 0
     for _ in range(5):
-        item = ds.get_item(0, rng)
+        item = ds.get_item(0, rng, load_mel=True)
         if item["cond_mel"].shape != item["mel"].shape or \
            not np.allclose(item["cond_mel"], item["mel"]):
             diffs += 1
