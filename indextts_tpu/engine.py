@@ -485,6 +485,21 @@ class IndexTTS:
         }
         return self._emit(wav, output_path, sampling_rate)
 
+    def create_batcher(self, audio_prompt: Optional[str] = None,
+                       speaker_id: Optional[str] = None, **kwargs):
+        """Continuous-batching decode pool bound to this prompt's
+        conditioning (serve/scheduler.py) — the high-throughput serving
+        path: submit tokenised sentences, drain codes as they finish."""
+        from indextts_tpu.serve.scheduler import ContinuousBatcher
+
+        cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
+        cond_latent = self._conditioning(cond_mel, speaker_id)
+        kwargs.setdefault("cache_dtype",
+                          self.gpt_dtype if self.gpt_dtype != jnp.float32
+                          else jnp.float32)
+        return ContinuousBatcher(self.gpt_params, self.cfg.gpt, cond_latent,
+                                 **kwargs)
+
     def _emit(self, wav: np.ndarray, output_path: Optional[str], sr: int):
         if output_path:
             audio_io.write_wav(output_path, wav, sr)

@@ -234,23 +234,28 @@ def decode_step_rows(params: Dict[str, Any], hidden: jnp.ndarray,
                      NEG_INF).astype(jnp.float32)
     rows = jnp.arange(B)
 
-    def body(h, layer):
-        blk, k_cache, v_cache = layer
-        store = {}
+    def body(l, carry):
+        h, k_all, v_all = carry
+        blk = jax.tree.map(lambda x: jax.lax.dynamic_index_in_dim(
+            x, l, axis=0, keepdims=False), params["blocks"])
 
         def attend(q, k, v):
             # batched scatter: row b writes its K/V at positions[b]
-            k_all = k_cache.at[rows, :, positions, :].set(
-                k[:, :, 0, :].astype(k_cache.dtype))
-            v_all = v_cache.at[rows, :, positions, :].set(
-                v[:, :, 0, :].astype(v_cache.dtype))
-            store["k"], store["v"] = k_all, v_all
-            return _attention(q, k_all, v_all, bias)
+            kc = k_all.at[l, rows, :, positions, :].set(
+                k[:, :, 0, :].astype(k_all.dtype))
+            vc = v_all.at[l, rows, :, positions, :].set(
+                v[:, :, 0, :].astype(v_all.dtype))
+            attend.cache = (kc, vc)
+            k_l = jax.lax.dynamic_index_in_dim(kc, l, axis=0, keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(vc, l, axis=0, keepdims=False)
+            return _attention(q, k_l, v_l, bias)
 
         h = _block(h, blk, size.heads, attend)
-        return h, (store["k"], store["v"])
+        k_all, v_all = attend.cache
+        return h, k_all, v_all
 
-    hidden, (ks, vs) = jax.lax.scan(body, hidden, (params["blocks"], cache.k, cache.v))
+    hidden, ks, vs = jax.lax.fori_loop(
+        0, size.layers, body, (hidden, cache.k, cache.v))
     out = layer_norm(hidden, params["ln_f"]["scale"], params["ln_f"]["bias"])
     return out, KVCache(ks, vs)
 

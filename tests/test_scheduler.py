@@ -64,3 +64,45 @@ def test_pool_more_requests_than_slots(setup):
     assert set(results) == set(ids)
     for rid in ids:
         assert len(results[rid]) <= 10
+
+
+def test_engine_create_batcher(tmp_path):
+    """Engine convenience: batcher bound to a prompt's conditioning."""
+    import shutil
+    import warnings
+
+    from indextts_tpu import engine as engine_mod
+    from indextts_tpu.config import Config
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    cfg = Config.from_dict({
+        "gpt": {
+            "model_dim": 64, "layers": 2, "heads": 4, "max_mel_tokens": 64,
+            "max_text_tokens": 120,
+            "condition_module": {"output_size": 32, "linear_units": 64,
+                                  "attention_heads": 4, "num_blocks": 2,
+                                  "perceiver_mult": 2},
+        },
+        "bigvgan": {"upsample_rates": [2], "upsample_kernel_sizes": [4],
+                     "upsample_initial_channel": 16,
+                     "resblock_kernel_sizes": [3],
+                     "resblock_dilation_sizes": [[1]],
+                     "speaker_embedding_dim": 8, "gpt_dim": 64,
+                     "use_fused_kernel": False},
+    })
+    cfg.save(str(d / "config.yaml"))
+    shutil.copy("/root/reference/vocab.txt", d / "vocab.txt")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts = engine_mod.IndexTTS(cfg_path=str(d / "config.yaml"),
+                                  model_dir=str(d),
+                                  precision_config={"gpt": "fp32",
+                                                     "vocoder": "fp32"})
+    batcher = tts.create_batcher("/root/reference/tests/sample_prompt.wav",
+                                 num_slots=2, max_text_width=32, max_new=6,
+                                 do_sample=False, repetition_penalty=1.0)
+    ids = [batcher.submit(np.asarray(tts.tokenizer.encode(t), np.int32))
+           for t in ["你好。", "再見。", "早安。"]]
+    results = batcher.run()
+    assert set(results) == set(ids)
