@@ -17,8 +17,7 @@ activations route through the fused Pallas kernel when enabled.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

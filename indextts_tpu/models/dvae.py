@@ -17,8 +17,7 @@ quantiser state; under a data-parallel mesh the statistics are reduced with
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

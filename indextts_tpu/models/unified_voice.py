@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -558,9 +558,14 @@ def inference_speech_beam(
         flat = flat_scores(logits, presence, state.scores)
         state, parent, token, seqs = beam_lib.beam_step(
             rng_i, flat, nb, state, seqs, step, cfg.stop_mel_token, do_sample)
-        # reorder per-beam tensors by parent (absolute rows)
+        # reorder per-beam tensors by parent (absolute rows); the cache
+        # gather is ~100MB of traffic, so skip it on identity permutations
+        # (the common case once beams diverge and stay ranked)
         rows = (jnp.arange(B)[:, None] * nb + parent).reshape(-1)   # [B*nb]
-        cache = gpt2.KVCache(cache.k[:, rows], cache.v[:, rows])
+        identity = jnp.all(rows == jnp.arange(B * nb))
+        cache = jax.lax.cond(
+            identity, lambda c: c,
+            lambda c: gpt2.KVCache(c.k[:, rows], c.v[:, rows]), cache)
         presence = presence[rows]
         full_mask = full_mask[rows]
         tok_flat = token.reshape(-1)

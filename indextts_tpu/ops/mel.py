@@ -18,7 +18,6 @@ torchaudio semantics reproduced here:
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

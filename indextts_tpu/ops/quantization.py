@@ -14,7 +14,7 @@ same bandwidth as int8 at rest here, but numerically the int4 tier.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ raises a clear error (the rest of the framework stays importable).
 
 from __future__ import annotations
 
-import io
 import os
 import tempfile
 import time
@@ -20,16 +19,13 @@ from typing import Optional
 
 try:
     from fastapi import FastAPI, File, Form, HTTPException, UploadFile
-    from fastapi.responses import JSONResponse, Response
+    from fastapi.responses import Response
 except ImportError as e:  # pragma: no cover
     raise ImportError(
         "fastapi is required for the API server: pip install 'indextts-tpu[serve]'"
     ) from e
 
-import numpy as np
-
 from indextts_tpu.engine import IndexTTS
-from indextts_tpu.utils import audio as audio_io
 
 
 def create_app(

@@ -17,7 +17,7 @@ inference params exactly like PEFT's merge_and_unload.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

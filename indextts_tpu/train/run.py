@@ -16,10 +16,9 @@ inference checkpoint per epoch (train.py:769-844).
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -16,9 +16,8 @@ CFG conditioning dropout (train.py:228-231), non-finite-loss step skipping
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from indextts_tpu.config import Config, GPTConfig, LoRAConfig, TrainConfig
+from indextts_tpu.config import GPTConfig, LoRAConfig, TrainConfig
 from indextts_tpu.models import unified_voice as uv
 from indextts_tpu.train import lora as lora_lib
 

@@ -153,3 +153,27 @@ def test_engine_loads_orbax_checkpoint(model_dir, tmp_path):
     loaded = np.asarray(tts.gpt_params["text_embedding"]["weight"])
     np.testing.assert_allclose(loaded, np.asarray(params["text_embedding"]["weight"]),
                                rtol=1e-6)
+
+
+def test_eval_metrics():
+    from indextts_tpu.utils.eval_metrics import cer, wer
+
+    assert wer("hello world", "hello world") == 0.0
+    assert wer("a b c", "a x c") == pytest.approx(1 / 3)
+    assert cer("你好世界", "你好世界") == 0.0
+    assert cer("你好世界", "你好地球") == pytest.approx(0.5)
+
+
+def test_speaker_similarity_self(engine):
+    import numpy as np
+
+    from indextts_tpu.utils.eval_metrics import speaker_similarity
+
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(24000).astype(np.float32) * 0.1
+    import jax
+
+    params = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                          engine.bigvgan_params)
+    sim_self = speaker_similarity(params, wav, wav)
+    assert sim_self == pytest.approx(1.0, abs=1e-4)
