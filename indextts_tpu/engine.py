@@ -485,6 +485,25 @@ class IndexTTS:
         }
         return self._emit(wav, output_path, sampling_rate)
 
+    def warmup(self, batch_sizes: Sequence[int] = (1,),
+               text_widths: Sequence[int] = (64, 128),
+               max_mel_tokens: int = 600, **generation_kwargs) -> None:
+        """Precompile the decode programs for the given shape grid.  The
+        decode while_loop cold-compiles in minutes (remote compile); warming
+        at startup moves that off the first requests.  Compiled programs
+        land in the persistent cache, so subsequent processes start fast."""
+        rng = np.random.default_rng(0)
+        gen = {"max_mel_tokens": 4, **generation_kwargs}
+        cond = jnp.zeros((1, self.cfg.gpt.condition_num_latent,
+                           self.cfg.gpt.model_dim), self.gpt_dtype)
+        for B in batch_sizes:
+            for width in text_widths:
+                ids = [rng.integers(2, 100, (width - 2,)).astype(np.int32)
+                       for _ in range(B)]
+                # compile the real max_mel_tokens variant
+                self._decode_bucket(cond, ids, jax.random.PRNGKey(0),
+                                     {**gen, "max_mel_tokens": max_mel_tokens})
+
     def create_batcher(self, audio_prompt: Optional[str] = None,
                        speaker_id: Optional[str] = None, **kwargs):
         """Continuous-batching decode pool bound to this prompt's

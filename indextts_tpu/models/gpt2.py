@@ -121,13 +121,15 @@ def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
     """x [B,T,K] @ w [K,N].  `w` may be a plain array or an int8
-    weight-only-quantised dict {"q": int8 [K,N], "s": fp32 [1,N]} — the
-    dequant fuses into the matmul operand load, so HBM traffic is int8
-    (the decode loop is weight-bandwidth-bound)."""
+    weight-only-quantised dict {"q": int8 [K,N], "s": fp32 [1,N]}.  With
+    per-output-channel scales, (x @ q)·s ≡ x @ (q·s) — scaling the [B,T,N]
+    *output* instead of the [K,N] weights keeps HBM traffic at int8 and
+    avoids a full-weight-matrix multiply (the decode loop is
+    weight-bandwidth-bound)."""
     if isinstance(w, dict):
-        wd = w["q"].astype(x.dtype) * w["s"].astype(x.dtype)
-        return jnp.einsum("btk,kn->btn", x, wd,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.einsum("btk,kn->btn", x, w["q"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
     return jnp.einsum("btk,kn->btn", x, w,
                       preferred_element_type=jnp.float32).astype(x.dtype)
 

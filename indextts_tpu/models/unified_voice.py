@@ -137,9 +137,12 @@ def get_conditioning(params: Dict[str, Any], cfg: GPTConfig,
 
 
 def _head_mm(h: jnp.ndarray, kernel) -> jnp.ndarray:
-    """Head matmul; kernel may be int8-quantised {"q","s"} (ops/quantization)."""
+    """Head matmul; kernel may be int8-quantised {"q","s"} (ops/quantization).
+    Per-output-channel scales fold into the output (see gpt2._mm)."""
     if isinstance(kernel, dict):
-        kernel = (kernel["q"].astype(h.dtype) * kernel["s"].astype(h.dtype))
+        y = jnp.einsum("...k,kn->...n", h, kernel["q"].astype(h.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * kernel["s"].astype(jnp.float32)).astype(h.dtype)
     return jnp.einsum("...k,kn->...n", h, kernel,
                       preferred_element_type=jnp.float32).astype(h.dtype)
 
@@ -203,6 +206,10 @@ def train_forward(
         mel_codes, codes_lengths, cfg.start_mel_token, cfg.stop_mel_token)
 
     Tt2, Tm2 = text_in.shape[1], mel_in.shape[1]
+    assert Tt2 <= cfg.max_text_seq_len, (
+        f"text width {Tt2 - 2} exceeds max_text_tokens {cfg.max_text_tokens}")
+    assert Tm2 <= cfg.max_mel_seq_len, (
+        f"mel width {Tm2 - 2} exceeds max_mel_tokens {cfg.max_mel_tokens}")
     text_emb = (params["text_embedding"]["weight"][text_in]
                 + params["text_pos_embedding"]["weight"][:Tt2][None])
     mel_emb = (params["mel_embedding"]["weight"][mel_in]

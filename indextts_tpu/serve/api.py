@@ -33,9 +33,10 @@ def create_app(
     model_dir: str = "checkpoints",
     gpt_path: Optional[str] = None,
     speaker_info_path: Optional[str] = None,
+    engine_instance: Optional[IndexTTS] = None,
 ) -> "FastAPI":
     app = FastAPI(title="IndexTTS-TPU")
-    state = {"tts": None, "gpt_path": gpt_path}
+    state = {"tts": engine_instance, "gpt_path": gpt_path}
 
     def engine() -> IndexTTS:
         if state["tts"] is None:
@@ -146,11 +147,21 @@ def main(argv=None) -> None:
     p.add_argument("--model_dir", default="checkpoints")
     p.add_argument("--gpt_path", default=None)
     p.add_argument("--speaker_info", default=None)
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile common decode shapes before serving")
     args = p.parse_args(argv)
 
     import uvicorn
 
-    app = create_app(args.config, args.model_dir, args.gpt_path, args.speaker_info)
+    eng = None
+    if args.warmup:
+        eng = IndexTTS(cfg_path=args.config, model_dir=args.model_dir,
+                       gpt_path=args.gpt_path,
+                       speaker_info_path=args.speaker_info)
+        eng.warmup(batch_sizes=(1, 4), num_beams=1)
+        eng.warmup(batch_sizes=(1, 4), num_beams=3)
+    app = create_app(args.config, args.model_dir, args.gpt_path,
+                     args.speaker_info, engine_instance=eng)
     uvicorn.run(app, host=args.host, port=args.port)
 
 

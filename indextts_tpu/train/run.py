@@ -162,16 +162,33 @@ class Trainer:
     # -- loops ------------------------------------------------------------
 
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> trainer.Batch:
+        # clamp padded widths to the model's position-table limits
+        Tt = self.cfg.gpt.max_text_tokens
+        Tm = self.cfg.gpt.max_mel_tokens
+        text = batch["text_ids"][:, :Tt]
+        codes = batch["mel_codes"][:, :Tm]
         b = trainer.Batch(
-            text_ids=batch["text_ids"], text_lengths=batch["text_lengths"],
-            mel_codes=batch["mel_codes"], codes_lengths=batch["codes_lengths"],
+            text_ids=text,
+            text_lengths=np.minimum(batch["text_lengths"], text.shape[1]),
+            mel_codes=codes,
+            codes_lengths=np.minimum(batch["codes_lengths"], codes.shape[1]),
             cond_mel=batch["cond_mel"], cond_lengths=batch["cond_lengths"])
         return trainer.shard_batch(b, self.mesh)
 
     def validate(self) -> float:
         losses = []
+        n_dev = jax.device_count()
         with self.mesh:
             for batch in self.valid_loader:
+                # pad ragged final batches to a devices-multiple by cycling
+                # rows (replaces drop_last=True on the reference's valid
+                # loader, train_ddp.py:297-309 — we keep every sample)
+                B = batch["text_ids"].shape[0]
+                if B % n_dev:
+                    reps = -(-B // n_dev) * n_dev
+                    idx = np.arange(reps) % B
+                    batch = {k: (v[idx] if isinstance(v, np.ndarray) else v)
+                             for k, v in batch.items()}
                 m = trainer.eval_step(
                     self.state.lora_params, self.base_params,
                     self._device_batch(batch), self.cfg.gpt, self.tc.lora,

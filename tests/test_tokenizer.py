@@ -111,3 +111,50 @@ def test_normalizer_numbers():
     # punctuation mapping
     assert n.normalize("我愛你！") == "我愛你!"
     assert n.normalize("where's the money?") == "where is the money?"
+
+
+def _encode_varint(n):
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _encode_piece(piece, score, ptype):
+    import struct
+
+    body = b"\x0a" + _encode_varint(len(piece.encode())) + piece.encode()
+    body += b"\x15" + struct.pack("<f", score)
+    body += b"\x18" + _encode_varint(ptype)
+    return b"\x0a" + _encode_varint(len(body)) + body
+
+
+def test_sentencepiece_model_parse_and_bpe(tmp_path):
+    """Hand-encode a ModelProto and check the exact-scores BPE merge path."""
+    from indextts_tpu.utils.tokenizer import BPEModel, parse_sentencepiece_model
+
+    pieces = [("<s>", 0.0, 3), ("</s>", 0.0, 3), ("<unk>", 0.0, 2),
+              ("a", -3.0, 1), ("b", -3.0, 1), ("c", -3.0, 1),
+              ("ab", -1.0, 1), ("abc", -0.5, 1), ("bc", -2.0, 1),
+              ("▁", -3.0, 1), ("▁a", -1.5, 1)]
+    blob = b"".join(_encode_piece(*p) for p in pieces)
+    path = tmp_path / "toy.model"
+    path.write_bytes(blob)
+
+    parsed = parse_sentencepiece_model(str(path))
+    assert [p[0] for p in parsed] == [p[0] for p in pieces]
+    assert abs(parsed[6][1] - (-1.0)) < 1e-6
+    assert parsed[2][2] == 2  # unk type
+
+    model = BPEModel.load(str(path))
+    assert model.exact_scores
+    assert model.unk_id == 2
+    # "abc" → best merges: ab+c → abc (score -0.5 beats keeping ab|c)
+    assert model._bpe_segment("abc") == ["abc"]
+    # "abcb": abc + b (no piece 'cb'/'bcb')
+    assert model._bpe_segment("abcb") == ["abc", "b"]
+    # encode applies the dummy-prefix/whitespace escaping
+    assert model.encode_as_pieces("a bc") == ["▁a", "▁", "bc"]
