@@ -314,8 +314,10 @@ class IndexTTS:
         Shapes are bucketed (text to 16, codes to 64) so the jitted program
         set stays small; the returned latent keeps the padded length —
         callers trim the synthesized wav to code_len*1024 samples."""
-        width = _round_up(max(1, code_len), 64)
-        twidth = _round_up(max(1, text_len), 16)
+        width = min(_round_up(max(1, code_len), 64), self.cfg.gpt.max_mel_tokens)
+        width = max(width, code_len)
+        twidth = min(_round_up(max(1, text_len), 16), self.cfg.gpt.max_text_tokens)
+        twidth = max(twidth, text_len)
         codes_p = np.full((1, width), self.stop_mel_token, dtype=np.int32)
         codes_p[0, :code_len] = codes[:code_len]
         text_p = np.zeros((1, twidth), dtype=np.int32)
@@ -331,8 +333,10 @@ class IndexTTS:
         """Batched teacher-forced re-forward for a bucket → [B, width, D]."""
         B = len(id_lists)
         tlens = np.asarray([len(ids) for ids in id_lists], np.int32)
-        twidth = _round_up(int(tlens.max()), 16)
-        width = _round_up(max(1, int(lens.max())), 64)
+        twidth = min(_round_up(int(tlens.max()), 16), self.cfg.gpt.max_text_tokens)
+        twidth = max(twidth, int(tlens.max()))
+        width = min(_round_up(max(1, int(lens.max())), 64), self.cfg.gpt.max_mel_tokens)
+        width = max(width, int(lens.max()))
         text_p = np.zeros((B, twidth), np.int32)
         codes_p = np.full((B, width), self.stop_mel_token, np.int32)
         for i, ids in enumerate(id_lists):
