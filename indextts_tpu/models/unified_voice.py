@@ -361,7 +361,7 @@ class DecodeResult(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "max_new", "do_sample", "top_k", "cache_dtype",
                      "temperature", "top_p", "repetition_penalty",
-                     "typical_sampling", "typical_mass"),
+                     "typical_sampling", "typical_mass", "use_fused_trunk"),
 )
 def inference_speech(
     params: Dict[str, Any],
@@ -379,6 +379,7 @@ def inference_speech(
     typical_sampling: bool = False,
     typical_mass: float = 0.9,
     cache_dtype=jnp.bfloat16,
+    use_fused_trunk: bool = False,
 ) -> DecodeResult:
     """Autoregressive mel-code generation (replaces HF generate,
     gpt/model.py:669-720) as one jitted program: prefill + while_loop decode
@@ -442,8 +443,18 @@ def inference_speech(
         slot = P + step - 1
         full_mask = jax.lax.dynamic_update_slice(
             full_mask, jnp.ones((B, 1), jnp.int32), (0, slot))
-        hidden, cache = gpt2.decode_step(
-            params["gpt"], emb.astype(cache_dtype), cache, slot, full_mask, size)
+        if use_fused_trunk and B == 1:
+            from indextts_tpu.ops.pallas.decode_layer import fused_decode_trunk
+
+            pre, cache = fused_decode_trunk(
+                params["gpt"], emb.astype(cache_dtype), cache, slot,
+                full_mask, heads=cfg.heads,
+                interpret=jax.default_backend() != "tpu")
+            hidden = layer_norm(pre, params["gpt"]["ln_f"]["scale"],
+                                params["gpt"]["ln_f"]["bias"])
+        else:
+            hidden, cache = gpt2.decode_step(
+                params["gpt"], emb.astype(cache_dtype), cache, slot, full_mask, size)
         logits = _lm_head(params, hidden[:, 0])
         tok, presence, finished = sampling.sample_step(
             jax.random.fold_in(rng, step + 1), logits, presence, finished,
