@@ -1,18 +1,28 @@
 """Fused single-token decode trunk — Pallas TPU kernel.
 
-Motivation (measured on v5e): the XLA decode step costs ~39µs/layer at B=1
-while the int8 weight read is ~1µs/layer — tiny-batch decode is *per-op
-overhead* bound, not bandwidth bound.  This kernel runs the whole GPT trunk
-(all L layers: LN1 → qkv → cached attention → proj → LN2 → MLP) as ONE
-pallas_call per decode step: weights stream layer-by-layer through Pallas'
-block pipeline, the hidden state stays resident in VMEM scratch.
+Motivation (measured on v5e): the XLA decode step costs ~0.28 ms fixed +
+~39 µs/layer at B=1 while the int8 weight read is ~1 µs/layer — tiny-batch
+decode is *per-op overhead* bound, not bandwidth bound.  This kernel runs
+the whole GPT trunk (all L layers: LN1 → qkv → cached attention → proj →
+LN2 → MLP) as ONE pallas_call per decode step: weights stream layer-by-
+layer through Pallas' block pipeline, the hidden state stays resident in
+VMEM scratch.
 
-Grid: (L, 1 + n_chunks), minor axis fastest.  Chunk 0 of each layer does
-attention and writes this token's K/V into the layer's cache block; chunks
-1..n do column-blocks of the MLP (fc [D, 4D] is too big to double-buffer
-whole).  Block index_maps repeat the same block index across chunks where a
-buffer must stay resident — Pallas only re-DMAs on index change — so cache
-and per-layer weights move exactly once per layer.
+Shape discipline (this Mosaic build crashes on lane↔sublane reshapes and on
+dynamic `pl.ds` stores into >2D blocks — micro-bisected in round 1):
+  * the KV cache is kept FLAT per layer: [L, T, D] with D = H·hd head-major
+    (one-time transpose from the XLA layout after prefill);
+  * the token's K/V row is merged at `pos` with an iota mask (no ds store);
+  * per-head score/context reductions are expressed as matmuls with a
+    constant 0/1 head-indicator matrix M [D, H]:
+        scores[T, H] = (k_all ⊙ q) @ M         (sum of q·k within each head)
+        ctx[1, D]    = Σ_T (probs @ Mᵀ) ⊙ v_all
+    so no [1, D] ↔ [H, hd] reshapes exist anywhere.
+
+Grid: (L, n_chunks), minor axis fastest.  Step (l, 0) does attention and
+one MLP column block; steps (l, 1..) do the remaining MLP column blocks
+(fc [D, 4D] can't double-buffer whole).  Index maps are linear; revisited
+blocks are not re-DMA'd, so cache + weights move exactly once per layer.
 
 Supports bf16 weights and int8 weight-only dicts {"q", "s"} (per-output
 scales folded into the matmul outputs).  B=1 only — batched decode stays on
@@ -34,23 +44,25 @@ NEG_INF = -1e9
 
 
 def _kernel(
-    pos_ref,                               # scalar-prefetch: [1] int32
-    x_ref, mask_ref,
+    pos_ref,                                # scalar-prefetch: [1] int32
+    x_ref, mask_ref,                        # [1, D], [T, 1]
+    head_mat_ref,                           # [D, H] 0/1 head indicator
     ln1_s_ref, ln1_b_ref,
     qkv_w_ref, qkv_s_ref, qkv_b_ref,
     proj_w_ref, proj_s_ref, proj_b_ref,
     ln2_s_ref, ln2_b_ref,
     fc_w_ref, fc_s_ref, fc_b_ref,
     mproj_w_ref, mproj_s_ref, mproj_b_ref,
-    k_cache_ref, v_cache_ref,
+    k_cache_ref, v_cache_ref,               # [1, T, D] flat layer cache
     x_out_ref, k_out_ref, v_out_ref,
     x_scr, h2_scr, acc_scr,
-    *, heads: int, head_dim: int, n_chunks: int, quant: bool,
+    *, head_dim: int, n_chunks: int, quant: bool,
 ):
     l = pl.program_id(0)
     c = pl.program_id(1)
     L = pl.num_programs(0)
     D = x_scr.shape[1]
+    T = k_cache_ref.shape[1]
     pos = pos_ref[0]
 
     def mm(x32, w_ref, s_ref):
@@ -78,31 +90,36 @@ def _kernel(
         x = x_scr[:]
         h1 = layer_norm(x, ln1_s_ref, ln1_b_ref)
         qkv = mm(h1, qkv_w_ref, qkv_s_ref) + qkv_b_ref[0, 0].astype(jnp.float32)
-        H, hd = heads, head_dim
-        q = qkv[0, :D].reshape(H, hd)
-        k = qkv[0, D : 2 * D].reshape(H, hd)
-        v = qkv[0, 2 * D :].reshape(H, hd)
+        q = qkv[:, :D]            # [1, D] head-major
+        k = qkv[:, D : 2 * D]
+        v = qkv[:, 2 * D :]
 
-        # out blocks are write buffers: merge this token's K/V into the
-        # cached history at `pos` via an iota mask (this Mosaic build
-        # rejects dynamic-index stores into 4D blocks) and write the full
-        # block — a VMEM-local write, no extra HBM traffic
-        t_iota = jax.lax.broadcasted_iota(jnp.int32, (H, k_cache_ref.shape[2], hd), 1)
+        # merge this token's K/V row at `pos` (iota mask; no ds store)
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
         sel = t_iota == pos
-        k_all = jnp.where(sel, k[:, None, :],
-                          k_cache_ref[0].astype(jnp.float32))   # [H, T, hd]
-        v_all = jnp.where(sel, v[:, None, :],
-                          v_cache_ref[0].astype(jnp.float32))
+        k_all = jnp.where(sel, k, k_cache_ref[0].astype(jnp.float32))  # [T, D]
+        v_all = jnp.where(sel, v, v_cache_ref[0].astype(jnp.float32))
         k_out_ref[0] = k_all.astype(k_out_ref.dtype)
         v_out_ref[0] = v_all.astype(v_out_ref.dtype)
-        # per-head matvecs as multiply+reduce (Mosaic has no batched dots);
-        # H*T*hd ≈ 0.4M VPU mults — negligible
-        scores = jnp.sum(k_all * q[:, None, :], axis=-1)        # [H, T]
-        scores = scores / np.sqrt(hd) + jnp.where(
-            mask_ref[0] != 0, 0.0, NEG_INF)[None, :]
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.sum(probs[:, :, None] * v_all, axis=1)        # [H, hd]
-        attn_out = mm(ctx.reshape(1, D), proj_w_ref, proj_s_ref)
+
+        # per-head reductions via the head-indicator matmul
+        head_mat = head_mat_ref[:].astype(jnp.float32)       # [D, H]
+        scores = jax.lax.dot_general(
+            k_all * q, head_mat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [T, H]
+        scores = scores / np.sqrt(head_dim) + jnp.where(
+            mask_ref[:] != 0, 0.0, NEG_INF)
+        smax = jnp.max(scores, axis=0, keepdims=True)
+        e = jnp.exp(scores - smax)
+        probs = e / jnp.sum(e, axis=0, keepdims=True)        # [T, H]
+        pe = jax.lax.dot_general(
+            probs, head_mat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [T, D]
+        ctx = jnp.sum(pe * v_all, axis=0, keepdims=True)     # [1, D]
+
+        attn_out = mm(ctx, proj_w_ref, proj_s_ref)
         x = x + attn_out + proj_b_ref[0, 0].astype(jnp.float32)
         x_scr[:] = x
         h2_scr[:] = layer_norm(x, ln2_s_ref, ln2_b_ref)
@@ -125,22 +142,51 @@ def _kernel(
             x_out_ref[:] = x.astype(x_out_ref.dtype)
 
 
-def fused_decode_trunk(
+@functools.lru_cache(maxsize=4)
+def _head_matrix(D: int, heads: int) -> np.ndarray:
+    """0/1 indicator [D, H]: column h marks that head's hd lanes."""
+    hd = D // heads
+    m = np.zeros((D, heads), np.float32)
+    for h in range(heads):
+        m[h * hd : (h + 1) * hd, h] = 1.0
+    return m
+
+
+def flatten_cache(cache) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA layout [L, 1, H, T, hd] → flat [L, T, H·hd] (one-time per decode)."""
+    L, B, H, T, hd = cache.k.shape
+    assert B == 1
+    k = cache.k[:, 0].transpose(0, 2, 1, 3).reshape(L, T, H * hd)
+    v = cache.v[:, 0].transpose(0, 2, 1, 3).reshape(L, T, H * hd)
+    return k, v
+
+
+def unflatten_cache(k_flat: jnp.ndarray, v_flat: jnp.ndarray, heads: int):
+    from indextts_tpu.models.gpt2 import KVCache
+
+    L, T, D = k_flat.shape
+    hd = D // heads
+    k = k_flat.reshape(L, T, heads, hd).transpose(0, 2, 1, 3)[:, None]
+    v = v_flat.reshape(L, T, heads, hd).transpose(0, 2, 1, 3)[:, None]
+    return KVCache(k, v)
+
+
+def fused_decode_trunk_flat(
     params: Dict[str, Any],
     hidden: jnp.ndarray,          # [1, 1, D]
-    cache,                        # gpt2.KVCache ([L, 1, H, T, hd])
+    k_flat: jnp.ndarray,          # [L, T, D]
+    v_flat: jnp.ndarray,          # [L, T, D]
     position: jnp.ndarray,        # scalar int32
     attention_mask: jnp.ndarray,  # [1, T]
     heads: int,
     n_chunks: int = 4,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, Any]:
-    """Drop-in replacement for the trunk part of gpt2.decode_step (B=1).
-    Returns (trunk hidden [1, 1, D] **before** ln_f, updated cache)."""
-    from indextts_tpu.models.gpt2 import KVCache
-
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step over the flat cache.  Returns (trunk hidden [1, 1, D]
+    **before** ln_f, k_flat', v_flat')."""
     blocks = params["blocks"]
     quant = isinstance(blocks["attn"]["qkv_w"], dict)
+    L, D = blocks["ln_1"]["scale"].shape
 
     def wq(w):
         return w["q"] if quant else w
@@ -148,21 +194,14 @@ def fused_decode_trunk(
     def sc(w, cols):
         if quant:
             return w["s"].astype(jnp.float32)
-        L = blocks["ln_1"]["scale"].shape[0]
         return jnp.zeros((L, 1, cols), jnp.float32)
 
-    L, D = blocks["ln_1"]["scale"].shape
     F = wq(blocks["mlp"]["fc_w"]).shape[2]
     assert F % n_chunks == 0
     Fc = F // n_chunks
-    hd = D // heads
-    T = cache.k.shape[3]
-    k_in = cache.k[:, 0]
-    v_in = cache.v[:, 0]
+    T = k_flat.shape[1]
 
-    rep2 = lambda l, c, *_: (l, 0)
     rep3 = lambda l, c, *_: (l, 0, 0)
-    rep4 = lambda l, c, *_: (l, 0, 0, 0)
     cmap3 = lambda l, c, *_: (l, 0, c)
     cmap4 = lambda l, c, *_: (l, c, 0, 0)
     cmap_mp = lambda l, c, *_: (l, c, 0)
@@ -170,7 +209,8 @@ def fused_decode_trunk(
 
     in_specs = [
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),            # x
-        pl.BlockSpec((1, T), const2, memory_space=pltpu.VMEM),            # mask
+        pl.BlockSpec((T, 1), const2, memory_space=pltpu.VMEM),            # mask
+        pl.BlockSpec((D, heads), const2, memory_space=pltpu.VMEM),        # head mat
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 b
         pl.BlockSpec((1, D, 3 * D), rep3, memory_space=pltpu.VMEM),       # qkv w
@@ -187,17 +227,17 @@ def fused_decode_trunk(
         pl.BlockSpec((1, Fc, D), cmap_mp, memory_space=pltpu.VMEM),       # mproj w
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # mproj s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # mproj b
-        pl.BlockSpec((1, heads, T, hd), rep4, memory_space=pltpu.VMEM),   # k in
-        pl.BlockSpec((1, heads, T, hd), rep4, memory_space=pltpu.VMEM),   # v in
+        pl.BlockSpec((1, T, D), rep3, memory_space=pltpu.VMEM),           # k flat
+        pl.BlockSpec((1, T, D), rep3, memory_space=pltpu.VMEM),           # v flat
     ]
     out_specs = (
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, heads, T, hd), rep4, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, heads, T, hd), rep4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, D), rep3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T, D), rep3, memory_space=pltpu.VMEM),
     )
 
     kernel = functools.partial(
-        _kernel, heads=heads, head_dim=hd, n_chunks=n_chunks, quant=quant)
+        _kernel, head_dim=D // heads, n_chunks=n_chunks, quant=quant)
 
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
@@ -214,13 +254,16 @@ def fused_decode_trunk(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, D), hidden.dtype),
-            jax.ShapeDtypeStruct(k_in.shape, k_in.dtype),
-            jax.ShapeDtypeStruct(v_in.shape, v_in.dtype),
+            jax.ShapeDtypeStruct(k_flat.shape, k_flat.dtype),
+            jax.ShapeDtypeStruct(v_flat.shape, v_flat.dtype),
         ),
+        input_output_aliases={20: 1, 21: 2},
         interpret=interpret,
     )(
         position.reshape(1).astype(jnp.int32),
-        hidden[0], attention_mask.astype(jnp.int32),
+        hidden[0],
+        attention_mask.astype(jnp.int32).reshape(T, 1),
+        jnp.asarray(_head_matrix(D, heads)),
         blocks["ln_1"]["scale"][:, None], blocks["ln_1"]["bias"][:, None],
         wq(blocks["attn"]["qkv_w"]), sc(blocks["attn"]["qkv_w"], 3 * D),
         blocks["attn"]["qkv_b"][:, None],
@@ -231,6 +274,27 @@ def fused_decode_trunk(
         blocks["mlp"]["fc_b"].reshape(L, n_chunks, 1, Fc),
         wq(blocks["mlp"]["proj_w"]), sc(blocks["mlp"]["proj_w"], D),
         blocks["mlp"]["proj_b"][:, None],
-        k_in, v_in,
+        k_flat, v_flat,
     )
-    return x_out[None], KVCache(k_new[:, None], v_new[:, None])
+    return x_out[None], k_new, v_new
+
+
+def fused_decode_trunk(
+    params: Dict[str, Any],
+    hidden: jnp.ndarray,
+    cache,
+    position: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    heads: int,
+    n_chunks: int = 4,
+    interpret: bool = False,
+):
+    """Compatibility wrapper over the XLA cache layout: flattens on entry,
+    unflattens the updated cache.  Loops that keep the flat layout across
+    steps should call fused_decode_trunk_flat directly (the transposes here
+    cost a full cache pass per step)."""
+    k_flat, v_flat = flatten_cache(cache)
+    x, k_new, v_new = fused_decode_trunk_flat(
+        params, hidden, k_flat, v_flat, position, attention_mask,
+        heads, n_chunks, interpret)
+    return x, unflatten_cache(k_new, v_new, heads)
