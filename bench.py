@@ -63,7 +63,7 @@ def main() -> None:
         rng.standard_normal((1, cfg.condition_num_latent, cfg.model_dim)),
         jnp.bfloat16)
 
-    def measure(p, label, B):
+    def measure(p, label, B, fused=False):
         texts = [rng.integers(2, cfg.number_text_tokens, (text_len,))
                  for _ in range(B)]
         prep = uv.prepare_text_prompt(texts, cfg.start_text_token,
@@ -75,7 +75,8 @@ def main() -> None:
             return uv.inference_speech(
                 p, cfg, cond, tokens, mask, key, max_new=max_new,
                 temperature=1.0, top_k=30, top_p=0.8,
-                repetition_penalty=10.0, do_sample=True)
+                repetition_penalty=10.0, do_sample=True,
+                use_fused_trunk=fused)
 
         # warmup/compile — fetch a value to host: on the tunnel-attached
         # backend only a real transfer guarantees completion
@@ -99,6 +100,8 @@ def main() -> None:
     for B in batches:
         measure(params, "bf16", B)
         best = max(best, measure(params_q, "int8-weights", B))
+        if B == 1 and jax.default_backend() == "tpu":
+            best = max(best, measure(params_q, "int8-fused-trunk", B, fused=True))
     tok_per_sec = best
     gpt_rtf = 23.4 / max(tok_per_sec, 1e-9)  # codes/sec of audio ÷ decode rate
     print(f"[bench] best config implies GPT-stage RTF={gpt_rtf:.4f} "

@@ -297,6 +297,11 @@ class IndexTTS:
             do_sample=bool(generation.get("do_sample", True)),
             cache_dtype=self.gpt_dtype if self.gpt_dtype != jnp.float32 else jnp.float32,
         )
+        # fused Pallas trunk: single-stream int8 on TPU (+17% vs XLA step)
+        use_fused = bool(generation.get(
+            "use_fused_trunk",
+            len(token_lists) == 1 and self.use_quantization
+            and jax.default_backend() == "tpu"))
         if num_beams > 1:
             result = uv.inference_speech_beam(
                 self.gpt_params, self.cfg.gpt, cond_latent,
@@ -305,7 +310,8 @@ class IndexTTS:
         else:
             result = uv.inference_speech(
                 self.gpt_params, self.cfg.gpt, cond_latent,
-                jnp.asarray(tokens), jnp.asarray(mask), rng, **kwargs)
+                jnp.asarray(tokens), jnp.asarray(mask), rng,
+                use_fused_trunk=use_fused, **kwargs)
         return np.asarray(result.codes), np.asarray(result.lengths)
 
     def _latents(self, cond_latent, text_tokens: np.ndarray, text_len: int,

@@ -404,7 +404,9 @@ def inference_speech(
         [cond_latent.astype(text_emb.dtype), text_emb,
          jnp.broadcast_to(start_emb, (B, 1, cfg.model_dim))], axis=1)
     P = cond_len + Ltot + 1
-    cache_len = P + max_new
+    # 8-aligned cache length: required by the fused Pallas trunk's VMEM
+    # tiling, harmless for the XLA path (extra slots are never unmasked)
+    cache_len = -(-(P + max_new) // 8) * 8
 
     prefill_mask = jnp.concatenate(
         [jnp.ones((B, cond_len), jnp.int32), text_mask.astype(jnp.int32),
