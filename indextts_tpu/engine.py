@@ -188,6 +188,7 @@ class IndexTTS:
             else os.path.join(model_dir, self.cfg.gpt_checkpoint)
         )
         self.speaker_conditions: Dict[str, np.ndarray] = {}
+        self.speaker_mels: Dict[str, np.ndarray] = {}
         if os.path.isdir(self.gpt_path):
             # native orbax checkpoint (merged-LoRA dirs from train/run.py)
             like = jax.eval_shape(
@@ -197,6 +198,7 @@ class IndexTTS:
         elif os.path.exists(self.gpt_path):
             self.gpt_params, extras = ckpt_io.load_gpt_checkpoint(self.gpt_path, gcfg)
             self.speaker_conditions = extras.get("speaker_conditions", {})
+            self.speaker_mels = extras.get("speaker_mels", {})
             self.mean_condition = extras.get("mean_condition")
         else:
             warnings.warn(f"gpt checkpoint {self.gpt_path} not found; random init")
@@ -237,6 +239,12 @@ class IndexTTS:
             with open(speaker_info_path, "r", encoding="utf-8") as f:
                 info = json.load(f)
             self.speaker_list = [it["speaker"] for it in info if "speaker" in it]
+            # pick up per-speaker vocoder mels written by extraction
+            data_dir = os.path.dirname(os.path.abspath(speaker_info_path))
+            for sp in self.speaker_list:
+                mel_path = os.path.join(data_dir, sp, "medoid_mel.npy")
+                if sp not in self.speaker_mels and os.path.exists(mel_path):
+                    self.speaker_mels[sp] = np.load(mel_path)
         elif self.speaker_conditions:
             self.speaker_list = list(self.speaker_conditions)
 
@@ -271,10 +279,33 @@ class IndexTTS:
             if speaker_id not in self.speaker_conditions:
                 raise ValueError(f"unknown speaker_id: {speaker_id}")
             return jnp.asarray(self.speaker_conditions[speaker_id], self.gpt_dtype)
-        assert cond_mel is not None
+        if cond_mel is None:
+            # checkpoint-level mean condition when no prompt is given
+            # (reference get_conditioning fallback, gpt/model.py:511-517)
+            if self.mean_condition is not None:
+                return jnp.asarray(self.mean_condition, self.gpt_dtype)
+            raise ValueError(
+                "no audio prompt, no speaker_id, and the checkpoint carries "
+                "no mean_condition — cannot derive speaker conditioning")
         lengths = jnp.asarray([cond_mel.shape[-1]] * cond_mel.shape[0])
         return uv.get_conditioning(self.gpt_params, self.cfg.gpt,
                                    cond_mel.astype(self.gpt_dtype), lengths)
+
+    def _mel_ref(self, cond_mel: Optional[jnp.ndarray],
+                 speaker_id: Optional[str]) -> jnp.ndarray:
+        """Vocoder-side speaker mel [1, T_mel, n_mels].  With no audio
+        prompt, uses the speaker's stored medoid mel (extraction writes
+        medoid_mel.npy; VERDICT r1 #7) — never a zeros mel, which would be
+        the ECAPA embedding of silence."""
+        if cond_mel is not None:
+            return jnp.swapaxes(cond_mel, 1, 2)
+        if speaker_id is not None and speaker_id in self.speaker_mels:
+            mel = np.asarray(self.speaker_mels[speaker_id], np.float32)  # [n_mels, T]
+            return jnp.asarray(mel.T[None])
+        raise ValueError(
+            "no audio prompt and no stored speaker mel for the vocoder's "
+            "ECAPA conditioning — provide an audio prompt, or re-run "
+            "extraction so medoid_mel.npy exists for this speaker")
 
     def _decode_bucket(self, cond_latent, token_lists, rng,
                        generation: Dict[str, Any]) -> Tuple[np.ndarray, np.ndarray]:
@@ -398,8 +429,7 @@ class IndexTTS:
             gpt_forward_time += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            mel_ref = jnp.swapaxes(cond_mel, 1, 2) if cond_mel is not None else jnp.zeros(
-                (1, 8, self.cfg.bigvgan.num_mels))
+            mel_ref = self._mel_ref(cond_mel, speaker_id)
             wav = self._vocoder_fn(
                 self.bigvgan_params, latent[None].astype(self.vocoder_dtype),
                 mel_ref.astype(self.vocoder_dtype))
@@ -425,11 +455,14 @@ class IndexTTS:
     def infer_fast(self, audio_prompt: Optional[str], text: str,
                    output_path: Optional[str], verbose: bool = False,
                    max_text_tokens_per_sentence: int = 100,
-                   sentences_bucket_max_size: int = 4, **generation_kwargs):
+                   sentences_bucket_max_size: int = 4,
+                   speaker_id: Optional[str] = None, **generation_kwargs):
         """Batched long-text mode (reference: infer.py:595-777)."""
+        if speaker_id is not None and self.speaker_list and speaker_id not in self.speaker_list:
+            raise ValueError(f"invalid speaker_id: {speaker_id}")
         start_time = time.perf_counter()
         cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
-        cond_latent = self._conditioning(cond_mel, None)
+        cond_latent = self._conditioning(cond_mel, speaker_id)
 
         tokens = self.tokenizer.tokenize(text)
         sentences = self.tokenizer.split_sentences(tokens, max_text_tokens_per_sentence)
@@ -465,8 +498,7 @@ class IndexTTS:
         all_latents.sort(key=lambda kv: kv[0])
         chunk_size = 2
         wavs: List[np.ndarray] = []
-        mel_ref = jnp.swapaxes(cond_mel, 1, 2) if cond_mel is not None else jnp.zeros(
-            (1, 8, self.cfg.bigvgan.num_mels))
+        mel_ref = self._mel_ref(cond_mel, speaker_id)
         for i in range(0, len(all_latents), chunk_size):
             latent = np.concatenate([l for _, l in all_latents[i : i + chunk_size]],
                                      axis=0)

@@ -227,6 +227,13 @@ def load_gpt_checkpoint(path: str, cfg: GPTConfig) -> Tuple[Dict[str, Any], Dict
         }
     if isinstance(ckpt, dict) and "speakers" in ckpt:
         extras["speakers"] = list(ckpt["speakers"])
+    if isinstance(ckpt, dict) and "speaker_mels" in ckpt:
+        # per-speaker vocoder reference mels [n_mels, T] (our extension: the
+        # vocoder's ECAPA conditioning for speaker_id-only synthesis)
+        extras["speaker_mels"] = {
+            k: np.asarray(v, dtype=np.float32)
+            for k, v in ckpt["speaker_mels"].items()
+        }
     sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
     sd = _strip_module_prefix(dict(sd))
     if "mean_condition" in sd:

@@ -130,6 +130,12 @@ def forward(params: Dict[str, Any], latent: jnp.ndarray, mel_ref: jnp.ndarray,
     spk = jnp.swapaxes(spk, 1, 2)  # [B, 512, 1]
 
     x = jnp.swapaxes(latent, 1, 2)  # [B, gpt_dim, T]
+    if cfg.feat_upsample:
+        # linear 4x time interpolation before conv_pre (models.py:214-221,
+        # torch F.interpolate mode="linear", align_corners=False — matched
+        # by jax.image.resize's half-pixel-center linear method)
+        B_, C_, T_ = x.shape
+        x = jax.image.resize(x, (B_, C_, T_ * 4), method="linear")
     x = _conv(x, params["conv_pre"], padding=3)
     x = x + _conv(spk, params["cond_layer"])
 

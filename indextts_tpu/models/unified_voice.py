@@ -112,6 +112,10 @@ def get_conditioning(params: Dict[str, Any], cfg: GPTConfig,
     """cond_mel: [B, n_mels, T] → conditioning latents [B, 32, D]
     (reference: gpt/model.py:487-546)."""
     B = cond_mel.shape[0]
+    # run at the params' compute dtype (bf16 under mixed precision)
+    wdtype = jax.tree.leaves(params["conditioning_encoder"])[0].dtype
+    if jnp.issubdtype(cond_mel.dtype, jnp.floating) and cond_mel.dtype != wdtype:
+        cond_mel = cond_mel.astype(wdtype)
     if cfg.condition_type in ("conformer_perceiver", "conformer_encoder"):
         enc, valid = conformer.forward(
             params["conditioning_encoder"], jnp.swapaxes(cond_mel, 1, 2),

@@ -102,7 +102,10 @@ def sample_token(
     if temperature != 1.0:
         logits = logits / temperature
     V = logits.shape[-1]
-    k = top_k if 0 < top_k < V else min(V, 64) if top_p < 1.0 else V
+    # top_k <= 0 disables the k-filter (HF semantics): nucleus filtering then
+    # needs the full distribution, so fall back to a full sort rather than
+    # silently truncating the nucleus to a shortlist.
+    k = top_k if 0 < top_k < V else V
     if k < V:
         shortlist, idx = jax.lax.top_k(logits, k)  # [B, k] descending
     else:

@@ -48,7 +48,15 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(train_cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
-    """LoRA+ AdamW with cosine warmup (train.py:587-605 + scheduler)."""
+    """LoRA+ AdamW with cosine warmup (train.py:587-605 + scheduler).
+
+    `total_steps` counts optimizer *updates*.  With
+    `gradient_accumulation_steps` k > 1 the returned transformation is
+    wrapped in `optax.MultiSteps`: each call accumulates the micro-batch
+    gradient and only every k-th call applies the (mean) update — the
+    effective batch is k x micro-batch (config.yaml:213 semantics; the
+    trainer feeds micro-batches of batch_size/k so the effective batch
+    stays batch_size)."""
     opt = train_cfg.optimizer
     warmup = max(1, int(total_steps * opt.warmup_ratio))
     sched = optax.warmup_cosine_decay_schedule(
@@ -61,12 +69,16 @@ def make_optimizer(train_cfg: TrainConfig, total_steps: int) -> optax.GradientTr
     def adamw(s):
         return optax.adamw(s, weight_decay=opt.weight_decay)
 
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(train_cfg.max_grad_norm),
         optax.multi_transform(
             {"a": adamw(sched), "b": adamw(sched_b)},
             param_labels=lambda tree: lora_lib.loraplus_labels(tree)),
     )
+    k = max(1, int(train_cfg.gradient_accumulation_steps))
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+    return tx
 
 
 def loss_fn(lora_params, base_params, batch: Batch, rng, cfg: GPTConfig,
@@ -128,6 +140,30 @@ def eval_step(lora_params, base_params, batch: Batch, cfg: GPTConfig,
     _, metrics = loss_fn(lora_params, base_params, batch,
                          jax.random.PRNGKey(0), cfg, lora_cfg, text_weight, 0.0)
     return metrics
+
+
+def _per_row_ce(logits, targets, mask):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask, axis=-1) / jnp.maximum(jnp.sum(mask, axis=-1), 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lora_cfg", "text_weight"))
+def eval_step_per_sample(lora_params, base_params, batch: Batch,
+                         cfg: GPTConfig, lora_cfg: LoRAConfig,
+                         text_weight: float = 0.1) -> jnp.ndarray:
+    """Per-sample weighted dual-CE [B] — lets the validation loop drop
+    padding-duplicate rows exactly instead of biasing the batch mean
+    (replaces the reference's drop_last=True, train_ddp.py:297-309)."""
+    params = lora_lib.materialize(base_params, lora_params, lora_cfg)
+    cond_latent = uv.get_conditioning(base_params, cfg, batch.cond_mel,
+                                      batch.cond_lengths)
+    out = uv.train_forward(params, cfg, cond_latent, batch.text_ids,
+                           batch.text_lengths, batch.mel_codes,
+                           batch.codes_lengths, remat=True)
+    lt = _per_row_ce(out["text_logits"], out["text_targets"], out["text_mask"])
+    lm = _per_row_ce(out["mel_logits"], out["mel_targets"], out["mel_mask"])
+    return text_weight * lt + (1.0 - text_weight) * lm
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:

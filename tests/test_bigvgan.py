@@ -273,3 +273,30 @@ def test_generator_matches(models):
                                   CFG, ecapa_size=ECAPA_SIZE))
     assert ours.shape == ref.shape == (1, 1, 6 * 4)  # 2*2 upsampling
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_feat_upsample(models):
+    """feat_upsample interpolates the latent 4x before conv_pre
+    (models.py:214-221) — previously parsed but silently ignored."""
+    import dataclasses
+
+    import jax
+
+    _, params = models
+    cfg_up = dataclasses.replace(CFG, feat_upsample=True)
+    rng = np.random.default_rng(2)
+    latent = rng.standard_normal((1, 6, 16)).astype(np.float32)
+    mel_ref = rng.standard_normal((1, 25, 12)).astype(np.float32)
+    out = np.asarray(bv.forward(params, jnp.asarray(latent),
+                                jnp.asarray(mel_ref), cfg_up,
+                                ecapa_size=ECAPA_SIZE))
+    assert out.shape == (1, 1, 6 * 4 * 4)  # 4x feat upsample x 2*2 stages
+
+    # the interpolation itself matches torch F.interpolate(mode="linear",
+    # align_corners=False) — both use half-pixel centers
+    x = rng.standard_normal((1, 3, 7)).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), scale_factor=4, mode="linear").numpy()
+    ours = np.asarray(jax.image.resize(jnp.asarray(x), (1, 3, 28),
+                                       method="linear"))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)

@@ -94,3 +94,20 @@ def test_typical_filter_matches_hf():
     np.testing.assert_array_equal(removed_ours, removed_ref)
     keep = ~removed_ref
     np.testing.assert_allclose(ours[keep], ref[keep], rtol=1e-5)
+
+
+def test_top_k_disabled_full_nucleus():
+    """top_k<=0 with top_p<1 must sample from the full nucleus, not a
+    64-token shortlist (ADVICE r1): near-uniform logits over 300 tokens with
+    top_p≈1 must produce samples beyond index 64."""
+    import jax
+
+    V = 300
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((1, V)).astype(np.float32) * 0.01)
+    seen = set()
+    for i in range(200):
+        tok = sampling.sample_token(jax.random.PRNGKey(i), logits,
+                                    temperature=1.0, top_k=0, top_p=0.999)
+        seen.add(int(tok[0]))
+    assert max(seen) > 64, sorted(seen)[-5:]

@@ -125,8 +125,10 @@ def test_train_step_learns(data_dir, tokenizer):
     base = uv.init_params(jax.random.PRNGKey(0), CFG)
     tc = TrainConfig()
     lora_cfg = tc.lora
-    # crank lr so a few steps visibly move the loss on the tiny model
-    tc_fast = TrainConfig(optimizer=type(tc.optimizer)(learning_rate=1e-2))
+    # crank lr so a few steps visibly move the loss on the tiny model;
+    # accumulation off so every step applies an update
+    tc_fast = TrainConfig(optimizer=type(tc.optimizer)(learning_rate=1e-2),
+                          gradient_accumulation_steps=1)
     opt = trainer.make_optimizer(tc_fast, total_steps=20)
     state = trainer.init_train_state(jax.random.PRNGKey(1), CFG, lora_cfg, opt)
 
@@ -154,6 +156,69 @@ def test_lora_merge_matches_materialize():
     np.testing.assert_array_equal(
         np.asarray(base["text_embedding"]["weight"]),
         np.asarray(merged["text_embedding"]["weight"]))
+
+
+def _synthetic_batch(B, rng):
+    """Fixed-length rows so masked-CE token counts are equal per sample."""
+    return trainer.Batch(
+        text_ids=rng.integers(2, 40, (B, 8)).astype(np.int32),
+        text_lengths=np.full((B,), 8, np.int32),
+        mel_codes=rng.integers(0, 46, (B, 12)).astype(np.int32),
+        codes_lengths=np.full((B,), 12, np.int32),
+        cond_mel=rng.standard_normal((B, 100, 20)).astype(np.float32),
+        cond_lengths=np.full((B,), 20, np.int32))
+
+
+def test_gradient_accumulation_parity():
+    """k micro-batches under optax.MultiSteps must produce the same update
+    as one optimizer step on the concatenated batch (config.yaml:213
+    effective-batch semantics)."""
+    rng = np.random.default_rng(3)
+    big = _synthetic_batch(4, rng)
+    micro = [trainer.Batch(*(np.asarray(x)[i:i + 2] for x in big))
+             for i in (0, 2)]
+    base = uv.init_params(jax.random.PRNGKey(0), CFG)
+    mk = lambda k: TrainConfig(
+        optimizer=type(TrainConfig().optimizer)(learning_rate=1e-2),
+        gradient_accumulation_steps=k)
+    lora_cfg = TrainConfig().lora
+    key = jax.random.PRNGKey(9)
+
+    opt1 = trainer.make_optimizer(mk(1), total_steps=10)
+    s1 = trainer.init_train_state(jax.random.PRNGKey(1), CFG, lora_cfg, opt1)
+    s1, _ = trainer.train_step(s1, base, trainer.Batch(*(jnp.asarray(x) for x in big)),
+                               key, CFG, lora_cfg, opt1, 0.1, 0.0)
+
+    opt2 = trainer.make_optimizer(mk(2), total_steps=10)
+    s2 = trainer.init_train_state(jax.random.PRNGKey(1), CFG, lora_cfg, opt2)
+    for mb in micro:
+        s2, _ = trainer.train_step(s2, base, trainer.Batch(*(jnp.asarray(x) for x in mb)),
+                                   key, CFG, lora_cfg, opt2, 0.1, 0.0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=1e-6),
+        s1.lora_params, s2.lora_params)
+
+
+def test_eval_per_sample_matches_singletons():
+    """Per-sample eval rows must equal independent B=1 evaluations — the
+    de-biased validation contract (duplicated pad rows can be dropped
+    exactly)."""
+    rng = np.random.default_rng(4)
+    batch = _synthetic_batch(3, rng)
+    base = uv.init_params(jax.random.PRNGKey(0), CFG)
+    lora_cfg = LoRAConfig()
+    lora = lora_lib.init_lora_params(jax.random.PRNGKey(1), CFG, lora_cfg)
+    batched = trainer.eval_step_per_sample(
+        lora, base, trainer.Batch(*(jnp.asarray(x) for x in batch)),
+        CFG, lora_cfg, 0.1)
+    for i in range(3):
+        single = trainer.eval_step_per_sample(
+            lora, base,
+            trainer.Batch(*(jnp.asarray(np.asarray(x)[i:i + 1]) for x in batch)),
+            CFG, lora_cfg, 0.1)
+        np.testing.assert_allclose(float(batched[i]), float(single[0]),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_eval_step(data_dir, tokenizer):
