@@ -435,12 +435,37 @@ def inference_speech(
     codes0 = jnp.full((B, max_new), cfg.stop_mel_token, jnp.int32)
     codes0 = codes0.at[:, 0].set(tok0)
 
+    # the fused Pallas trunk works on a flat [L, T, D] cache; flatten ONCE at
+    # prefill and keep that layout across the whole while_loop (the former
+    # per-step flatten/unflatten cost a full cache pass per token)
+    fused = use_fused_trunk and B == 1
+    if fused:
+        from indextts_tpu.ops.pallas.decode_layer import (
+            flatten_cache, fused_decode_trunk_flat)
+
+        cache_state = flatten_cache(cache)
+    else:
+        cache_state = cache
+
+    def trunk_step(emb, cache_state, slot, full_mask):
+        if fused:
+            k_flat, v_flat = cache_state
+            pre, k_flat, v_flat = fused_decode_trunk_flat(
+                params["gpt"], emb, k_flat, v_flat, slot, full_mask,
+                heads=cfg.heads, interpret=jax.default_backend() != "tpu")
+            hidden = layer_norm(pre, params["gpt"]["ln_f"]["scale"],
+                                params["gpt"]["ln_f"]["bias"])
+            return hidden, (k_flat, v_flat)
+        hidden, new_cache = gpt2.decode_step(
+            params["gpt"], emb, cache_state, slot, full_mask, size)
+        return hidden, new_cache
+
     def cond_fn(state):
         step, _, _, _, finished, _, _ = state
         return jnp.logical_and(step < max_new, ~jnp.all(finished))
 
     def body_fn(state):
-        step, prev_tok, cache, presence, finished, codes, full_mask = state
+        step, prev_tok, cache_state, presence, finished, codes, full_mask = state
         # reference position numbering: generated token n → position n + 1
         # (see module docstring); prev_tok was generated at step-1 → n=step
         mel_pos = jnp.clip(step + 1, 0, cfg.max_mel_seq_len - 1)
@@ -449,18 +474,8 @@ def inference_speech(
         slot = P + step - 1
         full_mask = jax.lax.dynamic_update_slice(
             full_mask, jnp.ones((B, 1), jnp.int32), (0, slot))
-        if use_fused_trunk and B == 1:
-            from indextts_tpu.ops.pallas.decode_layer import fused_decode_trunk
-
-            pre, cache = fused_decode_trunk(
-                params["gpt"], emb.astype(cache_dtype), cache, slot,
-                full_mask, heads=cfg.heads,
-                interpret=jax.default_backend() != "tpu")
-            hidden = layer_norm(pre, params["gpt"]["ln_f"]["scale"],
-                                params["gpt"]["ln_f"]["bias"])
-        else:
-            hidden, cache = gpt2.decode_step(
-                params["gpt"], emb.astype(cache_dtype), cache, slot, full_mask, size)
+        hidden, cache_state = trunk_step(
+            emb.astype(cache_dtype), cache_state, slot, full_mask)
         logits = _lm_head(params, hidden[:, 0])
         tok, presence, finished = sampling.sample_step(
             jax.random.fold_in(rng, step + 1), logits, presence, finished,
@@ -469,9 +484,9 @@ def inference_speech(
             do_sample=do_sample, typical_sampling=typical_sampling,
             typical_mass=typical_mass)
         codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
-        return step + 1, tok, cache, presence, finished, codes, full_mask
+        return step + 1, tok, cache_state, presence, finished, codes, full_mask
 
-    state = (jnp.int32(1), tok0, cache, presence, finished, codes0, full_mask)
+    state = (jnp.int32(1), tok0, cache_state, presence, finished, codes0, full_mask)
     _, _, _, _, finished, codes, _ = jax.lax.while_loop(cond_fn, body_fn, state)
 
     is_stop = codes == cfg.stop_mel_token
