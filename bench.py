@@ -95,6 +95,36 @@ def main() -> None:
               f"→ {rate:.1f} tok/s", file=sys.stderr)
         return rate
 
+    def measure_beam(p, label, num_beams=3):
+        """Output tok/s at the reference DEFAULT decode settings
+        (num_beams=3, infer.py:628-635)."""
+        texts = [rng.integers(2, cfg.number_text_tokens, (text_len,))]
+        prep = uv.prepare_text_prompt(texts, cfg.start_text_token,
+                                       cfg.stop_text_token)
+        tokens = jnp.asarray(prep.text_tokens)
+        mask = jnp.asarray(prep.attn_text)
+
+        def run(key):
+            return uv.inference_speech_beam(
+                p, cfg, cond, tokens, mask, key, max_new=max_new,
+                num_beams=num_beams, temperature=1.0, top_k=30, top_p=0.8,
+                repetition_penalty=10.0, do_sample=True)
+
+        for i in range(2):
+            _ = np.asarray(run(jax.random.PRNGKey(i)).lengths)
+        n_iters = 5
+        total = 0
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            r = run(jax.random.PRNGKey(i + 2))
+            total += int(np.minimum(np.asarray(r.lengths) + 1, max_new).sum())
+        dt = time.perf_counter() - t0
+        rate = total / dt
+        print(f"[bench:{label} beams={num_beams}] {total} output tokens in "
+              f"{dt:.2f}s → {rate:.1f} out-tok/s (RTF {23.4 / rate:.4f})",
+              file=sys.stderr)
+        return rate
+
     batches = [args.batch] if args.batch else [1, 8]
     best = 0.0
     for B in batches:
@@ -102,6 +132,7 @@ def main() -> None:
         best = max(best, measure(params_q, "int8-weights", B))
         if B == 1 and jax.default_backend() == "tpu":
             best = max(best, measure(params_q, "int8-fused-trunk", B, fused=True))
+            measure_beam(params_q, "int8-beam")
     tok_per_sec = best
     gpt_rtf = 23.4 / max(tok_per_sec, 1e-9)  # codes/sec of audio ÷ decode rate
     print(f"[bench] best config implies GPT-stage RTF={gpt_rtf:.4f} "

@@ -326,6 +326,8 @@ class IndexTTS:
             top_p=float(generation.get("top_p", 0.8)),
             repetition_penalty=float(generation.get("repetition_penalty", 10.0)),
             do_sample=bool(generation.get("do_sample", True)),
+            typical_sampling=bool(generation.get("typical_sampling", False)),
+            typical_mass=float(generation.get("typical_mass", 0.9)),
             cache_dtype=self.gpt_dtype if self.gpt_dtype != jnp.float32 else jnp.float32,
         )
         # fused Pallas trunk: single-stream int8 on TPU (+17% vs XLA step)

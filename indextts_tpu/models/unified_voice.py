@@ -505,7 +505,8 @@ def inference_speech(
     jax.jit,
     static_argnames=("cfg", "max_new", "num_beams", "do_sample", "top_k",
                      "cache_dtype", "temperature", "top_p",
-                     "repetition_penalty"),
+                     "repetition_penalty", "typical_sampling", "typical_mass",
+                     "reorder"),
 )
 def inference_speech_beam(
     params: Dict[str, Any],
@@ -521,13 +522,21 @@ def inference_speech_beam(
     top_p: float = 0.8,
     repetition_penalty: float = 10.0,
     do_sample: bool = True,
+    typical_sampling: bool = False,
+    typical_mass: float = 0.9,
     cache_dtype=jnp.bfloat16,
+    reorder: str = "dslice",   # see _REORDER_MODES below
 ) -> DecodeResult:
-    """Beam(-sample) mel-code generation, HF semantics: per-beam repetition
-    penalty → log_softmax → + beam scores → flatten [nb·V] → warpers →
-    draw 2·nb candidates → bank finished, continue best nb.  The KV cache is
-    reordered per step by beam parent (HF _reorder_cache,
-    gpt/model.py:207-218)."""
+    """Beam(-sample) mel-code generation, HF 4.44 semantics (ops/beam.py
+    flat_scores): log_softmax → processors (repetition penalty, typical) →
+    + beam scores → per-beam warpers → draw 2·nb candidates → bank
+    finished, continue best nb.
+
+    Cache reorder (HF _reorder_cache, gpt/model.py:207-218), TPU-shaped:
+    the prompt prefix [0, P) is identical across a batch row's beams, so
+    only the generated suffix is gathered — and only up to a bucketed
+    bound of the current step, so early steps move a fraction of the
+    cache.  Identity permutations skip the gather entirely."""
     from indextts_tpu.ops import beam as beam_lib
 
     size = trunk_size(cfg)
@@ -552,7 +561,9 @@ def inference_speech_beam(
         [cond_latent.astype(text_emb.dtype), text_emb,
          jnp.broadcast_to(start_emb, (B, 1, cfg.model_dim))], axis=1)
     P = cond_len + Ltot + 1
-    cache_len = P + max_new
+    # 64-aligned so the Pallas permute kernel gets clean T chunks; extra
+    # slots are never unmasked
+    cache_len = -(-(P + max_new) // 64) * 64
     prefill_mask = jnp.concatenate(
         [jnp.ones((B, cond_len), jnp.int32), text_mask.astype(jnp.int32),
          jnp.ones((B, 1), jnp.int32)], axis=1)
@@ -569,42 +580,74 @@ def inference_speech_beam(
     state = beam_lib.init_beam_state(B, nb, max_new)
     seqs0 = jnp.zeros((B, nb, max_new), jnp.int32)
 
-    def flat_scores(logits, presence, scores):
-        lg = sampling.apply_repetition_penalty(
-            logits.astype(jnp.float32), presence, repetition_penalty)
-        lp = jax.nn.log_softmax(lg, axis=-1).reshape(B, nb, V)
-        flat = (lp + scores[:, :, None]).reshape(B, nb * V)
-        if temperature != 1.0:
-            flat = flat / temperature
-        k = top_k if 0 < top_k < nb * V else nb * V
-        if k < nb * V or top_p < 1.0:
-            shortlist, _ = jax.lax.top_k(flat, k)
-            kth = shortlist[:, -1:]
-            flat = jnp.where(flat < kth, beam_lib.NEG_INF, flat)
-            if top_p < 1.0:
-                probs = jax.nn.softmax(flat, axis=-1)
-                order = jnp.argsort(-flat, axis=-1)
-                sp = jnp.take_along_axis(probs, order, axis=-1)
-                cum = jnp.cumsum(sp, axis=-1)
-                remove_sorted = cum - sp > top_p
-                remove = jnp.zeros_like(remove_sorted)
-                remove = jnp.take_along_axis(
-                    remove_sorted, jnp.argsort(order, axis=-1), axis=-1)
-                flat = jnp.where(remove, beam_lib.NEG_INF, flat)
-        return flat
+    # suffix-reorder buckets: gather only [P, P+bound) where bound is the
+    # smallest bucket covering the current step (4 static program branches)
+    n_buckets = 4
+    bucket = -(-max_new // n_buckets)
 
     def select(rng_i, logits, state, seqs, presence, cache, full_mask, step):
-        flat = flat_scores(logits, presence, state.scores)
+        flat = beam_lib.flat_scores(
+            logits, presence, state.scores, nb,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            typical_sampling=typical_sampling, typical_mass=typical_mass,
+            do_sample=do_sample)
         state, parent, token, seqs = beam_lib.beam_step(
             rng_i, flat, nb, state, seqs, step, cfg.stop_mel_token, do_sample)
-        # reorder per-beam tensors by parent (absolute rows); the cache
-        # gather is ~100MB of traffic, so skip it on identity permutations
-        # (the common case once beams diverge and stay ranked)
+        # reorder per-beam tensors by parent (absolute rows)
         rows = (jnp.arange(B)[:, None] * nb + parent).reshape(-1)   # [B*nb]
         identity = jnp.all(rows == jnp.arange(B * nb))
-        cache = jax.lax.cond(
-            identity, lambda c: c,
-            lambda c: gpt2.KVCache(c.k[:, rows], c.v[:, rows]), cache)
+
+        def gather_suffix(c, bound):
+            ks = jax.lax.slice_in_dim(c.k, P, P + bound, axis=3)[:, rows]
+            vs = jax.lax.slice_in_dim(c.v, P, P + bound, axis=3)[:, rows]
+            return gpt2.KVCache(
+                jax.lax.dynamic_update_slice_in_dim(c.k, ks, P, axis=3),
+                jax.lax.dynamic_update_slice_in_dim(c.v, vs, P, axis=3))
+
+        # Reorder-strategy menu, measured in-loop on v5e for the flagship
+        # beam-3 cache (ms/step, bench shapes; chip stream BW ~334 GB/s):
+        #   dslice  1.17  per-row dynamic_slice + concat  ← default
+        #   onehot  1.76  permutation as tiny matmul
+        #   pallas  2.20  copy kernel w/ scalar-prefetch rows
+        #   full    ~3    XLA row gather under a cond
+        #   none    0     diagnostic only (WRONG results)
+        if reorder == "none":
+            pass
+        elif reorder == "dslice":
+            def pick(x):
+                return jnp.concatenate(
+                    [jax.lax.dynamic_index_in_dim(x, rows[n], axis=1,
+                                                  keepdims=True)
+                     for n in range(B * nb)], axis=1)
+            cache = gpt2.KVCache(pick(cache.k), pick(cache.v))
+        elif reorder == "pallas":
+            from indextts_tpu.ops.pallas.permute import permute_cache_rows
+
+            k2, v2 = permute_cache_rows(
+                cache.k, cache.v, rows,
+                interpret=jax.default_backend() != "tpu")
+            cache = gpt2.KVCache(k2, v2)
+        elif reorder == "always":    # unconditional full row gather (no cond)
+            cache = gpt2.KVCache(cache.k[:, rows], cache.v[:, rows])
+        elif reorder == "onehot":    # permutation as tiny matmul over beams
+            W = jax.nn.one_hot(rows, B * nb, dtype=cache.k.dtype)  # [N, N]
+            perm = lambda x: jnp.einsum("nb,lbhtd->lnhtd", W, x)
+            cache = gpt2.KVCache(perm(cache.k), perm(cache.v))
+        else:
+            if reorder == "full":
+                do_gather = lambda c: gpt2.KVCache(c.k[:, rows], c.v[:, rows])
+            elif reorder == "suffix":
+                do_gather = functools.partial(gather_suffix, bound=max_new)
+            else:
+                branches = [
+                    functools.partial(gather_suffix,
+                                      bound=min((i + 1) * bucket, max_new))
+                    for i in range(n_buckets)
+                ]
+                bidx = jnp.minimum(step // bucket, n_buckets - 1)
+                do_gather = lambda c: jax.lax.switch(bidx, branches, c)
+            cache = jax.lax.cond(identity, lambda c: c, do_gather, cache)
         presence = presence[rows]
         full_mask = full_mask[rows]
         tok_flat = token.reshape(-1)

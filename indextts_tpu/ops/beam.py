@@ -23,6 +23,72 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
+def flat_scores(
+    logits: jnp.ndarray,        # [B*nb, V]
+    presence: jnp.ndarray,      # [B*nb, V] bool (repetition-penalty table)
+    beam_scores: jnp.ndarray,   # [B, nb] cumulative log-probs
+    num_beams: int,
+    *,
+    temperature: float = 1.0,
+    top_k: int = 30,
+    top_p: float = 0.8,
+    repetition_penalty: float = 10.0,
+    typical_sampling: bool = False,
+    typical_mass: float = 0.9,
+    do_sample: bool = True,
+) -> jnp.ndarray:
+    """Candidate totals [B, nb*V] in HF 4.44 beam_sample order (the
+    reference pins transformers==4.44.2; ADVICE r1):
+
+      log_softmax → logits_processor (repetition penalty + typical filter,
+      applied to the *log-probs*) → + beam scores → logits_warper
+      (temperature / top-k / top-p) per beam ROW [B*nb, V] → flatten.
+
+    Warpers run only when sampling (HF builds them only for do_sample) and
+    use min_tokens_to_keep=2 under beams (HF _get_logits_warper)."""
+    from indextts_tpu.ops import sampling
+
+    Bnb, V = logits.shape
+    B = Bnb // num_beams
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lp = sampling.apply_repetition_penalty(lp, presence, repetition_penalty)
+    if typical_sampling:
+        lp = sampling.apply_typical_filter(lp, typical_mass,
+                                           min_tokens_to_keep=2)
+    sc = lp + beam_scores.reshape(-1)[:, None]
+    if do_sample:
+        min_keep = 2
+        if temperature != 1.0:
+            sc = sc / temperature
+        if 0 < top_k < V:
+            # hot path: after the top-k filter only kk values survive, so the
+            # nucleus threshold can be found on the kk-shortlist — no
+            # full-vocab argsort per decode step
+            kk = max(top_k, min_keep)
+            shortlist, _ = jax.lax.top_k(sc, kk)           # [B*nb, kk] desc
+            thresh = shortlist[:, -1:]
+            if top_p < 1.0:
+                probs = jax.nn.softmax(shortlist, axis=-1)
+                cum = jnp.cumsum(probs, axis=-1)
+                keep = jnp.logical_or(cum - probs <= top_p,
+                                      jnp.arange(kk)[None, :] < min_keep)
+                last = jnp.sum(keep.astype(jnp.int32), axis=-1,
+                               keepdims=True) - 1
+                thresh = jnp.take_along_axis(shortlist, last, axis=-1)
+            sc = jnp.where(sc < thresh, NEG_INF, sc)
+        elif top_p < 1.0:
+            order = jnp.argsort(-sc, axis=-1)
+            ssc = jnp.take_along_axis(sc, order, axis=-1)
+            probs = jax.nn.softmax(ssc, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            remove_sorted = jnp.logical_and(
+                cum - probs > top_p, jnp.arange(V)[None, :] >= min_keep)
+            remove = jnp.take_along_axis(
+                remove_sorted, jnp.argsort(order, axis=-1), axis=-1)
+            sc = jnp.where(remove, NEG_INF, sc)
+    return sc.reshape(B, num_beams * V)
+
+
 class BeamState(NamedTuple):
     scores: jnp.ndarray        # [B, nb] cumulative log-probs of live beams
     # hypothesis bank: best finished sequences per batch

@@ -80,3 +80,76 @@ def test_beam_batched(params):
     r = _decode(params, [t1, t2], cond=cond, max_new=12, num_beams=2,
                 do_sample=False, repetition_penalty=1.0, top_k=0, top_p=1.0)
     assert r.codes.shape == (2, 12)
+
+
+def test_flat_scores_matches_hf_beam_sample_order():
+    """Score-pipeline parity with HF 4.44 beam_sample (ADVICE r1): per-beam
+    warpers on [B*nb, V] AFTER adding beam scores, processors on log-probs,
+    min_tokens_to_keep=2 under beams.  Oracle: HF's own processor/warper
+    classes composed in that order."""
+    import torch
+    from transformers.generation.logits_process import (
+        RepetitionPenaltyLogitsProcessor, TemperatureLogitsWarper,
+        TopKLogitsWarper, TopPLogitsWarper, TypicalLogitsWarper)
+
+    from indextts_tpu.ops import beam as beam_lib
+
+    B, nb, V = 2, 3, 50
+    rng = np.random.default_rng(0)
+    logits = (rng.standard_normal((B * nb, V)) * 2).astype(np.float32)
+    input_ids = rng.integers(0, V, (B * nb, 4))
+    presence = np.zeros((B * nb, V), bool)
+    for i, row in enumerate(input_ids):
+        presence[i, row] = True
+    beam_scores = rng.standard_normal((B, nb)).astype(np.float32)
+
+    t = torch.from_numpy(logits)
+    ids = torch.from_numpy(input_ids)
+    lp = torch.nn.functional.log_softmax(t, dim=-1)
+    lp = RepetitionPenaltyLogitsProcessor(2.5)(ids, lp)
+    lp = TypicalLogitsWarper(mass=0.8, min_tokens_to_keep=2)(ids, lp)
+    sc = lp + torch.from_numpy(beam_scores.reshape(-1))[:, None]
+    sc = TemperatureLogitsWarper(0.9)(ids, sc)
+    sc = TopKLogitsWarper(top_k=10, min_tokens_to_keep=2)(ids, sc)
+    sc = TopPLogitsWarper(top_p=0.85, min_tokens_to_keep=2)(ids, sc)
+    ref = sc.reshape(B, nb * V).numpy()
+
+    ours = np.asarray(beam_lib.flat_scores(
+        jnp.asarray(logits), jnp.asarray(presence), jnp.asarray(beam_scores),
+        nb, temperature=0.9, top_k=10, top_p=0.85, repetition_penalty=2.5,
+        typical_sampling=True, typical_mass=0.8, do_sample=True))
+
+    mask_ref = ~np.isfinite(ref)
+    mask_ours = ours <= beam_lib.NEG_INF / 2
+    np.testing.assert_array_equal(mask_ref, mask_ours)
+    np.testing.assert_allclose(np.where(mask_ref, 0.0, ref),
+                               np.where(mask_ours, 0.0, ours),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flat_scores_no_warpers_when_greedy():
+    """HF builds warpers only for do_sample=True — pure beam search must
+    keep the full distribution (processors still apply)."""
+    from indextts_tpu.ops import beam as beam_lib
+
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((3, 20)).astype(np.float32)
+    presence = np.zeros((3, 20), bool)
+    scores = np.zeros((1, 3), np.float32)
+    out = np.asarray(beam_lib.flat_scores(
+        jnp.asarray(logits), jnp.asarray(presence), jnp.asarray(scores), 3,
+        temperature=0.5, top_k=5, top_p=0.5, repetition_penalty=1.0,
+        do_sample=False))
+    assert np.isfinite(out).all()  # nothing filtered
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    np.testing.assert_allclose(out.reshape(3, 20), lp, rtol=1e-6, atol=1e-6)
+
+
+def test_beam_typical_sampling_runs(params):
+    rng = np.random.default_rng(5)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    t = rng.integers(2, 40, (5,))
+    r = _decode(params, [t], cond=cond, max_new=10, num_beams=3,
+                do_sample=True, repetition_penalty=2.0, top_k=10, top_p=0.9,
+                typical_sampling=True, typical_mass=0.8)
+    assert r.codes.shape == (1, 10)
