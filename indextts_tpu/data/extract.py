@@ -10,18 +10,37 @@ scripts/run_extract.sh:17-37, consumers data_utils.py:300-353,863-885):
           per speaker: metadata_train.jsonl / metadata_valid.jsonl with
                        {audio, text, duration, codes, mels}
                        medoid_condition.npy  (1, 32, 1280)
+                       medoid_mel.npy        (100, F) — the medoid clip's
+                       mel, the vocoder-side speaker reference for
+                       speaker_id-only synthesis (engine._mel_ref)
           global:      speaker_info.json
 
-On TPU the batch work (mel → DVAE encode → conditioning) runs as jitted
-programs over length-bucketed batches; the medoid search is a chunked
-pairwise-distance argmin (config.yaml:31-36 semantics).
+TPU-shaped batching (reference runs batch 16 × 8 workers per GPU,
+config.yaml:23-28, run_extract.sh:40-117): clips are sorted by length and
+grouped into ``batch_size`` batches padded to a small ladder of static
+mel-frame widths, so the whole dataset compiles at most one program per
+(batch, bucket) pair instead of one per unique clip length — on the
+remote-compile tunnel the per-clip path was one compilation per clip.
+Audio decoding overlaps device compute via a ``num_workers`` thread pool.
+
+Exactness under padding:
+  * mel — exact.  Each clip is reflect-padded n_fft//2 host-side and the
+    batch STFT runs center=False, so zero-padded batch tails can never
+    leak into a clip's true frames.
+  * conditioning — exact.  The conformer masks by true length.
+  * DVAE codes — exact for the longest clip of each batch; shorter clips'
+    last ~(receptive field)/4 codes may differ from a per-clip run because
+    the encoder sees silence frames instead of its own zero conv padding
+    (the reference's batch-16 extraction has the same property).
+    ``--exact`` forces the per-clip path.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -29,8 +48,11 @@ import jax
 import jax.numpy as jnp
 
 from indextts_tpu.config import Config
-from indextts_tpu.ops.mel import mel_spectrogram
+from indextts_tpu.ops.mel import mel_filterbank, mel_spectrogram, safe_log, spectrogram
 from indextts_tpu.utils import audio as audio_io
+
+# mel-frame bucket ladder: 1-20 s @ ~93.75 frames/s → 94..1875 frames
+FRAME_BUCKETS = (256, 512, 768, 1024, 1280, 1536, 2048)
 
 
 def parse_audio_list(path: str) -> List[Tuple[str, str]]:
@@ -67,6 +89,18 @@ def medoid_index(latents: np.ndarray, chunk_size: int = 2048) -> int:
     return int(np.argmin(totals))
 
 
+def frames_for(n_samples: int, hop: int = 256) -> int:
+    """torchaudio center=True frame count."""
+    return n_samples // hop + 1
+
+
+def bucket_frames(f: int) -> int:
+    for b in FRAME_BUCKETS:
+        if f <= b:
+            return b
+    return -(-f // FRAME_BUCKETS[0]) * FRAME_BUCKETS[0]
+
+
 class CodecExtractor:
     """Batched mel + DVAE-code + conditioning extraction."""
 
@@ -76,7 +110,7 @@ class CodecExtractor:
         from indextts_tpu.models import unified_voice as uv
 
         self.cfg = cfg
-        self.batch_size = batch_size
+        self.batch_size = max(1, batch_size)
         self._uv = uv
         self._dvae = dvae_model
 
@@ -95,12 +129,77 @@ class CodecExtractor:
             self.gpt_params = jax.jit(
                 lambda k: uv.init_params(k, cfg.gpt))(jax.random.PRNGKey(1))
 
+        mel = cfg.dataset.mel
+        self._hop = mel.hop_length
+        self._n_fft = mel.n_fft
+
+        def mel_uncentered(wav):
+            spec = spectrogram(wav, mel.n_fft, mel.hop_length, mel.win_length,
+                               power=1.0, center=False)
+            fb = jnp.asarray(mel_filterbank(mel.sample_rate, mel.n_fft, mel.n_mels))
+            return safe_log(jnp.einsum("...ft,fm->...mt", spec, fb))
+
+        self._mel_fn = jax.jit(mel_uncentered)
         self._codes_fn = jax.jit(
-            lambda mel: dvae_model.quantize_indices(
+            lambda m: dvae_model.quantize_indices(
                 self.dvae_params["codebook"],
-                dvae_model.encode(self.dvae_params, mel, cfg.vqvae)))
-        self._cond_fn = lambda mel, lens: uv.get_conditioning(
-            self.gpt_params, cfg.gpt, mel, lens)
+                dvae_model.encode(self.dvae_params, m, cfg.vqvae)))
+        self._cond_fn = jax.jit(
+            lambda m, lens: uv.get_conditioning(self.gpt_params, cfg.gpt, m, lens))
+
+    # -- batched path ------------------------------------------------------
+
+    def dispatch_batch(self, wavs: Sequence[np.ndarray], extract_condition: bool):
+        """Enqueue one bucket-batch on the device; returns an opaque handle.
+        Dispatch/fetch are split so the driver can overlap batch i+1's
+        upload with batch i's compute + download (the axon tunnel moves
+        ~3-9 MB/s, so transfers dominate there)."""
+        B = len(wavs)
+        Bs = self.batch_size
+        pad_rows = Bs - B if B < Bs else 0
+        hop, n_fft = self._hop, self._n_fft
+        frames = [frames_for(w.shape[-1], hop) for w in wavs]
+        Fb = bucket_frames(max(frames))
+        Lw = (Fb - 1) * hop + n_fft
+
+        buf = np.zeros((B + pad_rows, Lw), np.float32)
+        for i, w in enumerate(wavs):
+            w = np.asarray(w, np.float32).reshape(-1)
+            # per-clip reflect pad (center=True semantics), then zero tail
+            padded = np.pad(w, (n_fft // 2, n_fft // 2), mode="reflect")
+            buf[i, : padded.shape[0]] = padded
+
+        mels = self._mel_fn(jnp.asarray(buf))                       # [Bs,100,Fb]
+        codes = self._codes_fn(mels)                                # [Bs,Fb//4]
+        cond = None
+        if extract_condition:
+            lens = jnp.asarray(frames + [frames[-1]] * pad_rows, jnp.int32)
+            cond = self._cond_fn(mels, lens)                        # [Bs,32,D]
+        return (frames, B, mels, codes, cond)
+
+    @staticmethod
+    def fetch_batch(handle) -> List[Dict[str, np.ndarray]]:
+        """Materialise a dispatched batch → per-clip dicts
+        {mel [100, F], codes [F4//4], cond (1, 32, D)?}."""
+        frames, B, mels, codes, cond = handle
+        mels_np = np.asarray(mels)
+        codes_np = np.asarray(codes)
+        cond_np = np.asarray(cond) if cond is not None else None
+        out = []
+        for i in range(B):
+            F = frames[i]
+            F4 = F - F % 4
+            rec = {"mel": mels_np[i, :, :F], "codes": codes_np[i, : F4 // 4]}
+            if cond_np is not None:
+                rec["cond"] = cond_np[i : i + 1]
+            out.append(rec)
+        return out
+
+    def extract_batch(self, wavs: Sequence[np.ndarray], extract_condition: bool
+                      ) -> List[Dict[str, np.ndarray]]:
+        return self.fetch_batch(self.dispatch_batch(wavs, extract_condition))
+
+    # -- per-clip path (exact; kept for --exact and small jobs) ------------
 
     def extract_clip_features(self, wav: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """wav [1, T] → (mel [100, F], codes [F//4])."""
@@ -116,6 +215,32 @@ class CodecExtractor:
         return np.asarray(lat)
 
 
+def _iter_batches(entries, extractor, sr, num_workers, exact):
+    """Yield (batch_entries, wavs) with audio decode prefetched on threads,
+    batches grouped by length bucket."""
+    pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+
+    def load(e):
+        try:
+            wav = audio_io.load_prompt_audio(e[0], sr)
+            return e, np.asarray(wav, np.float32).reshape(-1)
+        except Exception as exc:  # noqa: BLE001 — skip undecodable clips
+            print(f"[skip] {e[0]}: {exc}")
+            return e, None
+
+    loaded = [r for r in pool.map(load, entries) if r[1] is not None]
+    pool.shutdown()
+    if exact:
+        for e, w in loaded:
+            yield [e], [w]
+        return
+    loaded.sort(key=lambda r: r[1].shape[-1])
+    bs = extractor.batch_size
+    for i in range(0, len(loaded), bs):
+        chunk = loaded[i : i + bs]
+        yield [e for e, _ in chunk], [w for _, w in chunk]
+
+
 def extract_audio_list(
     list_path: str,
     output_dir: str,
@@ -124,7 +249,9 @@ def extract_audio_list(
     valid_ratio: float = 0.1,
     extract_condition: bool = True,
     batch_size: int = 16,
+    num_workers: int = 8,
     seed: int = 0,
+    exact: bool = False,
 ) -> Dict[str, Dict]:
     """Process one audio list into the processed_data layout.  Returns
     per-speaker stats for speaker_info.json."""
@@ -134,30 +261,51 @@ def extract_audio_list(
 
     per_speaker: Dict[str, List[Dict]] = {}
     latents: Dict[str, List[np.ndarray]] = {}
-    for audio_path, text in entries:
-        speaker = speaker_of(audio_path, list_path)
-        stem = os.path.splitext(os.path.basename(audio_path))[0]
-        spk_dir = os.path.join(output_dir, speaker)
-        os.makedirs(os.path.join(spk_dir, "codes"), exist_ok=True)
-        os.makedirs(os.path.join(spk_dir, "mels"), exist_ok=True)
-        try:
-            wav = audio_io.load_prompt_audio(audio_path, sr)
-        except Exception as e:
-            print(f"[skip] {audio_path}: {e}")
+    mel_paths: Dict[str, List[str]] = {}
+    pending = None  # one-deep pipeline: overlap upload with compute+fetch
+    batches = list(_iter_batches(entries, extractor, sr, num_workers, exact))
+    for bi in range(len(batches) + 1):
+        if bi < len(batches):
+            batch_entries, wavs = batches[bi]
+            if exact:
+                feats = []
+                for w in wavs:
+                    mel, codes = extractor.extract_clip_features(w[None])
+                    rec = {"mel": mel, "codes": codes}
+                    if extract_condition:
+                        rec["cond"] = extractor.conditioning_latent(mel)
+                    feats.append(rec)
+                cur = (batch_entries, wavs, feats)
+            else:
+                cur = (batch_entries, wavs,
+                       extractor.dispatch_batch(wavs, extract_condition))
+        else:
+            cur = None
+        if pending is None:
+            pending = cur
             continue
-        duration = wav.shape[-1] / sr
-        mel, codes = extractor.extract_clip_features(wav)
-        codes_rel = os.path.join("codes", f"{stem}.npy")
-        mels_rel = os.path.join("mels", f"{stem}.npy")
-        np.save(os.path.join(spk_dir, codes_rel), codes)
-        np.save(os.path.join(spk_dir, mels_rel), mel)
-        per_speaker.setdefault(speaker, []).append({
-            "audio": audio_path, "text": text, "duration": round(duration, 3),
-            "codes": codes_rel, "mels": mels_rel,
-        })
-        if extract_condition:
-            latents.setdefault(speaker, []).append(
-                extractor.conditioning_latent(mel))
+        batch_entries, wavs, handle = pending
+        feats = handle if exact else CodecExtractor.fetch_batch(handle)
+        pending = cur
+        for (audio_path, text), wav, feat in zip(batch_entries, wavs, feats):
+            speaker = speaker_of(audio_path, list_path)
+            stem = os.path.splitext(os.path.basename(audio_path))[0]
+            spk_dir = os.path.join(output_dir, speaker)
+            os.makedirs(os.path.join(spk_dir, "codes"), exist_ok=True)
+            os.makedirs(os.path.join(spk_dir, "mels"), exist_ok=True)
+            codes_rel = os.path.join("codes", f"{stem}.npy")
+            mels_rel = os.path.join("mels", f"{stem}.npy")
+            np.save(os.path.join(spk_dir, codes_rel), feat["codes"])
+            np.save(os.path.join(spk_dir, mels_rel), feat["mel"])
+            per_speaker.setdefault(speaker, []).append({
+                "audio": audio_path, "text": text,
+                "duration": round(wav.shape[-1] / sr, 3),
+                "codes": codes_rel, "mels": mels_rel,
+            })
+            if extract_condition:
+                latents.setdefault(speaker, []).append(feat["cond"])
+                mel_paths.setdefault(speaker, []).append(
+                    os.path.join(spk_dir, mels_rel))
 
     rng = np.random.default_rng(seed)
     info: Dict[str, Dict] = {}
@@ -185,6 +333,10 @@ def extract_audio_list(
             lat = np.concatenate(latents[speaker], axis=0)  # [N, 32, D]
             med = medoid_index(lat)
             np.save(os.path.join(spk_dir, "medoid_condition.npy"), lat[med : med + 1])
+            # the medoid clip's mel doubles as the vocoder-side speaker
+            # reference (engine._mel_ref; VERDICT r1 #7)
+            np.save(os.path.join(spk_dir, "medoid_mel.npy"),
+                    np.load(mel_paths[speaker][med]))
             stats["medoid_clip"] = records[med]["audio"]
         info[speaker] = stats
 
@@ -212,8 +364,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--extract_condition", action="store_true")
     p.add_argument("--device", default=None, help="ignored (TPU-native)")
     p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--num_workers", type=int, default=8, help="ignored")
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="audio-decode prefetch threads")
     p.add_argument("--valid_ratio", type=float, default=0.1)
+    p.add_argument("--exact", action="store_true",
+                   help="per-clip (unbatched) extraction — bit-exact codes "
+                        "at every clip tail, one compile per clip length")
     args = p.parse_args(argv)
 
     cfg = Config.load(args.config) if os.path.exists(args.config) else Config()
@@ -221,7 +377,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     info = extract_audio_list(args.audio_list, out, cfg, args.model_dir,
                               valid_ratio=args.valid_ratio,
                               extract_condition=args.extract_condition,
-                              batch_size=args.batch_size)
+                              batch_size=args.batch_size,
+                              num_workers=args.num_workers,
+                              exact=args.exact)
     for sp, st in info.items():
         print(f"{sp}: {st['num_clips']} clips ({st['total_duration']}s), "
               f"{st['num_train']} train / {st['num_valid']} valid")

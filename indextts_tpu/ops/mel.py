@@ -64,10 +64,17 @@ def _hann_window(win_length: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
 
 
-def frame_signal(audio: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
-    """Center-pad (reflect) and frame a signal: (..., T) -> (..., F, n_fft)."""
-    pad = n_fft // 2
-    audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
+def frame_signal(audio: jnp.ndarray, n_fft: int, hop_length: int,
+                 center: bool = True) -> jnp.ndarray:
+    """Center-pad (reflect) and frame a signal: (..., T) -> (..., F, n_fft).
+
+    With center=False the caller has already applied its own padding (the
+    batched extractor reflect-pads host-side per clip so zero-padded batch
+    tails cannot leak into valid frames)."""
+    if center:
+        pad = n_fft // 2
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)],
+                        mode="reflect")
     n_frames = 1 + (audio.shape[-1] - n_fft) // hop_length
     idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
     return audio[..., idx]
@@ -79,9 +86,10 @@ def spectrogram(
     hop_length: int = 256,
     win_length: int = 1024,
     power: float = 1.0,
+    center: bool = True,
 ) -> jnp.ndarray:
     """Magnitude (power=1) STFT: (..., T) -> (..., n_freqs, F)."""
-    frames = frame_signal(audio.astype(jnp.float32), n_fft, hop_length)
+    frames = frame_signal(audio.astype(jnp.float32), n_fft, hop_length, center)
     window = jnp.asarray(_hann_window(win_length))
     if win_length < n_fft:
         lpad = (n_fft - win_length) // 2

@@ -117,12 +117,113 @@ class _BuiltinNormalizer:
             return self._en_int(int(a or 0)) + " point " + frac
         return self._en_int(int(text))
 
+    # ordinal word endings (en)
+    _EN_ORDINAL = {
+        "one": "first", "two": "second", "three": "third", "five": "fifth",
+        "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+    }
+
+    def _en_ordinal(self, n: int) -> str:
+        words = self._en_int(n).split()
+        last = words[-1]
+        if last in self._EN_ORDINAL:
+            words[-1] = self._EN_ORDINAL[last]
+        elif last.endswith("y"):
+            words[-1] = last[:-1] + "ieth"
+        else:
+            words[-1] = last + "th"
+        return " ".join(words)
+
+    # -- rule passes --------------------------------------------------------
+
+    def _pass_zh(self, text: str) -> str:
+        num = self._zh_number
+        dig = self._zh_digit_string
+
+        # dates: 2030/1/2 → 二零三零年一月二日; 2002年 → 二零零二年 (years
+        # digit-wise, WeTextProcessing convention); 01月11日 → 一月十一日
+        text = re.sub(
+            r"(\d{4})\s*[/-](\d{1,2})\s*[/-](\d{1,2})(?!\d)",
+            lambda m: f"{dig(m.group(1))}年{num(m.group(2).lstrip('0') or '0')}月"
+                      f"{num(m.group(3).lstrip('0') or '0')}日", text)
+        text = re.sub(r"(\d{2,4})\s*年",
+                      lambda m: dig(m.group(1)) + "年", text)
+        text = re.sub(r"(\d{1,2})\s*月",
+                      lambda m: num(m.group(1).lstrip("0") or "0") + "月", text)
+        text = re.sub(r"(\d{1,2})\s*([日號])",
+                      lambda m: num(m.group(1).lstrip("0") or "0") + m.group(2),
+                      text)
+        # times: 20:00 → 二十點; 20:30:05 → 二十點三十分零五秒
+        def ftime(m):
+            h, mi, s = m.group(1), m.group(2), m.group(3)
+            out = num(h.lstrip("0") or "0") + "點"
+            if mi != "00":
+                out += num(mi.lstrip("0") or "0") + "分"
+            if s and s != "00":
+                out += num(s.lstrip("0") or "0") + "秒"
+            return out
+        text = re.sub(r"(?<![\d:])(\d{1,2}):(\d{2})(?::(\d{2}))?(?![\d:])",
+                      ftime, text)
+        # phone-like hyphenated digit groups read digit-wise: 135-4567-8900
+        text = re.sub(
+            r"(?<!\d)(\d{3,4}(?:-\d{3,4}){1,3})(?!\d)",
+            lambda m: dig(m.group(1).replace("-", "")), text)
+        # percent is a prefix word: 2.5% → 百分之二點五
+        text = re.sub(r"(\d+(?:,\d{3})*(?:\.\d+)?)\s*%",
+                      lambda m: "百分之" + num(m.group(1).replace(",", "")), text)
+        # currency: ¥12999 → 一萬二千九百九十九元
+        text = re.sub(r"[¥￥]\s*(\d+(?:,\d{3})*(?:\.\d+)?)",
+                      lambda m: num(m.group(1).replace(",", "")) + "元", text)
+        # counts with a trailing +: 點贊3000+ → 點贊三千多
+        text = re.sub(r"(\d+(?:,\d{3})*)\s*\+",
+                      lambda m: num(m.group(1).replace(",", "")) + "多", text)
+        # units glued to numbers (tn's measure tagger, common cases)
+        units = [("km/h", "公里每小時"), ("m/s", "米每秒"), ("km", "公里"),
+                 ("kg", "公斤"), ("cm", "釐米"), ("mm", "毫米"), ("ml", "毫升"),
+                 ("kw", "千瓦"), ("°c", "攝氏度"), ("℃", "攝氏度"),
+                 ("g", "克"), ("m", "米"), ("l", "升"), ("h", "小時"),
+                 ("s", "秒")]
+        def funit(m):
+            n, u = m.group(1), m.group(2).lower()
+            for key, word in units:
+                if u == key:
+                    return num(n.replace(",", "")) + word
+            return m.group(0)
+        text = re.sub(r"(\d+(?:,\d{3})*(?:\.\d+)?)\s*"
+                      r"(km/h|m/s|km|kg|cm|mm|ml|kw|°[Cc]|℃|[gmlhs])(?![a-zA-Z])",
+                      funit, text)
+        return text
+
+    def _pass_en(self, text: str) -> str:
+        # times: 8:00 → eight o'clock; 8:30 → eight thirty
+        def ftime(m):
+            h, mi = int(m.group(1)), m.group(2)
+            if mi == "00":
+                return f"{self._en_int(h)} o'clock"
+            if mi.startswith("0"):
+                return f"{self._en_int(h)} oh {self._en_int(int(mi))}"
+            return f"{self._en_int(h)} {self._en_int(int(mi))}"
+        text = re.sub(r"(?<![\d:])(\d{1,2}):(\d{2})(?![\d:])", ftime, text)
+        # ordinals: 1st, 22nd, 103rd …
+        text = re.sub(r"(\d+)(st|nd|rd|th)\b",
+                      lambda m: self._en_ordinal(int(m.group(1))), text,
+                      flags=re.IGNORECASE)
+        # currency: $12.5 → twelve point five dollars; $1 → one dollar
+        def fmoney(m):
+            raw = m.group(1).replace(",", "")
+            unit = "dollar" if raw == "1" else "dollars"
+            return f"{self._en_number(raw)} {unit}"
+        text = re.sub(r"\$\s*(\d+(?:,\d{3})*(?:\.\d+)?)", fmoney, text)
+        return text
+
     def normalize(self, text: str) -> str:
+        text = self._pass_zh(text) if self.lang == "zh" else self._pass_en(text)
+
         def repl(m: "re.Match[str]") -> str:
             raw = m.group(0).replace(",", "")
             try:
                 if self.lang == "zh":
-                    # long digit strings (phone numbers etc.) read digit-wise
+                    # long digit strings (IDs etc.) read digit-wise
                     if "." not in raw and len(raw) > 8:
                         return self._zh_digit_string(raw)
                     return self._zh_number(raw)
@@ -132,12 +233,12 @@ class _BuiltinNormalizer:
             except (ValueError, IndexError):
                 return m.group(0)
 
-        text = re.sub(r"\d[\d,]*(?:\.\d+)?", repl, text)
+        text = re.sub(r"\d+(?:,\d{3})*(?:\.\d+)?", repl, text)
         if self.lang == "en":
             text = re.sub(r"%", " percent", text)
             text = re.sub(r"\$", " dollars ", text)
         else:
-            text = text.replace("%", "百分之")
+            text = re.sub(r"%", "百分之", text)
         return text
 
 

@@ -88,3 +88,40 @@ def test_extraction_outputs(audio_tree, tmp_path):
     with open(os.path.join(out, "speaker_info.json")) as f:
         speakers = json.load(f)
     assert speakers[0]["speaker"] == "spk_x"
+
+
+def test_batched_matches_per_clip(audio_tree, tmp_path):
+    """Batched/bucketed extraction vs the exact per-clip path: mels must be
+    bit-close everywhere (host-side reflect pad + center=False makes batch
+    padding invisible); codes identical except a bounded encoder-receptive-
+    field tail window; conditioning latents close (masked)."""
+    from indextts_tpu.data.extract import CodecExtractor
+    from indextts_tpu.utils.audio import load_prompt_audio
+
+    _, list_path = audio_tree
+    ex = CodecExtractor(TINY, "/nonexistent", batch_size=4)
+    entries = parse_audio_list(list_path)
+    wavs = [np.asarray(load_prompt_audio(p, 24000), np.float32).reshape(-1)
+            for p, _ in entries]
+    batched = ex.extract_batch(wavs, extract_condition=True)
+    for w, feat in zip(wavs, batched):
+        mel_ref, codes_ref = ex.extract_clip_features(w[None])
+        cond_ref = ex.conditioning_latent(mel_ref)
+        np.testing.assert_allclose(feat["mel"], mel_ref, rtol=1e-4, atol=1e-4)
+        n = codes_ref.shape[0]
+        assert feat["codes"].shape[0] == n
+        # tail window: 2 stride-2 convs (k=5ish) + resblocks ⇒ a few codes
+        tail = 8
+        np.testing.assert_array_equal(feat["codes"][: n - tail],
+                                      codes_ref[: n - tail])
+        np.testing.assert_allclose(feat["cond"], cond_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_medoid_mel_saved(audio_tree, tmp_path):
+    _, list_path = audio_tree
+    out = str(tmp_path / "proc")
+    extract_audio_list(list_path, out, TINY, model_dir="/nonexistent",
+                       valid_ratio=0.25, extract_condition=True)
+    mel = np.load(os.path.join(out, "spk_x", "medoid_mel.npy"))
+    assert mel.ndim == 2 and mel.shape[0] == 100
+    assert np.abs(mel).max() > 0

@@ -158,3 +158,50 @@ def test_sentencepiece_model_parse_and_bpe(tmp_path):
     assert model._bpe_segment("abcb") == ["abc", "b"]
     # encode applies the dummy-prefix/whitespace escaping
     assert model.encode_as_pieces("a bc") == ["▁a", "▁", "bc"]
+
+
+def test_builtin_normalizer_battery():
+    """The reference's front.py __main__ battery cases (front.py:432-477)
+    through the always-available built-in normalizer: dates, times, phones,
+    percent, currency, units, counts — none may leak raw digits (the BPE has
+    no digit pieces)."""
+    import re
+
+    from indextts_tpu.utils.textnorm import TextNormalizer
+
+    n = TextNormalizer()
+    n.load()
+    golden = {
+        "IndexTTS 正式釋出1.0版本了，效果666": "IndexTTS 正式釋出一點零版本了,效果六百六十六",
+        "2.5平方電線": "二點五平方電線",
+        "共465篇，約315萬字": "共四百六十五篇,約三百一十五萬字",
+        "2002年的第一場雪，下在了2003年": "二零零二年的第一場雪,下在了二零零三年",
+        "速度是10km/h": "速度是十公里每小時",
+        "現在是北京時間2025年01月11日 20:00": "現在是北京時間二零二五年一月十一日 二十點",
+        "他這條褲子是2012年買的，花了200塊錢": "他這條褲子是二零一二年買的,花了二百塊錢",
+        "電話：135-4567-8900": "電話,一三五四五六七八九零零",
+        "1鍵3連": "一鍵三連",
+        "他這條影片點贊3000+，評論1000+，收藏500+": "他這條影片點贊三千多,評論一千多,收藏五百多",
+        "這是1024元的手機,你要嗎？": "這是一千零二十四元的手機,你要嗎?",
+        "數到3就開始：1、2、3": "數到三就開始,一,二,三",
+        "5G網路是4G網路的升級版": "五G網路是四G網路的升級版",
+        "蘋果於2030/1/2釋出，售價僅 ¥12999": "蘋果於二零三零年一月二日釋出,售價僅 一萬二千九百九十九元",
+        "氣溫23°C，跑了5km": "氣溫二十三攝氏度,跑了五公里",
+        "共1,234,567字": "共一百二十三萬四千五百六十七字",
+    }
+    for src, want in golden.items():
+        assert n.normalize(src) == want, src
+    golden_en = {
+        "See you at 8:00 AM": "See you at eight o'clock AM",
+        "Couting down 3, 2, 1, go!": "Couting down three, two, one, go!",
+        "This sales for 2.5% off, only $12.5.":
+            "This sales for two point five percent off, only twelve point five dollars.",
+        "The meeting is on the 3rd, at 10:30, costs $1":
+            "The meeting is on the third, at ten thirty, costs one dollar",
+        "where's the money?": "where is the money?",
+    }
+    for src, want in golden_en.items():
+        assert n.normalize(src) == want, src
+    # no raw digits may survive any battery case
+    for src in list(golden) + list(golden_en):
+        assert not re.search(r"\d", n.normalize(src)), src
