@@ -12,13 +12,25 @@ Static shapes throughout: cache [L, S, H, cache_len, hd], per-slot
 positions/masks; prefills are bucketed by text width.  Slot bookkeeping
 (admission, emission) is host-side numpy; each decode step is one jitted
 program built on gpt2.decode_step_rows (per-row cache positions).
+
+Host↔device discipline (the round-1 weakness was host work serialising
+the pool on the link's dispatch latency):
+  * per tick the host issues exactly ONE jitted call (`_step_kernel`) and
+    ONE tiny flags fetch — and the fetch is a tick LATE, so the device
+    never waits on the host;
+  * everything else lives on device: generated tokens accumulate in a
+    codes buffer [S, max_new] fetched once per finished request; `active`
+    self-deactivates on device (stop token or per-slot token budget); the
+    RNG folds inside the kernel from a host step counter;
+  * admissions are batched — all free slots prefill + first-sample in ONE
+    jitted call at a common bucketed width.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, List, NamedTuple, Optional
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,18 +50,27 @@ class PoolState(NamedTuple):
     base: jnp.ndarray           # [S] prefill length (first decode write slot)
     full_mask: jnp.ndarray      # [S, cache_len]
     presence: jnp.ndarray       # [S, V] repetition-penalty table
-    active: jnp.ndarray         # [S] slot holds a live request
-
+    codes: jnp.ndarray          # [S, max_new] generated tokens (device-side)
+    active: jnp.ndarray         # [S] bool, self-deactivating
+    budget: jnp.ndarray         # [S] per-slot max_new
 
 
 # --- jitted kernels (module level: params passed explicitly so weights are
 # traced arguments, not compile-time constants) -----------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cache_dtype"))
-def _prefill_kernel(params, cfg: GPTConfig, cond, text_tokens, text_mask,
-                    cache_dtype):
-    """One request's prefill → (k, v, pmask, first_logits)."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "cache_dtype", "temperature", "top_k", "top_p",
+                     "repetition_penalty", "do_sample"))
+def _admit_kernel(params, cfg: GPTConfig, cond, text_tokens, text_mask,
+                  rng_base, admit_idx, cache_dtype, temperature, top_k,
+                  top_p, repetition_penalty, do_sample):
+    """Batched prefill of B requests + first-token sampling →
+    (k, v, pmask, tok, presence).  One jitted call per admission burst."""
     size = uv.trunk_size(cfg)
+    B = text_tokens.shape[0]
+    if cond.shape[0] == 1 and B > 1:
+        cond = jnp.broadcast_to(cond, (B,) + cond.shape[1:])
     tpos = jnp.clip(jnp.cumsum(text_mask, axis=1) - 1, 0, cfg.max_text_seq_len - 1)
     text_emb = (params["text_embedding"]["weight"][text_tokens]
                 + params["text_pos_embedding"]["weight"][tpos])
@@ -58,22 +79,29 @@ def _prefill_kernel(params, cfg: GPTConfig, cond, text_tokens, text_mask,
                  + params["mel_pos_embedding"]["weight"][0])
     emb = jnp.concatenate(
         [cond.astype(text_emb.dtype), text_emb,
-         jnp.broadcast_to(start_emb, (1, 1, cfg.model_dim))], axis=1)
-    P = emb.shape[1]
+         jnp.broadcast_to(start_emb, (B, 1, cfg.model_dim))], axis=1)
     pmask = jnp.concatenate(
-        [jnp.ones((1, cfg.condition_num_latent), jnp.int32),
-         text_mask.astype(jnp.int32), jnp.ones((1, 1), jnp.int32)], axis=1)
+        [jnp.ones((B, cfg.condition_num_latent), jnp.int32),
+         text_mask.astype(jnp.int32), jnp.ones((B, 1), jnp.int32)], axis=1)
     hidden, cache = gpt2.prefill(params["gpt"], emb.astype(cache_dtype),
-                                 pmask, size, P)
+                                 pmask, size, emb.shape[1])
     logits = uv._lm_head(params, hidden[:, -1])
-    return cache.k, cache.v, pmask, logits
+    presence0 = sampling.init_penalty_presence(
+        cfg.number_mel_codes, B, prompt_token_ids=(1,),
+        start_token=cfg.start_mel_token)
+    tok, presence, _ = sampling.sample_step(
+        jax.random.fold_in(rng_base, admit_idx), logits, presence0,
+        jnp.zeros((B,), bool), stop_token=cfg.stop_mel_token,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, do_sample=do_sample)
+    return cache.k, cache.v, pmask, tok, presence
 
 
 @functools.partial(jax.jit, static_argnames=("cache_dtype",),
                    donate_argnames=("state",))
 def _insert_kernel(state: PoolState, slot, kv_k, kv_v, pmask, token,
-                   presence_row, cache_dtype):
-    """Install a prefilled request into `slot`."""
+                   presence_row, max_new_slot, cache_dtype):
+    """Install one prefilled request (row of a batched prefill) into `slot`."""
     P = kv_k.shape[3]
     cache = KVCache(
         jax.lax.dynamic_update_slice(state.cache.k, kv_k.astype(cache_dtype),
@@ -92,44 +120,75 @@ def _insert_kernel(state: PoolState, slot, kv_k, kv_v, pmask, token,
         base=state.base.at[slot].set(P),
         full_mask=full_mask,
         presence=state.presence.at[slot].set(presence_row),
+        codes=state.codes.at[slot].set(0).at[slot, 0].set(token),
         active=state.active.at[slot].set(True),
+        budget=state.budget.at[slot].set(max_new_slot),
+    )
+
+
+def _step_core(params, cfg: GPTConfig, state: PoolState, rng, cache_dtype,
+               temperature, top_k, top_p, repetition_penalty,
+               do_sample) -> PoolState:
+    """Advance every active slot one token (self-deactivating)."""
+    size = uv.trunk_size(cfg)
+    S = state.prev_tok.shape[0]
+    cache_len = state.full_mask.shape[1]
+    max_new = state.codes.shape[1]
+    active = state.active
+    # reference position numbering: generated token n → mel position n+1
+    mel_pos = jnp.clip(state.n_gen + 1, 0, cfg.max_mel_seq_len - 1)
+    emb = (params["mel_embedding"]["weight"][state.prev_tok]
+           + params["mel_pos_embedding"]["weight"][mel_pos])[:, None, :]
+    write_pos = jnp.clip(state.base + state.n_gen - 1, 0, cache_len - 1)
+    rows = jnp.arange(S)
+    full_mask = state.full_mask.at[rows, write_pos].set(
+        jnp.maximum(active.astype(jnp.int32), state.full_mask[rows, write_pos]))
+    hidden, cache = gpt2.decode_step_rows(
+        params["gpt"], emb.astype(cache_dtype), state.cache,
+        write_pos, full_mask, size)
+    logits = uv._lm_head(params, hidden[:, 0])
+    tok, presence, _ = sampling.sample_step(
+        rng, logits, state.presence, ~active,
+        stop_token=cfg.stop_mel_token, temperature=temperature,
+        top_k=top_k, top_p=top_p, repetition_penalty=repetition_penalty,
+        do_sample=do_sample)
+    slot_idx = jnp.clip(state.n_gen, 0, max_new - 1)
+    codes = state.codes.at[rows, slot_idx].set(
+        jnp.where(active, tok, state.codes[rows, slot_idx]))
+    n_gen = state.n_gen + active.astype(jnp.int32)
+    # self-deactivate: stop token sampled, or per-slot budget exhausted
+    done = jnp.logical_and(active,
+                           jnp.logical_or(tok == cfg.stop_mel_token,
+                                          n_gen >= state.budget))
+    return PoolState(
+        cache=cache, prev_tok=tok, n_gen=n_gen, base=state.base,
+        full_mask=full_mask, presence=presence, codes=codes,
+        active=jnp.logical_and(active, ~done), budget=state.budget,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "cache_dtype", "temperature", "top_k", "top_p",
-                     "repetition_penalty", "do_sample"),
+                     "repetition_penalty", "do_sample", "steps"),
     donate_argnames=("state",))
-def _step_kernel(params, cfg: GPTConfig, state: PoolState, rng, cache_dtype,
-                 temperature, top_k, top_p, repetition_penalty, do_sample):
-    """Advance every active slot one token → (state', tokens, stopped)."""
-    size = uv.trunk_size(cfg)
-    S = state.prev_tok.shape[0]
-    cache_len = state.full_mask.shape[1]
-    # reference position numbering: generated token n → mel position n+1
-    mel_pos = jnp.clip(state.n_gen + 1, 0, cfg.max_mel_seq_len - 1)
-    emb = (params["mel_embedding"]["weight"][state.prev_tok]
-           + params["mel_pos_embedding"]["weight"][mel_pos])[:, None, :]
-    write_pos = jnp.clip(state.base + state.n_gen - 1, 0, cache_len - 1)
-    full_mask = state.full_mask.at[jnp.arange(S), write_pos].set(
-        jnp.maximum(state.active.astype(jnp.int32),
-                    state.full_mask[jnp.arange(S), write_pos]))
-    hidden, cache = gpt2.decode_step_rows(
-        params["gpt"], emb.astype(cache_dtype), state.cache,
-        write_pos, full_mask, size)
-    logits = uv._lm_head(params, hidden[:, 0])
-    tok, presence, stopped = sampling.sample_step(
-        rng, logits, state.presence, ~state.active,
-        stop_token=cfg.stop_mel_token, temperature=temperature, top_k=top_k,
-        top_p=top_p, repetition_penalty=repetition_penalty, do_sample=do_sample)
-    new_state = PoolState(
-        cache=cache, prev_tok=tok,
-        n_gen=state.n_gen + state.active.astype(jnp.int32),
-        base=state.base, full_mask=full_mask, presence=presence,
-        active=state.active,
-    )
-    return new_state, tok, stopped
+def _step_kernel(params, cfg: GPTConfig, state: PoolState, rng_base, step_idx,
+                 cache_dtype, temperature, top_k, top_p, repetition_penalty,
+                 do_sample, steps: int = 1) -> Tuple[PoolState, jnp.ndarray]:
+    """`steps` decode steps in ONE dispatch (lax.scan), then a packed report
+    [S, max_new + 2] = (active, n_gen, codes-row) per slot.  Multi-step
+    ticks amortise the per-call dispatch + fetch latency of high-latency
+    links (the axon tunnel costs ~5 ms/dispatch and ~30 ms/fetch)."""
+    def body(st, i):
+        return _step_core(params, cfg, st, jax.random.fold_in(rng_base, i),
+                          cache_dtype, temperature, top_k, top_p,
+                          repetition_penalty, do_sample), None
+
+    state, _ = jax.lax.scan(body, state, step_idx + jnp.arange(steps))
+    report = jnp.concatenate(
+        [state.active.astype(jnp.int32)[:, None], state.n_gen[:, None],
+         state.codes], axis=1)
+    return state, report
 
 
 @dataclasses.dataclass
@@ -137,7 +196,6 @@ class _Request:
     req_id: int
     text_ids: np.ndarray
     max_new: int
-    codes: List[int] = dataclasses.field(default_factory=list)
     done_cb: Optional[Callable[[int, np.ndarray], None]] = None
 
 
@@ -159,20 +217,24 @@ class ContinuousBatcher:
         do_sample: bool = True,
         cache_dtype=jnp.bfloat16,
         seed: int = 0,
+        steps_per_tick: int = 1,
     ):
         self.params = params
         self.cfg = cfg
         self.cond = cond_latent
         self.S = num_slots
         self.max_new = max_new
+        self.max_text_width = max_text_width
         self.cache_len = cfg.condition_num_latent + max_text_width + 2 + 1 + max_new
         self.size = uv.trunk_size(cfg)
         self.sampling_kwargs = dict(
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, do_sample=do_sample)
         self.cache_dtype = cache_dtype
-        self.rng = jax.random.PRNGKey(seed)
+        self.rng_base = jax.random.PRNGKey(seed)
         self.step_count = 0
+        self.steps_per_tick = max(1, steps_per_tick)
+        self._admit_count = 0
 
         self.state = PoolState(
             cache=KVCache.zeros(self.size, self.S, self.cache_len, cache_dtype),
@@ -181,96 +243,139 @@ class ContinuousBatcher:
             base=jnp.zeros((self.S,), jnp.int32),
             full_mask=jnp.zeros((self.S, self.cache_len), jnp.int32),
             presence=jnp.zeros((self.S, cfg.number_mel_codes), bool),
+            codes=jnp.zeros((self.S, max_new), jnp.int32),
             active=jnp.zeros((self.S,), bool),
+            budget=jnp.zeros((self.S,), jnp.int32),
         )
         self._slot_req: List[Optional[_Request]] = [None] * self.S
+        self._slot_admit_step = [0] * self.S   # step_count at admission
         self._queue: List[_Request] = []
         self._next_id = 0
-        self._prefill_cache: Dict[int, Any] = {}
+        # one-tick-lagged report handle: (step_count_at_dispatch_end, handle)
+        self._pending_report: Optional[Tuple[int, Any]] = None
 
     # -- host-side scheduling --------------------------------------------
 
     def submit(self, text_ids: np.ndarray, max_new: Optional[int] = None,
                done_cb=None) -> int:
         req = _Request(self._next_id, np.asarray(text_ids, np.int32),
-                       max_new or self.max_new, done_cb=done_cb)
+                       min(max_new or self.max_new, self.max_new),
+                       done_cb=done_cb)
         self._next_id += 1
         self._queue.append(req)
         return req.req_id
 
     def _admit(self) -> None:
-        for slot in range(self.S):
-            if self._slot_req[slot] is not None or not self._queue:
+        """Fill every free slot from the queue with ONE batched prefill."""
+        free = [s for s in range(self.S) if self._slot_req[s] is None]
+        take = min(len(free), len(self._queue))
+        if take == 0:
+            return
+        slots = free[:take]
+        reqs = [self._queue.pop(0) for _ in range(take)]
+        prep = uv.prepare_text_prompt(
+            [r.text_ids for r in reqs],
+            self.cfg.start_text_token, self.cfg.stop_text_token)
+        # bucket batch AND width so admission shapes (and thus compiles)
+        # stay a small fixed set: B ∈ {1,2,4,8,...}, width in 32-multiples
+        Bb = 1
+        while Bb < take:
+            Bb *= 2
+        prep_w = prep.text_tokens.shape[1]
+        if prep_w > self.max_text_width + 2:
+            raise ValueError(
+                f"prompt of {prep_w - 2} text tokens exceeds the pool's "
+                f"max_text_width={self.max_text_width}")
+        width = min(max(32, -(-prep_w // 32) * 32), self.max_text_width + 2)
+        pad = width - prep_w
+        tokens = np.pad(prep.text_tokens, ((0, 0), (pad, 0)))
+        mask = np.pad(prep.attn_text, ((0, 0), (pad, 0)))
+        if Bb > take:  # pad rows; extras are never inserted
+            tokens = np.concatenate(
+                [tokens, np.repeat(tokens[-1:], Bb - take, axis=0)], axis=0)
+            mask = np.concatenate(
+                [mask, np.repeat(mask[-1:], Bb - take, axis=0)], axis=0)
+        kv_k, kv_v, pmask, tok, presence = _admit_kernel(
+            self.params, self.cfg, self.cond, jnp.asarray(tokens),
+            jnp.asarray(mask), self.rng_base, self._admit_count + (1 << 20),
+            self.cache_dtype, **self.sampling_kwargs)
+        self._admit_count += 1
+        # one small fetch per admission burst: a first-token stop means the
+        # request is already complete (empty output) and never enters a slot
+        tok_np = np.asarray(tok)
+        for i, (slot, req) in enumerate(zip(slots, reqs)):
+            if int(tok_np[i]) == self.cfg.stop_mel_token:
+                if req.done_cb:
+                    req.done_cb(req.req_id, np.zeros((0,), np.int32))
                 continue
-            req = self._queue.pop(0)
-            prep = uv.prepare_text_prompt(
-                [req.text_ids], self.cfg.start_text_token, self.cfg.stop_text_token)
-            width = max(16, -(-prep.text_tokens.shape[1] // 16) * 16)
-            pad = width - prep.text_tokens.shape[1]
-            tokens = np.pad(prep.text_tokens, ((0, 0), (pad, 0)))
-            mask = np.pad(prep.attn_text, ((0, 0), (pad, 0)))
-            kv_k, kv_v, pmask, logits = _prefill_kernel(
-                self.params, self.cfg, self.cond, jnp.asarray(tokens),
-                jnp.asarray(mask), self.cache_dtype)
-            presence0 = sampling.init_penalty_presence(
-                self.cfg.number_mel_codes, 1, prompt_token_ids=(1,),
-                start_token=self.cfg.start_mel_token)
-            self.rng, sub = jax.random.split(self.rng)
-            tok, presence, stopped = sampling.sample_step(
-                sub, logits, presence0, jnp.zeros((1,), bool),
-                stop_token=self.cfg.stop_mel_token, **self.sampling_kwargs)
             self.state = _insert_kernel(
-                self.state, jnp.int32(slot), kv_k, kv_v,
-                jnp.asarray(pmask), tok[0], presence[0], self.cache_dtype)
-            req.codes.append(int(tok[0]))
+                self.state, jnp.int32(slot),
+                jax.lax.dynamic_slice_in_dim(kv_k, i, 1, axis=1),
+                jax.lax.dynamic_slice_in_dim(kv_v, i, 1, axis=1),
+                pmask[i : i + 1], tok[i], presence[i],
+                np.int32(req.max_new), self.cache_dtype)
             self._slot_req[slot] = req
-            if int(tok[0]) == self.cfg.stop_mel_token:
-                self._finish(slot)
+            self._slot_admit_step[slot] = self.step_count
 
-    def _finish(self, slot: int) -> None:
+    def _finish(self, slot: int, n_gen: int, codes_row: np.ndarray) -> None:
         req = self._slot_req[slot]
         assert req is not None
-        codes = np.asarray(req.codes, np.int32)
+        codes = codes_row[: min(n_gen, req.max_new)]
         if len(codes) and codes[-1] == self.cfg.stop_mel_token:
             codes = codes[:-1]
         if req.done_cb:
             req.done_cb(req.req_id, codes)
         self._slot_req[slot] = None
-        self.state = self.state._replace(
-            active=self.state.active.at[slot].set(False))
+
+    def _process_report(self, report: np.ndarray, at_step: int) -> None:
+        """Finish slots the report shows inactive.  The report is a
+        device-state snapshot at `at_step`; slots admitted at or after that
+        step are newer than the snapshot and must be skipped."""
+        active, n_gen = report[:, 0].astype(bool), report[:, 1]
+        for slot, req in enumerate(self._slot_req):
+            if req is None or self._slot_admit_step[slot] >= at_step:
+                continue
+            if not active[slot]:
+                self._finish(slot, int(n_gen[slot]), report[slot, 2:])
 
     def step(self) -> int:
-        """One scheduler tick: admit, advance, emit.  Returns number of
-        active slots after the tick."""
+        """One scheduler tick (`steps_per_tick` decode steps in one
+        dispatch): admit, advance, emit (one tick late).  Returns number of
+        live slots after the tick."""
         self._admit()
         if not any(r is not None for r in self._slot_req):
+            self.flush()
             return 0
-        self.rng, sub = jax.random.split(self.rng)
-        self.state, tok, stopped = _step_kernel(
-            self.params, self.cfg, self.state, sub, self.cache_dtype,
+        self.state, report = _step_kernel(
+            self.params, self.cfg, self.state, self.rng_base, self.step_count,
+            self.cache_dtype, steps=self.steps_per_tick,
             **self.sampling_kwargs)
-        self.step_count += 1
-        tok_np = np.asarray(tok)
-        stopped_np = np.asarray(stopped)
-        for slot, req in enumerate(self._slot_req):
-            if req is None:
-                continue
-            req.codes.append(int(tok_np[slot]))
-            if stopped_np[slot] or len(req.codes) >= req.max_new:
-                self._finish(slot)
+        self.step_count += self.steps_per_tick
+        prev = self._pending_report
+        self._pending_report = (self.step_count, report)
+        if prev is not None:
+            self._process_report(np.asarray(prev[1]), prev[0])
         return sum(r is not None for r in self._slot_req)
+
+    def flush(self) -> None:
+        """Process the lagged report of the final tick."""
+        if self._pending_report is not None:
+            at_step, handle = self._pending_report
+            self._pending_report = None
+            self._process_report(np.asarray(handle), at_step)
 
     def run(self) -> Dict[int, np.ndarray]:
         """Drain the queue; returns {req_id: codes}."""
         results: Dict[int, np.ndarray] = {}
+        out_cb = lambda rid, codes: results.__setitem__(rid, codes)
         for slot in range(self.S):
             req = self._slot_req[slot]
             if req is not None and req.done_cb is None:
-                req.done_cb = lambda rid, codes: results.__setitem__(rid, codes)
-        out_cb = lambda rid, codes: results.__setitem__(rid, codes)
+                req.done_cb = out_cb
         for req in self._queue:
             if req.done_cb is None:
                 req.done_cb = out_cb
         while self._queue or any(r is not None for r in self._slot_req):
             self.step()
+        self.flush()
         return results

@@ -106,3 +106,21 @@ def test_engine_create_batcher(tmp_path):
            for t in ["你好。", "再見。", "早安。"]]
     results = batcher.run()
     assert set(results) == set(ids)
+
+
+def test_pool_multistep_tick_matches(setup):
+    """steps_per_tick>1 (multi-step scan per dispatch) must produce the
+    same greedy outputs as single-step ticks."""
+    params, cond, rng = setup
+    texts = [rng.integers(2, 40, (n,)) for n in (7, 5, 9)]
+    outs = []
+    for spt in (1, 4):
+        b = ContinuousBatcher(
+            params, CFG, cond, num_slots=2, max_text_width=16, max_new=12,
+            do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32,
+            steps_per_tick=spt)
+        ids = [b.submit(t) for t in texts]
+        res = b.run()
+        outs.append([res[i] for i in ids])
+    for a, b_ in zip(*outs):
+        np.testing.assert_array_equal(a, b_)
