@@ -63,7 +63,7 @@ def main() -> None:
         rng.standard_normal((1, cfg.condition_num_latent, cfg.model_dim)),
         jnp.bfloat16)
 
-    def measure(p, label, B, fused=False):
+    def measure(p, label, B, fused=False, kv=None):
         texts = [rng.integers(2, cfg.number_text_tokens, (text_len,))
                  for _ in range(B)]
         prep = uv.prepare_text_prompt(texts, cfg.start_text_token,
@@ -76,7 +76,7 @@ def main() -> None:
                 p, cfg, cond, tokens, mask, key, max_new=max_new,
                 temperature=1.0, top_k=30, top_p=0.8,
                 repetition_penalty=10.0, do_sample=True,
-                use_fused_trunk=fused)
+                use_fused_trunk=fused, kv_dtype=kv)
 
         # warmup/compile — fetch a value to host: on the tunnel-attached
         # backend only a real transfer guarantees completion
@@ -95,7 +95,7 @@ def main() -> None:
               f"→ {rate:.1f} tok/s", file=sys.stderr)
         return rate
 
-    def measure_beam(p, label, num_beams=3):
+    def measure_beam(p, label, num_beams=3, kv=None):
         """Output tok/s at the reference DEFAULT decode settings
         (num_beams=3, infer.py:628-635)."""
         texts = [rng.integers(2, cfg.number_text_tokens, (text_len,))]
@@ -108,7 +108,7 @@ def main() -> None:
             return uv.inference_speech_beam(
                 p, cfg, cond, tokens, mask, key, max_new=max_new,
                 num_beams=num_beams, temperature=1.0, top_k=30, top_p=0.8,
-                repetition_penalty=10.0, do_sample=True)
+                repetition_penalty=10.0, do_sample=True, kv_dtype=kv)
 
         for i in range(2):
             _ = np.asarray(run(jax.random.PRNGKey(i)).lengths)
@@ -125,14 +125,16 @@ def main() -> None:
               file=sys.stderr)
         return rate
 
+    FP8 = jnp.float8_e4m3fn
     batches = [args.batch] if args.batch else [1, 8]
     best = 0.0
     for B in batches:
         measure(params, "bf16", B)
         best = max(best, measure(params_q, "int8-weights", B))
+        best = max(best, measure(params_q, "int8+fp8kv", B, kv=FP8))
         if B == 1 and jax.default_backend() == "tpu":
             best = max(best, measure(params_q, "int8-fused-trunk", B, fused=True))
-            measure_beam(params_q, "int8-beam")
+            measure_beam(params_q, "int8-beam+fp8kv", kv=FP8)
     tok_per_sec = best
     gpt_rtf = 23.4 / max(tok_per_sec, 1e-9)  # codes/sec of audio ÷ decode rate
     print(f"[bench] best config implies GPT-stage RTF={gpt_rtf:.4f} "

@@ -111,6 +111,12 @@ def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """q,k,v: [B, H, T, hd]; bias: additive mask broadcastable to
     [B, H, Tq, Tk].  fp32 softmax."""
     head_dim = q.shape[-1]
+    # the cache may be stored narrower than the compute dtype (fp8 KV tier);
+    # upcast at read — the convert fuses into the HBM read
+    if k.dtype != q.dtype:
+        k = k.astype(q.dtype)
+    if v.dtype != q.dtype:
+        v = v.astype(q.dtype)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(head_dim) + bias
@@ -189,11 +195,13 @@ def forward(params: Dict[str, Any], hidden: jnp.ndarray,
 
 def prefill(params: Dict[str, Any], hidden: jnp.ndarray,
             attention_mask: jnp.ndarray, size: GPT2Size,
-            cache_len: int) -> Tuple[jnp.ndarray, KVCache]:
+            cache_len: int, kv_dtype=None) -> Tuple[jnp.ndarray, KVCache]:
     """Process the prompt and build the KV cache.
 
     hidden: [B, T, D]; attention_mask: [B, T].  The cache is allocated at
-    `cache_len` (static) with the first T slots filled.
+    `cache_len` (static) with the first T slots filled, stored as
+    `kv_dtype` (default: the compute dtype; pass jnp.float8_e4m3fn for the
+    half-traffic fp8 KV tier).
     Returns (ln_f output [B, T, D], cache).
     """
     B, T, _ = hidden.shape
@@ -212,6 +220,8 @@ def prefill(params: Dict[str, Any], hidden: jnp.ndarray,
         pad = cache_len - T
         k = jnp.pad(kv_out["k"], ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(kv_out["v"], ((0, 0), (0, 0), (0, pad), (0, 0)))
+        if kv_dtype is not None:
+            k, v = k.astype(kv_dtype), v.astype(kv_dtype)
         return h, (k, v)
 
     hidden, (ks, vs) = jax.lax.scan(body, hidden, params["blocks"])

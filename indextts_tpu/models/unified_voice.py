@@ -365,7 +365,8 @@ class DecodeResult(NamedTuple):
     jax.jit,
     static_argnames=("cfg", "max_new", "do_sample", "top_k", "cache_dtype",
                      "temperature", "top_p", "repetition_penalty",
-                     "typical_sampling", "typical_mass", "use_fused_trunk"),
+                     "typical_sampling", "typical_mass", "use_fused_trunk",
+                     "kv_dtype"),
 )
 def inference_speech(
     params: Dict[str, Any],
@@ -384,6 +385,7 @@ def inference_speech(
     typical_mass: float = 0.9,
     cache_dtype=jnp.bfloat16,
     use_fused_trunk: bool = False,
+    kv_dtype=None,
 ) -> DecodeResult:
     """Autoregressive mel-code generation (replaces HF generate,
     gpt/model.py:669-720) as one jitted program: prefill + while_loop decode
@@ -417,7 +419,8 @@ def inference_speech(
          jnp.ones((B, 1), jnp.int32)], axis=1)
 
     hidden, cache = gpt2.prefill(
-        params["gpt"], prefill_emb.astype(cache_dtype), prefill_mask, size, cache_len)
+        params["gpt"], prefill_emb.astype(cache_dtype), prefill_mask, size,
+        cache_len, kv_dtype=kv_dtype)
     first_logits = _lm_head(params, hidden[:, -1])
 
     full_mask = jnp.zeros((B, cache_len), jnp.int32).at[:, :P].set(prefill_mask)
@@ -438,7 +441,8 @@ def inference_speech(
     # the fused Pallas trunk works on a flat [L, T, D] cache; flatten ONCE at
     # prefill and keep that layout across the whole while_loop (the former
     # per-step flatten/unflatten cost a full cache pass per token)
-    fused = use_fused_trunk and B == 1
+    # the fused Pallas trunk has no fp8 path on this Mosaic build
+    fused = use_fused_trunk and B == 1 and kv_dtype is None
     if fused:
         from indextts_tpu.ops.pallas.decode_layer import (
             flatten_cache, fused_decode_trunk_flat)
@@ -506,7 +510,7 @@ def inference_speech(
     static_argnames=("cfg", "max_new", "num_beams", "do_sample", "top_k",
                      "cache_dtype", "temperature", "top_p",
                      "repetition_penalty", "typical_sampling", "typical_mass",
-                     "reorder"),
+                     "reorder", "kv_dtype"),
 )
 def inference_speech_beam(
     params: Dict[str, Any],
@@ -525,7 +529,8 @@ def inference_speech_beam(
     typical_sampling: bool = False,
     typical_mass: float = 0.9,
     cache_dtype=jnp.bfloat16,
-    reorder: str = "dslice",   # see _REORDER_MODES below
+    reorder: str = "dslice",   # see the strategy menu in `select`
+    kv_dtype=None,             # e.g. jnp.float8_e4m3fn: half-traffic KV tier
 ) -> DecodeResult:
     """Beam(-sample) mel-code generation, HF 4.44 semantics (ops/beam.py
     flat_scores): log_softmax → processors (repetition penalty, typical) →
@@ -570,7 +575,7 @@ def inference_speech_beam(
 
     hidden, cache = gpt2.prefill(
         params["gpt"], tile(prefill_emb).astype(cache_dtype),
-        tile(prefill_mask), size, cache_len)
+        tile(prefill_mask), size, cache_len, kv_dtype=kv_dtype)
     logits0 = _lm_head(params, hidden[:, -1])             # [B*nb, V]
 
     full_mask = jnp.zeros((B * nb, cache_len), jnp.int32).at[:, :P].set(

@@ -104,10 +104,10 @@ def _insert_kernel(state: PoolState, slot, kv_k, kv_v, pmask, token,
     """Install one prefilled request (row of a batched prefill) into `slot`."""
     P = kv_k.shape[3]
     cache = KVCache(
-        jax.lax.dynamic_update_slice(state.cache.k, kv_k.astype(cache_dtype),
-                                      (0, slot, 0, 0, 0)),
-        jax.lax.dynamic_update_slice(state.cache.v, kv_v.astype(cache_dtype),
-                                      (0, slot, 0, 0, 0)),
+        jax.lax.dynamic_update_slice(
+            state.cache.k, kv_k.astype(state.cache.k.dtype), (0, slot, 0, 0, 0)),
+        jax.lax.dynamic_update_slice(
+            state.cache.v, kv_v.astype(state.cache.v.dtype), (0, slot, 0, 0, 0)),
     )
     cache_len = state.full_mask.shape[1]
     row_mask = jnp.zeros((1, cache_len), jnp.int32)
@@ -216,6 +216,7 @@ class ContinuousBatcher:
         repetition_penalty: float = 10.0,
         do_sample: bool = True,
         cache_dtype=jnp.bfloat16,
+        kv_dtype=None,            # e.g. jnp.float8_e4m3fn: half-traffic KV
         seed: int = 0,
         steps_per_tick: int = 1,
     ):
@@ -231,13 +232,15 @@ class ContinuousBatcher:
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, do_sample=do_sample)
         self.cache_dtype = cache_dtype
+        self.kv_dtype = kv_dtype
         self.rng_base = jax.random.PRNGKey(seed)
         self.step_count = 0
         self.steps_per_tick = max(1, steps_per_tick)
         self._admit_count = 0
 
         self.state = PoolState(
-            cache=KVCache.zeros(self.size, self.S, self.cache_len, cache_dtype),
+            cache=KVCache.zeros(self.size, self.S, self.cache_len,
+                                kv_dtype or cache_dtype),
             prev_tok=jnp.full((self.S,), cfg.stop_mel_token, jnp.int32),
             n_gen=jnp.zeros((self.S,), jnp.int32),
             base=jnp.zeros((self.S,), jnp.int32),
