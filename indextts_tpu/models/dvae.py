@@ -17,7 +17,7 @@ quantiser state; under a data-parallel mesh the statistics are reduced with
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -184,3 +184,45 @@ def ema_update(codebook: Dict[str, Any], z: jnp.ndarray, codes: jnp.ndarray,
     smoothed = (cluster_size + eps) / (n + n_embed * eps) * n
     embed = embed_avg / smoothed[None]
     return {"embed": embed, "cluster_size": cluster_size, "embed_avg": embed_avg}
+
+
+def rebalance_codes(codebook: Dict[str, Any], usage: jnp.ndarray,
+                    rng: jax.Array, hi: float = 0.9, lo: float = 0.01
+                    ) -> Tuple[Dict[str, Any], jnp.ndarray]:
+    """Dead/dominant-code rebalancing (the reference's balancing_heuristic,
+    xtts_dvae.py:78-87): codes whose recent usage fraction is > hi or < lo
+    are re-initialised to random embeddings and their EMA cluster size is
+    zeroed.  Functional TPU form: the caller maintains `usage` (a [n_embed]
+    fraction histogram over the recent code window, xtts_dvae.py:100-107)
+    and threads the codebook state.  Returns (codebook', n_reset)."""
+    n_embed = codebook["embed"].shape[1]
+    mask = jnp.logical_or(usage > hi, usage < lo)              # [n_embed]
+    rand = jax.random.normal(rng, codebook["embed"].shape,
+                             codebook["embed"].dtype)
+    keep = ~mask[None, :]
+    embed = jnp.where(keep, codebook["embed"], rand)
+    embed_avg = jnp.where(keep, codebook["embed_avg"], rand)
+    cluster = jnp.where(mask, 0.0, codebook["cluster_size"])
+    return ({"embed": embed, "cluster_size": cluster, "embed_avg": embed_avg},
+            jnp.sum(mask.astype(jnp.int32)))
+
+
+def discretization_loss(x: jnp.ndarray, dim: int, expected_variance: float,
+                        past_mean: Optional[jnp.ndarray] = None,
+                        past_count: int = 0) -> jnp.ndarray:
+    """DiscretizationLoss (xtts_dvae.py:141-174): pushes the per-bin usage
+    distribution of `x` (summed over all axes but `dim`, normalised, mean-
+    subtracted) toward a zero-mean Normal with the expected variance.  The
+    reference's optional `store_past` accumulator becomes explicit state:
+    pass the running mean of past windows (and how many) to blend
+    (past_mean*(n-1) + current)/n exactly as xtts_dvae.py:160-173."""
+    other = tuple(i for i in range(x.ndim) if i != dim)
+    averaged = x.sum(axis=other) / x.sum()
+    averaged = averaged - averaged.mean()
+    if past_mean is not None and past_count > 0:
+        acc = past_count
+        averaged = past_mean * (acc - 1) / acc + averaged / acc
+    var = expected_variance
+    logp = (-0.5 * jnp.square(averaged / var)
+            - jnp.log(jnp.sqrt(2.0 * jnp.pi) * var))
+    return jnp.sum(-logp)

@@ -617,6 +617,9 @@ def inference_speech_beam(
         #   pallas  2.20  copy kernel w/ scalar-prefetch rows
         #   full    ~3    XLA row gather under a cond
         #   none    0     diagnostic only (WRONG results)
+        # (a suffix-only bucketed dslice variant was measured WORSE — the
+        # slice→update pattern under lax.switch forces full-cache copies:
+        # 4.36 vs 2.64 ms/step at B=1 — so the whole-row dslice stays)
         if reorder == "none":
             pass
         elif reorder == "dslice":

@@ -1,0 +1,211 @@
+"""Dependency-free synthesis server (Python stdlib http.server).
+
+The full-featured server is `serve/api.py` (FastAPI, multipart uploads —
+mirrors the reference api.py:38-319).  FastAPI is an optional extra; this
+fallback serves the same contract with zero dependencies so the HTTP
+surface works (and is testable) in minimal images:
+
+  GET  /health                     → {"status": "ok", ...}
+  GET  /models                     → checkpoint discovery
+  POST /model/reload               → {"gpt_path": ...} (JSON or form)
+  POST /tts                        → JSON {"text": ..., "audio_path"|
+                                     "speaker_id": ..., sampling params,
+                                     "seed"} → WAV bytes, X-Seed header
+
+File uploads need the FastAPI server; here the prompt is a server-side
+`audio_path` (the reference supports both, api.py:199-216).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from indextts_tpu.engine import IndexTTS
+
+
+class TTSService:
+    """Engine holder shared by the handlers (lazy init + hot reload)."""
+
+    def __init__(self, cfg_path: str, model_dir: str,
+                 gpt_path: Optional[str] = None,
+                 speaker_info_path: Optional[str] = None,
+                 engine_instance: Optional[IndexTTS] = None):
+        self.cfg_path = cfg_path
+        self.model_dir = model_dir
+        self.gpt_path = gpt_path
+        self.speaker_info_path = speaker_info_path
+        self._tts = engine_instance
+        self._lock = threading.Lock()
+
+    def engine(self) -> IndexTTS:
+        with self._lock:
+            if self._tts is None:
+                self._tts = IndexTTS(
+                    cfg_path=self.cfg_path, model_dir=self.model_dir,
+                    gpt_path=self.gpt_path,
+                    speaker_info_path=self.speaker_info_path)
+            return self._tts
+
+    def models(self) -> Dict[str, Any]:
+        found = []
+        for root in (self.model_dir, os.path.join(self.model_dir, "..")):
+            if not os.path.isdir(root):
+                continue
+            for name in sorted(os.listdir(root)):
+                if name.endswith(".pth") or name.startswith("model_epoch_"):
+                    found.append(os.path.join(root, name))
+        return {"models": found, "current": self.gpt_path}
+
+    def reload(self, gpt_path: str) -> Dict[str, Any]:
+        resolved = (gpt_path if os.path.isabs(gpt_path)
+                    else os.path.join(self.model_dir, gpt_path))
+        if not os.path.exists(resolved):
+            raise FileNotFoundError(resolved)
+        with self._lock:
+            self.gpt_path = gpt_path
+            self._tts = None  # lazily rebuilt with the new weights
+        return {"status": "reloaded", "gpt_path": gpt_path}
+
+    def tts(self, req: Dict[str, Any]) -> bytes:
+        text = req.get("text")
+        if not text:
+            raise ValueError("missing 'text'")
+        prompt = req.get("audio_path")
+        speaker_id = req.get("speaker_id")
+        if not prompt and not speaker_id:
+            raise ValueError("need 'audio_path' or 'speaker_id'")
+        seed = req.get("seed")
+        used_seed = int(seed) if seed is not None else int(
+            time.time_ns() % (2**31))
+        gen = dict(
+            do_sample=bool(req.get("do_sample", True)),
+            top_p=float(req.get("top_p", 0.8)),
+            top_k=int(req.get("top_k", 30)),
+            temperature=float(req.get("temperature", 1.0)),
+            repetition_penalty=float(req.get("repetition_penalty", 10.0)),
+            max_mel_tokens=int(req.get("max_mel_tokens", 600)),
+        )
+        if "num_beams" in req:
+            gen["num_beams"] = int(req["num_beams"])
+        eng = self.engine()
+        eng._rng_seed = used_seed
+        out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+        out.close()
+        try:
+            mode = req.get("mode", "fast")
+            mtps = int(req.get("max_text_tokens_per_sentence", 100))
+            if mode == "fast" and not speaker_id:
+                eng.infer_fast(
+                    prompt, text, out.name,
+                    max_text_tokens_per_sentence=mtps,
+                    sentences_bucket_max_size=int(
+                        req.get("sentences_bucket_max_size", 4)),
+                    **gen)
+            else:
+                eng.infer(prompt, text, out.name, speaker_id=speaker_id,
+                          max_text_tokens_per_sentence=mtps, **gen)
+            with open(out.name, "rb") as f:
+                data = f.read()
+        finally:
+            os.unlink(out.name)
+        self.last_seed = used_seed
+        return data
+
+
+def make_handler(service: TTSService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj: Dict[str, Any]) -> None:
+            body = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> Dict[str, Any]:
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            raw = self.rfile.read(n) if n else b""
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            if ctype == "application/json":
+                return json.loads(raw.decode("utf-8") or "{}")
+            pairs = urllib.parse.parse_qsl(raw.decode("utf-8"))
+            return dict(pairs)
+
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/health":
+                self._json(200, {"status": "ok",
+                                 "model_loaded": service._tts is not None})
+            elif path == "/models":
+                self._json(200, service.models())
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            path = urllib.parse.urlparse(self.path).path
+            try:
+                req = self._read_body()
+            except Exception as e:  # noqa: BLE001
+                self._json(400, {"error": f"bad body: {e}"})
+                return
+            if path == "/model/reload":
+                gpt_path = req.get("gpt_path")
+                if not gpt_path:
+                    self._json(400, {"error": "missing gpt_path"})
+                    return
+                try:
+                    self._json(200, service.reload(gpt_path))
+                except FileNotFoundError as e:
+                    self._json(404, {"error": f"checkpoint not found: {e}"})
+            elif path == "/tts":
+                try:
+                    data = service.tts(req)
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(data)))
+                self.send_header("X-Seed", str(service.last_seed))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+    return Handler
+
+
+def serve(cfg_path: str = "checkpoints/config.yaml",
+          model_dir: str = "checkpoints", host: str = "0.0.0.0",
+          port: int = 7859, **kwargs) -> ThreadingHTTPServer:
+    service = TTSService(cfg_path, model_dir, **kwargs)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    return httpd
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="IndexTTS stdlib HTTP server")
+    p.add_argument("--config", default="checkpoints/config.yaml")
+    p.add_argument("--model_dir", default="checkpoints")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=7859)
+    args = p.parse_args(argv)
+    httpd = serve(args.config, args.model_dir, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,53 @@ def test_ema_update_moves_codebook(models):
     assert not np.allclose(np.asarray(new_cb["cluster_size"]),
                            np.asarray(params["codebook"]["cluster_size"]))
     assert np.isfinite(np.asarray(new_cb["embed"])).all()
+
+
+def test_rebalance_codes_matches_torch():
+    """Dead/dominant-code rebalancing vs the reference heuristic
+    (xtts_dvae.py:78-87) on the same usage histogram."""
+    import torch
+
+    from indextts_tpu.models import dvae as dvae_model
+
+    import jax
+
+    rng = np.random.default_rng(0)
+    n_embed, dim = 16, 8
+    embed = rng.standard_normal((dim, n_embed)).astype(np.float32)
+    cluster = rng.uniform(0, 5, (n_embed,)).astype(np.float32)
+    usage = rng.uniform(0, 0.5, (n_embed,)).astype(np.float32)
+    usage[3] = 0.95   # dominant
+    usage[7] = 0.001  # dead
+    cb = {"embed": jnp.asarray(embed), "cluster_size": jnp.asarray(cluster),
+          "embed_avg": jnp.asarray(embed.copy())}
+    new, n_reset = dvae_model.rebalance_codes(cb, jnp.asarray(usage),
+                                              jax.random.PRNGKey(0))
+    assert int(n_reset) == 2
+    # torch-mirror of the masking math (random values differ by RNG; check
+    # the kept/zeroed structure)
+    mask = np.logical_or(usage > 0.9, usage < 0.01)
+    np.testing.assert_array_equal(np.asarray(new["cluster_size"])[mask], 0.0)
+    np.testing.assert_allclose(np.asarray(new["cluster_size"])[~mask],
+                               cluster[~mask])
+    np.testing.assert_allclose(np.asarray(new["embed"])[:, ~mask],
+                               embed[:, ~mask])
+    assert not np.allclose(np.asarray(new["embed"])[:, mask], embed[:, mask])
+
+
+def test_discretization_loss_matches_torch():
+    import torch
+
+    from indextts_tpu.models import dvae as dvae_model
+
+    rng = np.random.default_rng(1)
+    x = np.abs(rng.standard_normal((4, 10, 6))).astype(np.float32)
+    ours = float(dvae_model.discretization_loss(jnp.asarray(x), dim=2,
+                                                expected_variance=0.2))
+    t = torch.from_numpy(x)
+    other = (0, 1)
+    averaged = t.sum(dim=other) / t.sum()
+    averaged = averaged - averaged.mean()
+    dist = torch.distributions.Normal(0, scale=0.2)
+    ref = float(torch.sum(-dist.log_prob(averaged)))
+    assert abs(ours - ref) < 1e-4 * max(1.0, abs(ref))

@@ -1,0 +1,100 @@
+"""HTTP serving surface over a real socket (stdlib server; the FastAPI
+server in serve/api.py shares the same contract, reference api.py:38-319)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import warnings
+
+    import jax
+
+    from indextts_tpu import engine as engine_mod
+    from indextts_tpu.config import Config
+    from indextts_tpu.serve.httpd import serve
+
+    d = tmp_path_factory.mktemp("srv")
+    cfg = Config.from_dict({
+        "gpt": {"model_dim": 64, "layers": 2, "heads": 4, "max_mel_tokens": 64,
+                "max_text_tokens": 120,
+                "condition_module": {"output_size": 32, "linear_units": 64,
+                                      "attention_heads": 4, "num_blocks": 2,
+                                      "perceiver_mult": 2}},
+        "bigvgan": {"upsample_rates": [2], "upsample_kernel_sizes": [4],
+                     "upsample_initial_channel": 16,
+                     "resblock_kernel_sizes": [3],
+                     "resblock_dilation_sizes": [[1]],
+                     "speaker_embedding_dim": 8, "gpt_dim": 64,
+                     "use_fused_kernel": False},
+        "gpt_checkpoint": "model_epoch_0",  # exercises /models discovery
+    })
+    cfg.save(str(d / "config.yaml"))
+    import shutil
+
+    shutil.copy("/root/reference/vocab.txt", d / "vocab.txt")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        eng = engine_mod.IndexTTS(cfg_path=str(d / "config.yaml"),
+                                  model_dir=str(d),
+                                  precision_config={"gpt": "fp32",
+                                                     "vocoder": "fp32"})
+    httpd = serve(str(d / "config.yaml"), str(d), host="127.0.0.1", port=0,
+                  engine_instance=eng)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, dict(r.headers), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def test_health_and_models(server):
+    code, body = _get(server + "/health")
+    assert code == 200 and body["status"] == "ok"
+    code, body = _get(server + "/models")
+    assert code == 200 and "models" in body
+
+
+def test_tts_over_socket(server):
+    code, headers, data = _post(server + "/tts", {
+        "text": "你好。",
+        "audio_path": "/root/reference/tests/sample_prompt.wav",
+        "max_mel_tokens": 8, "do_sample": False, "repetition_penalty": 1.0,
+        "num_beams": 1, "seed": 42,
+    })
+    assert code == 200, data
+    assert headers["Content-Type"] == "audio/wav"
+    assert headers["X-Seed"] == "42"
+    assert data[:4] == b"RIFF" and len(data) > 100
+
+
+def test_tts_missing_prompt_rejected(server):
+    code, _, data = _post(server + "/tts", {"text": "hi"})
+    assert code == 400
+    assert b"audio_path" in data
+
+
+def test_reload_unknown_checkpoint(server):
+    code, _, data = _post(server + "/model/reload", {"gpt_path": "nope.pth"})
+    assert code == 404
