@@ -53,8 +53,11 @@ def _resolve_dtype(name: str):
         return jnp.bfloat16
     if name in ("fp16", "float16"):
         return jnp.float16
-    if name in ("fp8",):
-        return jnp.bfloat16  # fp8 weight flow handled by quantization tier
+    if name in ("fp8", "int8", "int4"):
+        # quantized weight tiers compute in bf16 (the quantization itself is
+        # applied separately); falling through to fp32 here would silently
+        # double the cache/compute width
+        return jnp.bfloat16
     return jnp.float32
 
 
@@ -340,24 +343,25 @@ class IndexTTS:
             cache_dtype=self.gpt_dtype if self.gpt_dtype != jnp.float32 else jnp.float32,
             kv_dtype=generation.get("kv_dtype", self.kv_cache_dtype),
         )
-        # fused Pallas trunk: single-stream int8 on TPU (1032 vs 753 tok/s).
-        # Its VMEM cache working copies cap the cache length at ~976 slots —
-        # beyond that, fall back to the XLA step instead of a compile OOM.
-        fused_fits = (self.cfg.gpt.condition_num_latent + width + 1
-                      + kwargs["max_new"]) <= 960
+        # fused Pallas trunk: single-stream int8 on TPU (1058 tok/s at the
+        # default max_mel_tokens=600 vs 791 XLA+fp8kv).  The kernel streams
+        # the cache in chunks with an online softmax, so any cache length
+        # compiles in constant VMEM.
         use_fused = bool(generation.get(
             "use_fused_trunk",
             len(token_lists) == 1 and self.use_quantization
-            and jax.default_backend() == "tpu")) and fused_fits
+            and jax.default_backend() == "tpu"))
         if num_beams > 1:
             result = uv.inference_speech_beam(
                 self.gpt_params, self.cfg.gpt, cond_latent,
                 jnp.asarray(tokens), jnp.asarray(mask), rng,
                 num_beams=num_beams, **kwargs)
         else:
-            if use_fused:
-                # the fused trunk (1032 tok/s) beats XLA+fp8-KV (774);
-                # it has no fp8 path, so keep the cache at compute dtype
+            if use_fused and generation.get("kv_dtype") is None:
+                # measured: fused+bf16 1042 tok/s beats fused+fp8 803 (the
+                # in-kernel fp8 casts outweigh the traffic saved); fp8 only
+                # pays off for XLA steps, so the fused path keeps bf16 KV
+                # unless the caller forces otherwise
                 kwargs["kv_dtype"] = None
             result = uv.inference_speech(
                 self.gpt_params, self.cfg.gpt, cond_latent,

@@ -410,9 +410,11 @@ def inference_speech(
         [cond_latent.astype(text_emb.dtype), text_emb,
          jnp.broadcast_to(start_emb, (B, 1, cfg.model_dim))], axis=1)
     P = cond_len + Ltot + 1
-    # 8-aligned cache length: required by the fused Pallas trunk's VMEM
-    # tiling, harmless for the XLA path (extra slots are never unmasked)
-    cache_len = -(-(P + max_new) // 8) * 8
+    # cache length alignment: the fused Pallas trunk streams the cache in
+    # 256-slot chunks (extra slots are masked and never unmasked); the XLA
+    # path only needs 8-alignment
+    align = 128 if (use_fused_trunk and B == 1) else 8
+    cache_len = -(-(P + max_new) // align) * align
 
     prefill_mask = jnp.concatenate(
         [jnp.ones((B, cond_len), jnp.int32), text_mask.astype(jnp.int32),
@@ -441,8 +443,9 @@ def inference_speech(
     # the fused Pallas trunk works on a flat [L, T, D] cache; flatten ONCE at
     # prefill and keep that layout across the whole while_loop (the former
     # per-step flatten/unflatten cost a full cache pass per token)
-    # the fused Pallas trunk has no fp8 path on this Mosaic build
-    fused = use_fused_trunk and B == 1 and kv_dtype is None
+    # the fused Pallas trunk handles bf16 and fp8 caches (fp8 halves its
+    # VMEM working copies, doubling the supported cache length)
+    fused = use_fused_trunk and B == 1
     if fused:
         from indextts_tpu.ops.pallas.decode_layer import (
             flatten_cache, fused_decode_trunk_flat)

@@ -6,31 +6,31 @@ decode is *per-op overhead* bound, not bandwidth bound.  This kernel runs
 the whole GPT trunk (all L layers: LN1 → qkv → cached attention → proj →
 LN2 → MLP) as ONE pallas_call per decode step: weights stream layer-by-
 layer through Pallas' block pipeline, the hidden state stays resident in
-VMEM scratch, and the KV cache lives in HBM with manual per-layer DMA.
+VMEM scratch, and the KV cache streams through the same pipeline in
+T-chunks with an ONLINE (flash-style) softmax — so VMEM use is constant
+in the cache length and any cache_len compiles (the earlier whole-cache
+working copies hit a Mosaic compiler crash past ~472 slots and VMEM OOM
+past ~976).
 
 Mosaic constraints engineered around (micro-bisected on this image):
   * lane↔sublane reshapes (e.g. [1, D] → [H, hd]) crash → the cache is kept
     FLAT per layer ([L, T, D], head-major) and per-head reductions are
     matmuls with a constant 0/1 head-indicator matrix M [D, H]:
-        scores[T, H] = (k_all ⊙ q) @ M
-        ctx[1, D]    = Σ_T (probs @ Mᵀ) ⊙ v_all
-  * dynamic `pl.ds` stores into >2D blocks crash → the token's K/V row is
-    merged into the VMEM working copy with an iota mask, and written back to
-    HBM with a single-row async DMA.
+        scores[Tc, H] = (k_chunk ⊙ q) @ M
+        ctx[1, D]     = Σ_chunks rescale(ctx) + Σ_t (p @ Mᵀ) ⊙ v_chunk
+  * dynamic `pl.ds` stores into >2D blocks crash → the current token's K/V
+    row is merged into its chunk with an iota mask and emitted as a
+    per-layer row output; the caller scatters it into the HBM cache.
 
-VMEM budget (why the structure looks like this): at 24L/1280d the naive
-all-blocks-in-VMEM version needs ~19 MB (> 16 MB).  Here qkv is processed
-in three column phases (q, k, v — each selects a static scratch, no dynamic
-stores), the MLP in `n_chunks` column blocks, and the cache stays in HBM
-(1.5 MB VMEM working copy), for ~11 MB total with double buffering.
+Grid: (L, 3 + n_tc + n_chunks), minor axis fastest:
+  c == 0               q phase   (+ hidden-state init on layer 0)
+  c == 1               k phase
+  c == 2               v phase   (+ online-softmax state reset)
+  c in [3, 3+n_tc)     attention over cache chunk c-3 (online softmax);
+                       the last chunk finalises: ctx/Σ, residual, LN2
+  c >= 3+n_tc          MLP column block (last one finishes the layer)
 
-Grid: (L, 3 + n_chunks), minor axis fastest:
-  c == 0      q phase   (+ hidden-state init on layer 0, cache DMA start)
-  c == 1      k phase
-  c == 2      v phase + attention (+ h2, MLP accumulator reset)
-  c >= 3      MLP column block c-3  (last one finishes the layer)
-
-Supports bf16 weights and int8 weight-only dicts {"q", "s"} (per-output
+Supports bf16/fp8 caches and int8 weight-only dicts {"q", "s"} (per-output
 scales folded into the matmul outputs).  B=1 only — batched decode stays on
 XLA where weight reads amortise across the batch.
 """
@@ -47,11 +47,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+_M_INIT = -1e30
 
 
 def _kernel(
     pos_ref,                                # scalar-prefetch: [1] int32
-    x_ref, mask_ref,                        # [1, D], [T, 1]
+    x_ref,                                  # [1, D]
+    mask_ref,                               # [Tc, 1] chunk of the mask
     head_mat_ref,                           # [D, H] 0/1 head indicator
     ln1_s_ref, ln1_b_ref,
     qkv_w_ref, qkv_s_ref, qkv_b_ref,        # qkv column phase blocks [1,D,D]
@@ -59,19 +61,18 @@ def _kernel(
     ln2_s_ref, ln2_b_ref,
     fc_w_ref, fc_s_ref, fc_b_ref,
     mproj_w_ref, mproj_s_ref, mproj_b_ref,
-    k_hbm_ref, v_hbm_ref,                   # [L, T, D] in ANY/HBM (read-only)
+    k_ref, v_ref,                           # [1, Tc, D] cache chunk blocks
     x_out_ref, krows_out_ref, vrows_out_ref,  # [1,D], [1,1,D] per-layer rows
     x_scr, h1_scr, h2_scr, acc_scr,         # [1, D] fp32
-    qrow_scr, krow_scr, vrow_scr,           # [1, D] fp32 / cache-dtype rows
-    k_buf, v_buf,                           # [T, D] cache working copies
-    in_sems,                                # DMA semaphores (2,)
-    *, head_dim: int, n_chunks: int, quant: bool,
+    qrow_scr, krow_scr, vrow_scr,           # [1, D] fp32 rows
+    m_scr, s_scr,                           # [1, H] online-softmax state
+    ctx_scr,                                # [1, D] context accumulator
+    *, head_dim: int, n_chunks: int, n_tc: int, t_chunk: int, quant: bool,
 ):
     l = pl.program_id(0)
     c = pl.program_id(1)
     L = pl.num_programs(0)
     D = x_scr.shape[1]
-    T = k_buf.shape[0]
     pos = pos_ref[0]
 
     def mm(x32, w_ref, s_ref):
@@ -96,9 +97,6 @@ def _kernel(
         def _init():
             x_scr[:] = x_ref[:].astype(jnp.float32)
 
-        # fetch this layer's cache into VMEM (overlaps with q/k phases)
-        pltpu.make_async_copy(k_hbm_ref.at[l], k_buf, in_sems.at[0]).start()
-        pltpu.make_async_copy(v_hbm_ref.at[l], v_buf, in_sems.at[1]).start()
         h1_scr[:] = layer_norm(x_scr[:], ln1_s_ref, ln1_b_ref)
         qrow_scr[:] = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
             + qkv_b_ref[0, 0].astype(jnp.float32)
@@ -109,49 +107,67 @@ def _kernel(
             + qkv_b_ref[0, 0].astype(jnp.float32)
 
     @pl.when(c == 2)
-    def _v_phase_and_attention():
+    def _v_phase():
         v_new = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
             + qkv_b_ref[0, 0].astype(jnp.float32)
         vrow_scr[:] = v_new
-        pltpu.make_async_copy(k_hbm_ref.at[l], k_buf, in_sems.at[0]).wait()
-        pltpu.make_async_copy(v_hbm_ref.at[l], v_buf, in_sems.at[1]).wait()
-
-        # merge the new row at `pos` into the working copies (iota mask)
-        t_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-        sel = t_iota == pos
-        k_all = jnp.where(sel, krow_scr[:], k_buf[:].astype(jnp.float32))
-        v_all = jnp.where(sel, v_new, v_buf[:].astype(jnp.float32))
-        k_buf[:] = k_all.astype(k_buf.dtype)
-        v_buf[:] = v_all.astype(v_buf.dtype)
-
         # emit the new rows; the caller scatters them into the HBM cache
-        # (dynamic-position DMA stores crash this Mosaic build)
         krows_out_ref[0] = krow_scr[:].astype(krows_out_ref.dtype)
         vrows_out_ref[0] = v_new.astype(vrows_out_ref.dtype)
+        # reset the online-softmax state for this layer's attention
+        m_scr[:] = jnp.full_like(m_scr, _M_INIT)
+        s_scr[:] = jnp.zeros_like(s_scr)
+        ctx_scr[:] = jnp.zeros_like(ctx_scr)
 
+    @pl.when(jnp.logical_and(c >= 3, c < 3 + n_tc))
+    def _attention_chunk():
+        j = c - 3
         head_mat = head_mat_ref[:].astype(jnp.float32)       # [D, H]
+        # merge the current token's K/V row into its chunk (iota mask)
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_chunk, 1), 0) \
+            + j * t_chunk
+        sel = t_iota == pos
+        k_all = jnp.where(sel, krow_scr[:], k_ref[0].astype(jnp.float32))
+        v_all = jnp.where(sel, vrow_scr[:], v_ref[0].astype(jnp.float32))
+
         scores = jax.lax.dot_general(
             k_all * qrow_scr[:], head_mat,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [T, H]
+            preferred_element_type=jnp.float32)              # [Tc, H]
         scores = scores / np.sqrt(head_dim) + jnp.where(
             mask_ref[:] != 0, 0.0, NEG_INF)
-        smax = jnp.max(scores, axis=0, keepdims=True)
-        e = jnp.exp(scores - smax)
-        probs = e / jnp.sum(e, axis=0, keepdims=True)        # [T, H]
+
+        m_old = m_scr[:]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=0, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)                       # [1, H]
+        p = jnp.exp(scores - m_new)                          # [Tc, H]
+        s_scr[:] = s_scr[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+        m_scr[:] = m_new
         pe = jax.lax.dot_general(
-            probs, head_mat,
+            p, head_mat,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [T, D]
-        ctx = jnp.sum(pe * v_all, axis=0, keepdims=True)     # [1, D]
+            preferred_element_type=jnp.float32)              # [Tc, D]
+        alpha_lanes = jax.lax.dot_general(
+            alpha, head_mat,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [1, D]
+        ctx_scr[:] = (ctx_scr[:] * alpha_lanes
+                      + jnp.sum(pe * v_all, axis=0, keepdims=True))
 
-        attn_out = mm(ctx, proj_w_ref, proj_s_ref)
-        x = x_scr[:] + attn_out + proj_b_ref[0, 0].astype(jnp.float32)
-        x_scr[:] = x
-        h2_scr[:] = layer_norm(x, ln2_s_ref, ln2_b_ref)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        @pl.when(c == 3 + n_tc - 1)
+        def _finish_attention():
+            s_lanes = jax.lax.dot_general(
+                s_scr[:], head_mat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [1, D]
+            ctx = ctx_scr[:] / s_lanes
+            attn_out = mm(ctx, proj_w_ref, proj_s_ref)
+            x = x_scr[:] + attn_out + proj_b_ref[0, 0].astype(jnp.float32)
+            x_scr[:] = x
+            h2_scr[:] = layer_norm(x, ln2_s_ref, ln2_b_ref)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(c >= 3)
+    @pl.when(c >= 3 + n_tc)
     def _mlp_chunk():
         hidden = (mm(h2_scr[:], fc_w_ref, fc_s_ref)
                   + fc_b_ref[0, 0, 0].astype(jnp.float32))
@@ -159,7 +175,7 @@ def _kernel(
             np.sqrt(2.0 / np.pi) * (hidden + 0.044715 * hidden ** 3)))
         acc_scr[:] = acc_scr[:] + mm(g, mproj_w_ref, mproj_s_ref)
 
-        @pl.when(c == n_chunks + 2)
+        @pl.when(c == 3 + n_tc + n_chunks - 1)
         def _finish_layer():
             x = x_scr[:] + acc_scr[:] + mproj_b_ref[0, 0].astype(jnp.float32)
             x_scr[:] = x
@@ -198,6 +214,11 @@ def unflatten_cache(k_flat: jnp.ndarray, v_flat: jnp.ndarray, heads: int):
     return KVCache(k, v)
 
 
+# the cache-chunk block: fixed so VMEM stays constant in cache length;
+# cache_len must be a multiple (callers round up — unused slots are masked)
+T_CHUNK = 256
+
+
 def fused_decode_trunk_flat(
     params: Dict[str, Any],
     hidden: jnp.ndarray,          # [1, 1, D]
@@ -227,21 +248,29 @@ def fused_decode_trunk_flat(
     assert F % n_chunks == 0
     Fc = F // n_chunks
     T = k_flat.shape[1]
-    C = 3 + n_chunks
+    t_chunk = T_CHUNK
+    while T % t_chunk:
+        t_chunk //= 2
+    assert t_chunk >= 8, f"cache_len {T} must be a multiple of 8"
+    n_tc = T // t_chunk
+    C = 3 + n_tc + n_chunks
 
     rep3 = lambda l, c, *_: (l, 0, 0)
     # qkv column phase: q|k|v at c = 0|1|2, then parked on the v block
     qmap3 = lambda l, c, *_: (l, 0, jnp.minimum(c, 2))
     qmap3b = lambda l, c, *_: (l, 0, jnp.minimum(c, 2))
-    # MLP chunk c-3, parked on chunk 0 during the qkv/attention phases
-    mmap3 = lambda l, c, *_: (l, 0, jnp.maximum(c - 3, 0))
-    mmap4 = lambda l, c, *_: (l, jnp.maximum(c - 3, 0), 0, 0)
-    mmap_mp = lambda l, c, *_: (l, jnp.maximum(c - 3, 0), 0)
+    # attention chunk c-3, parked on chunk 0 / last outside the window
+    tmap = lambda l, c, *_: (l, jnp.clip(c - 3, 0, n_tc - 1), 0)
+    tmask = lambda l, c, *_: (jnp.clip(c - 3, 0, n_tc - 1), 0)
+    # MLP chunk c-3-n_tc, parked on chunk 0 during earlier phases
+    mmap3 = lambda l, c, *_: (l, 0, jnp.maximum(c - 3 - n_tc, 0))
+    mmap4 = lambda l, c, *_: (l, jnp.maximum(c - 3 - n_tc, 0), 0, 0)
+    mmap_mp = lambda l, c, *_: (l, jnp.maximum(c - 3 - n_tc, 0), 0)
     const2 = lambda l, c, *_: (0, 0)
 
     in_specs = [
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),            # x
-        pl.BlockSpec((T, 1), const2, memory_space=pltpu.VMEM),            # mask
+        pl.BlockSpec((t_chunk, 1), tmask, memory_space=pltpu.VMEM),       # mask
         pl.BlockSpec((D, heads), const2, memory_space=pltpu.VMEM),        # head mat
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 b
@@ -259,8 +288,8 @@ def fused_decode_trunk_flat(
         pl.BlockSpec((1, Fc, D), mmap_mp, memory_space=pltpu.VMEM),       # mproj w
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # mproj s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # mproj b
-        pl.BlockSpec(memory_space=pltpu.ANY),                             # k hbm
-        pl.BlockSpec(memory_space=pltpu.ANY),                             # v hbm
+        pl.BlockSpec((1, t_chunk, D), tmap, memory_space=pltpu.VMEM),     # k chunk
+        pl.BlockSpec((1, t_chunk, D), tmap, memory_space=pltpu.VMEM),     # v chunk
     ]
     out_specs = (
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),
@@ -269,7 +298,8 @@ def fused_decode_trunk_flat(
     )
 
     kernel = functools.partial(
-        _kernel, head_dim=D // heads, n_chunks=n_chunks, quant=quant)
+        _kernel, head_dim=D // heads, n_chunks=n_chunks, n_tc=n_tc,
+        t_chunk=t_chunk, quant=quant)
 
     # qkv weights/scales/biases rearranged so the column phases are blocks
     qkv_w = wq(blocks["attn"]["qkv_w"])                        # [L, D, 3D]
@@ -284,16 +314,16 @@ def fused_decode_trunk_flat(
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((1, D), jnp.float32),   # x
-                pltpu.VMEM((1, D), jnp.float32),   # h1
-                pltpu.VMEM((1, D), jnp.float32),   # h2
-                pltpu.VMEM((1, D), jnp.float32),   # acc
-                pltpu.VMEM((1, D), jnp.float32),   # q row
-                pltpu.VMEM((1, D), jnp.float32),   # k row
-                pltpu.VMEM((1, D), jnp.float32),   # v row
-                pltpu.VMEM((T, D), k_flat.dtype),  # k working copy
-                pltpu.VMEM((T, D), v_flat.dtype),  # v working copy
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((1, D), jnp.float32),      # x
+                pltpu.VMEM((1, D), jnp.float32),      # h1
+                pltpu.VMEM((1, D), jnp.float32),      # h2
+                pltpu.VMEM((1, D), jnp.float32),      # acc
+                pltpu.VMEM((1, D), jnp.float32),      # q row
+                pltpu.VMEM((1, D), jnp.float32),      # k row
+                pltpu.VMEM((1, D), jnp.float32),      # v row
+                pltpu.VMEM((1, heads), jnp.float32),  # online-softmax max
+                pltpu.VMEM((1, heads), jnp.float32),  # online-softmax denom
+                pltpu.VMEM((1, D), jnp.float32),      # context accumulator
             ],
         ),
         out_shape=(
