@@ -177,3 +177,29 @@ def test_latent_forward_batch_invariance(params):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lat_b[1, :8]), np.asarray(lat2[0]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fp8_kv_cache_decode():
+    """The fp8 KV tier must decode greedily to (near-)identical tokens as a
+    full-precision cache on the tiny model, and run end to end."""
+    import jax
+
+    params = uv.init_params(jax.random.PRNGKey(3), CFG)
+    rng = np.random.default_rng(5)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    t = rng.integers(2, 40, (6,))
+    prep = uv.prepare_text_prompt([t], CFG.start_text_token, CFG.stop_text_token)
+    kw = dict(max_new=16, do_sample=False, repetition_penalty=1.0,
+              cache_dtype=jnp.float32)
+    r32 = uv.inference_speech(params, CFG, cond, jnp.asarray(prep.text_tokens),
+                              jnp.asarray(prep.attn_text), jax.random.PRNGKey(0),
+                              **kw)
+    r8 = uv.inference_speech(params, CFG, cond, jnp.asarray(prep.text_tokens),
+                             jnp.asarray(prep.attn_text), jax.random.PRNGKey(0),
+                             kv_dtype=jnp.float8_e4m3fn, **kw)
+    a, b = np.asarray(r32.codes[0]), np.asarray(r8.codes[0])
+    n = min(int(r32.lengths[0]), int(r8.lengths[0]))
+    # random tiny models have near-uniform logits, so allow a small number
+    # of divergent positions from fp8 quantisation noise
+    agree = float(np.mean(a[:n] == b[:n])) if n else 1.0
+    assert agree >= 0.75, (agree, a[:n], b[:n])
