@@ -393,6 +393,9 @@ class IndexTTS:
                        lens: np.ndarray) -> np.ndarray:
         """Batched teacher-forced re-forward for a bucket → [B, width, D]."""
         B = len(id_lists)
+        # the position tables cap the re-forward length; longer code runs
+        # (a pool configured past the model's max_mel_tokens) are truncated
+        lens = np.minimum(lens, self.cfg.gpt.max_mel_tokens)
         tlens = np.asarray([len(ids) for ids in id_lists], np.int32)
         twidth = min(_round_up(int(tlens.max()), 16), self.cfg.gpt.max_text_tokens)
         twidth = max(twidth, int(tlens.max()))
@@ -570,6 +573,71 @@ class IndexTTS:
                 self._decode_bucket(cond, ids, jax.random.PRNGKey(0),
                                      {**gen, "max_mel_tokens": max_mel_tokens})
 
+    def _codes_to_wav(self, cond_latent, mel_ref, id_lists, codes: np.ndarray,
+                      lens: np.ndarray) -> np.ndarray:
+        """Codes → waveform: silence compression, batched latent re-forward,
+        per-sentence vocode, trim, concat (the tail of infer/infer_fast)."""
+        codes, lens = remove_long_silence(codes, lens, stop_token=self.stop_mel_token)
+        latents = self._latents_batch(cond_latent, id_lists, codes, lens)
+        wavs: List[np.ndarray] = []
+        for i in range(len(id_lists)):
+            n = max(1, min(int(lens[i]), latents.shape[1]))
+            lat = latents[i][:n]
+            width = _round_up(n, 64)
+            lat = np.pad(lat, ((0, width - n), (0, 0)))[None]
+            wav = self._vocoder_fn(self.bigvgan_params,
+                                   jnp.asarray(lat, self.vocoder_dtype),
+                                   mel_ref.astype(self.vocoder_dtype))
+            n_samples = n * self.cfg.gpt.mel_length_compression
+            wavs.append(np.clip(
+                32767.0 * np.asarray(wav[0, 0], np.float32)[:n_samples],
+                -32767.0, 32767.0))
+        return np.concatenate(wavs) if wavs else np.zeros(1, np.float32)
+
+    def pool_infer(self, batcher, audio_prompt: Optional[str], text: str,
+                   speaker_id: Optional[str] = None,
+                   max_text_tokens_per_sentence: int = 100,
+                   timeout: float = 600.0) -> Tuple[int, np.ndarray]:
+        """Synthesize through a shared continuous-batching pool: sentences
+        are submitted as pool requests (with this call's conditioning), the
+        pool interleaves them with other callers' traffic, and the finished
+        codes run the normal latent→vocoder tail.  Thread-safe against other
+        pool_infer callers; the pool must be driven externally (a step()
+        loop — serve/httpd.py --continuous runs one).  Returns (sr, wav)."""
+        import threading
+
+        cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
+        cond_latent = self._conditioning(cond_mel, speaker_id)
+        mel_ref = self._mel_ref(cond_mel, speaker_id)
+        tokens = self.tokenizer.tokenize(text)
+        sentences = self.tokenizer.split_sentences(tokens, max_text_tokens_per_sentence)
+        id_lists = [np.asarray(self.tokenizer.convert_tokens_to_ids(s), np.int32)
+                    for s in sentences]
+        results: Dict[int, np.ndarray] = {}
+        done = threading.Event()
+
+        def cb(rid, codes):
+            results[rid] = codes
+            if len(results) == len(id_lists):
+                done.set()
+
+        cond_np = np.asarray(cond_latent)
+        rids = [batcher.submit(ids, done_cb=cb, cond=cond_np)
+                for ids in id_lists]
+        if not rids:
+            return self.cfg.dataset.sample_rate, np.zeros(1, np.float32)
+        if not done.wait(timeout):
+            raise TimeoutError(f"pool synthesis timed out after {timeout}s")
+        code_lists = [results[r] for r in rids]
+        width = max(1, max(len(c) for c in code_lists))
+        codes = np.full((len(code_lists), width), self.stop_mel_token, np.int32)
+        lens = np.zeros((len(code_lists),), np.int64)
+        for i, c in enumerate(code_lists):
+            codes[i, : len(c)] = c
+            lens[i] = len(c)
+        wav = self._codes_to_wav(cond_latent, mel_ref, id_lists, codes, lens)
+        return self.cfg.dataset.sample_rate, wav
+
     def create_batcher(self, audio_prompt: Optional[str] = None,
                        speaker_id: Optional[str] = None, **kwargs):
         """Continuous-batching decode pool bound to this prompt's
@@ -577,12 +645,21 @@ class IndexTTS:
         path: submit tokenised sentences, drain codes as they finish."""
         from indextts_tpu.serve.scheduler import ContinuousBatcher
 
-        cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
-        cond_latent = self._conditioning(cond_mel, speaker_id)
+        if audio_prompt is None and speaker_id is None and self.mean_condition is None:
+            # pool base conditioning; per-request conds (submit(cond=...))
+            # override it, so a promptless pool is fine
+            cond_latent = jnp.zeros(
+                (1, self.cfg.gpt.condition_num_latent, self.cfg.gpt.model_dim),
+                self.gpt_dtype)
+        else:
+            cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
+            cond_latent = self._conditioning(cond_mel, speaker_id)
         kwargs.setdefault("cache_dtype",
                           self.gpt_dtype if self.gpt_dtype != jnp.float32
                           else jnp.float32)
         kwargs.setdefault("kv_dtype", self.kv_cache_dtype)
+        # default generation budget = the model's mel position-table size
+        kwargs.setdefault("max_new", min(600, self.cfg.gpt.max_mel_tokens))
         return ContinuousBatcher(self.gpt_params, self.cfg.gpt, cond_latent,
                                  **kwargs)
 

@@ -34,9 +34,19 @@ def create_app(
     gpt_path: Optional[str] = None,
     speaker_info_path: Optional[str] = None,
     engine_instance: Optional[IndexTTS] = None,
+    continuous: bool = False,
 ) -> "FastAPI":
     app = FastAPI(title="IndexTTS-TPU")
     state = {"tts": engine_instance, "gpt_path": gpt_path}
+    pool_service = None
+    if continuous:
+        # shared cross-request decode pool (serve/httpd.TTSService drives it)
+        from indextts_tpu.serve.httpd import TTSService
+
+        pool_service = TTSService(cfg_path, model_dir, gpt_path=gpt_path,
+                                  speaker_info_path=speaker_info_path,
+                                  engine_instance=engine_instance,
+                                  continuous=True)
 
     def engine() -> IndexTTS:
         if state["tts"] is None:
@@ -108,6 +118,18 @@ def create_app(
             tmp.close()
             prompt = tmp.name
         used_seed = seed if seed is not None else int(time.time_ns() % (2**31))
+        if pool_service is not None:
+            try:
+                data = pool_service.tts({
+                    "text": text, "audio_path": prompt,
+                    "speaker_id": speaker_id,
+                    "max_text_tokens_per_sentence": max_text_tokens_per_sentence,
+                })
+            finally:
+                if tmp is not None:
+                    os.unlink(tmp.name)
+            return Response(content=data, media_type="audio/wav",
+                            headers={"X-Seed": str(used_seed)})
         eng = engine()
         eng._rng_seed = used_seed
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
@@ -149,6 +171,8 @@ def main(argv=None) -> None:
     p.add_argument("--speaker_info", default=None)
     p.add_argument("--warmup", action="store_true",
                    help="precompile common decode shapes before serving")
+    p.add_argument("--continuous", action="store_true",
+                   help="cross-request continuous-batching decode pool")
     args = p.parse_args(argv)
 
     import uvicorn
@@ -161,7 +185,8 @@ def main(argv=None) -> None:
         eng.warmup(batch_sizes=(1, 4), num_beams=1)
         eng.warmup(batch_sizes=(1, 4), num_beams=3)
     app = create_app(args.config, args.model_dir, args.gpt_path,
-                     args.speaker_info, engine_instance=eng)
+                     args.speaker_info, engine_instance=eng,
+                     continuous=args.continuous)
     uvicorn.run(app, host=args.host, port=args.port)
 
 

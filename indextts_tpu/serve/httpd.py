@@ -31,18 +31,50 @@ from indextts_tpu.engine import IndexTTS
 
 
 class TTSService:
-    """Engine holder shared by the handlers (lazy init + hot reload)."""
+    """Engine holder shared by the handlers (lazy init + hot reload).
+
+    With ``continuous=True`` the service runs one shared continuous-batching
+    decode pool: every /tts request's sentences are submitted with that
+    request's conditioning and interleave with other callers' sentences in
+    the same fixed-slot pool — cross-request batching the reference's
+    per-request engine cannot do.  A daemon thread drives the pool."""
 
     def __init__(self, cfg_path: str, model_dir: str,
                  gpt_path: Optional[str] = None,
                  speaker_info_path: Optional[str] = None,
-                 engine_instance: Optional[IndexTTS] = None):
+                 engine_instance: Optional[IndexTTS] = None,
+                 continuous: bool = False,
+                 pool_kwargs: Optional[Dict[str, Any]] = None):
         self.cfg_path = cfg_path
         self.model_dir = model_dir
         self.gpt_path = gpt_path
         self.speaker_info_path = speaker_info_path
         self._tts = engine_instance
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
+        self.continuous = continuous
+        self._pool_kwargs = pool_kwargs or {}
+        self._pool = None
+        self._pool_thread = None
+
+    def pool(self):
+        with self._lock:
+            if self._pool is None:
+                self._pool = self.engine().create_batcher(**self._pool_kwargs)
+                self._pool_thread = threading.Thread(
+                    target=self._drive_pool, daemon=True)
+                self._pool_thread.start()
+            return self._pool
+
+    def _drive_pool(self) -> None:
+        import time as _time
+
+        while True:
+            pool = self._pool
+            if pool is None:
+                return
+            live = pool.step()
+            if live == 0 and not pool._queue:
+                _time.sleep(0.002)
 
     def engine(self) -> IndexTTS:
         with self._lock:
@@ -81,6 +113,8 @@ class TTSService:
         speaker_id = req.get("speaker_id")
         if not prompt and not speaker_id:
             raise ValueError("need 'audio_path' or 'speaker_id'")
+        if self.continuous:
+            return self._pool_tts(req, prompt, speaker_id)
         seed = req.get("seed")
         used_seed = int(seed) if seed is not None else int(
             time.time_ns() % (2**31))
@@ -116,6 +150,30 @@ class TTSService:
         finally:
             os.unlink(out.name)
         self.last_seed = used_seed
+        return data
+
+    def _pool_tts(self, req: Dict[str, Any], prompt, speaker_id) -> bytes:
+        """Continuous mode: sentences join the shared pool (sampling params
+        are pool-level, fixed at startup; per-request params are ignored
+        except max_text_tokens_per_sentence)."""
+        import tempfile as _tf
+
+        from indextts_tpu.utils import audio as audio_io
+
+        eng = self.engine()
+        sr, wav = eng.pool_infer(
+            self.pool(), prompt, req["text"], speaker_id=speaker_id,
+            max_text_tokens_per_sentence=int(
+                req.get("max_text_tokens_per_sentence", 100)))
+        out = _tf.NamedTemporaryFile(suffix=".wav", delete=False)
+        out.close()
+        try:
+            audio_io.write_wav(out.name, wav, sr)
+            with open(out.name, "rb") as f:
+                data = f.read()
+        finally:
+            os.unlink(out.name)
+        self.last_seed = 0
         return data
 
 
@@ -190,6 +248,7 @@ def serve(cfg_path: str = "checkpoints/config.yaml",
           port: int = 7859, **kwargs) -> ThreadingHTTPServer:
     service = TTSService(cfg_path, model_dir, **kwargs)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.service = service
     return httpd
 
 
@@ -201,8 +260,11 @@ def main(argv=None) -> None:
     p.add_argument("--model_dir", default="checkpoints")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7859)
+    p.add_argument("--continuous", action="store_true",
+                   help="cross-request continuous-batching decode pool")
     args = p.parse_args(argv)
-    httpd = serve(args.config, args.model_dir, args.host, args.port)
+    httpd = serve(args.config, args.model_dir, args.host, args.port,
+                  continuous=args.continuous)
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

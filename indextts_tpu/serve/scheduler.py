@@ -197,6 +197,7 @@ class _Request:
     text_ids: np.ndarray
     max_new: int
     done_cb: Optional[Callable[[int, np.ndarray], None]] = None
+    cond: Optional[np.ndarray] = None   # per-request [1, 32, D] conditioning
 
 
 class ContinuousBatcher:
@@ -260,10 +261,14 @@ class ContinuousBatcher:
     # -- host-side scheduling --------------------------------------------
 
     def submit(self, text_ids: np.ndarray, max_new: Optional[int] = None,
-               done_cb=None) -> int:
+               done_cb=None, cond=None) -> int:
+        """Queue a request.  `cond` optionally overrides the pool's shared
+        conditioning for this request ([1, 32, D] — e.g. a different
+        speaker's latents), so one pool can serve mixed speakers."""
         req = _Request(self._next_id, np.asarray(text_ids, np.int32),
                        min(max_new or self.max_new, self.max_new),
-                       done_cb=done_cb)
+                       done_cb=done_cb,
+                       cond=None if cond is None else np.asarray(cond))
         self._next_id += 1
         self._queue.append(req)
         return req.req_id
@@ -298,8 +303,19 @@ class ContinuousBatcher:
                 [tokens, np.repeat(tokens[-1:], Bb - take, axis=0)], axis=0)
             mask = np.concatenate(
                 [mask, np.repeat(mask[-1:], Bb - take, axis=0)], axis=0)
+        if any(r.cond is not None for r in reqs):
+            base = np.asarray(self.cond)
+            conds = np.concatenate(
+                [np.asarray(r.cond, base.dtype) if r.cond is not None else base
+                 for r in reqs], axis=0)
+            if Bb > take:
+                conds = np.concatenate(
+                    [conds, np.repeat(conds[-1:], Bb - take, axis=0)], axis=0)
+            cond_arg = jnp.asarray(conds, self.cond.dtype)
+        else:
+            cond_arg = self.cond
         kv_k, kv_v, pmask, tok, presence = _admit_kernel(
-            self.params, self.cfg, self.cond, jnp.asarray(tokens),
+            self.params, self.cfg, cond_arg, jnp.asarray(tokens),
             jnp.asarray(mask), self.rng_base, self._admit_count + (1 << 20),
             self.cache_dtype, **self.sampling_kwargs)
         self._admit_count += 1

@@ -98,3 +98,72 @@ def test_tts_missing_prompt_rejected(server):
 def test_reload_unknown_checkpoint(server):
     code, _, data = _post(server + "/model/reload", {"gpt_path": "nope.pth"})
     assert code == 404
+
+
+def test_continuous_pool_serving(tmp_path_factory):
+    """--continuous mode: concurrent requests with different prompts share
+    one decode pool (per-request conditioning) and both get WAVs."""
+    import shutil
+    import threading as th
+    import warnings
+
+    import jax
+
+    from indextts_tpu import engine as engine_mod
+    from indextts_tpu.config import Config
+    from indextts_tpu.serve.httpd import serve
+
+    d = tmp_path_factory.mktemp("csrv")
+    cfg = Config.from_dict({
+        "gpt": {"model_dim": 64, "layers": 2, "heads": 4, "max_mel_tokens": 64,
+                "max_text_tokens": 120,
+                "condition_module": {"output_size": 32, "linear_units": 64,
+                                      "attention_heads": 4, "num_blocks": 2,
+                                      "perceiver_mult": 2}},
+        "bigvgan": {"upsample_rates": [2], "upsample_kernel_sizes": [4],
+                     "upsample_initial_channel": 16,
+                     "resblock_kernel_sizes": [3],
+                     "resblock_dilation_sizes": [[1]],
+                     "speaker_embedding_dim": 8, "gpt_dim": 64,
+                     "use_fused_kernel": False},
+    })
+    cfg.save(str(d / "config.yaml"))
+    shutil.copy("/root/reference/vocab.txt", d / "vocab.txt")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        eng = engine_mod.IndexTTS(cfg_path=str(d / "config.yaml"),
+                                  model_dir=str(d),
+                                  precision_config={"gpt": "fp32",
+                                                     "vocoder": "fp32"})
+    httpd = serve(str(d / "config.yaml"), str(d), host="127.0.0.1", port=0,
+                  engine_instance=eng, continuous=True,
+                  pool_kwargs=dict(num_slots=2, max_text_width=32, max_new=8,
+                                   do_sample=False, repetition_penalty=1.0))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    # second prompt with different content → different conditioning
+    from indextts_tpu.utils.audio import write_wav
+
+    p2 = str(d / "prompt2.wav")
+    write_wav(p2, (np.random.default_rng(1).standard_normal(24000) * 3000
+                   ).astype(np.int16), 24000)
+    try:
+        outs = {}
+
+        def hit(name, prompt):
+            code, headers, data = _post(base + "/tts", {
+                "text": "你好。" if name == "a" else "再見。",
+                "audio_path": prompt})
+            outs[name] = (code, data)
+
+        t1 = th.Thread(target=hit, args=("a", "/root/reference/tests/sample_prompt.wav"))
+        t2 = th.Thread(target=hit, args=("b", p2))
+        t1.start(); t2.start(); t1.join(300); t2.join(300)
+        assert set(outs) == {"a", "b"}
+        for name, (code, data) in outs.items():
+            assert code == 200, (name, data)
+            assert data[:4] == b"RIFF" and len(data) > 100, name
+    finally:
+        httpd.shutdown()
