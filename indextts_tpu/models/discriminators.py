@@ -100,7 +100,14 @@ def init_resolution_discriminator(rng, resolution: Sequence[int],
 def _stft_mag(x: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarray:
     """x: [B, T] → magnitude [B, F, frames]."""
     pad = (n_fft - hop) // 2
+    if x.shape[-1] <= pad:
+        # reflect needs pad < T; tiny smoke inputs zero-extend first
+        x = jnp.pad(x, ((0, 0), (0, pad + 1 - x.shape[-1])))
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    if x.shape[-1] < n_fft:
+        # guarantee at least one frame (else the score is a mean over an
+        # empty axis → NaN losses on signals shorter than the window)
+        x = jnp.pad(x, ((0, 0), (0, n_fft - x.shape[-1])))
     n_frames = 1 + (x.shape[-1] - n_fft) // hop
     import numpy as np
 
@@ -183,13 +190,15 @@ def generator_loss(gen_scores) -> jnp.ndarray:
 
 
 def multiscale_mel_loss(real: jnp.ndarray, gen: jnp.ndarray,
-                        sample_rate: int = 24000) -> jnp.ndarray:
+                        sample_rate: int = 24000,
+                        scales=((512, 128), (1024, 256), (2048, 512))
+                        ) -> jnp.ndarray:
     """Multi-scale log-mel L1 (use_multiscale_melloss, config.yaml:125-126)."""
     from indextts_tpu.ops.mel import mel_spectrogram
 
     loss = 0.0
-    for n_fft, hop in ((512, 128), (1024, 256), (2048, 512)):
+    for n_fft, hop in scales:
         mr = mel_spectrogram(real, sample_rate, n_fft, hop, n_fft, 80)
         mg = mel_spectrogram(gen, sample_rate, n_fft, hop, n_fft, 80)
         loss = loss + jnp.mean(jnp.abs(mr - mg))
-    return loss / 3.0
+    return loss / len(scales)

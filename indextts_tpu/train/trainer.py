@@ -178,6 +178,14 @@ def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
     return Batch(*(jax.device_put(np.asarray(x), sharding) for x in batch))
 
 
+def shard_batch_array(x: np.ndarray, mesh: Mesh):
+    """Place one array batch-sharded over the data axis (multi-host aware)."""
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(np.asarray(x), sharding)
+
+
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 

@@ -49,6 +49,14 @@ case "$cmd" in
     train)
         python -m indextts_tpu.train.run --config "$CONFIG" --model_dir "$MODEL_DIR" --resume "$@"
         ;;
+    train-dvae)
+        out_dir=$(CONFIG="$CONFIG" read_config workflow.paths.processed_data_dir finetune_data/processed_data)
+        python -m indextts_tpu.train.dvae --mels "$out_dir" --model_dir "$MODEL_DIR" "$@"
+        ;;
+    train-vocoder)
+        out_dir=$(CONFIG="$CONFIG" read_config workflow.paths.processed_data_dir finetune_data/processed_data)
+        python -m indextts_tpu.train.vocoder --processed "$out_dir" --model_dir "$MODEL_DIR" "$@"
+        ;;
     api)
         python -m indextts_tpu.serve.api --config "$CONFIG" --model_dir "$MODEL_DIR" "$@"
         ;;
@@ -77,6 +85,8 @@ usage: ./run.sh <command>
   prepare      build audio lists from data/ directories
   extract      DVAE codec extraction over all audio lists
   train        LoRA fine-tune (SPMD data-parallel, auto-resume)
+  train-dvae   DVAE (mel VQ-VAE) training loop
+  train-vocoder  BigVGAN adversarial fine-tune
   api          FastAPI server (:7859)
   webui        Gradio WebUI (:7860)
   tensorboard  training dashboards
