@@ -55,6 +55,8 @@ def main() -> None:
     jax.block_until_ready(params)
     params_q = jax.jit(lambda p: quant.quantize_gpt_params(p, bits=8))(params)
     jax.block_until_ready(params_q)
+    params_q4 = jax.jit(lambda p: quant.quantize_gpt_params(p, bits=4))(params)
+    jax.block_until_ready(params_q4)
 
     text_len = 60
     max_new = args.max_new
@@ -134,6 +136,7 @@ def main() -> None:
         best = max(best, measure(params_q, "int8+fp8kv", B, kv=FP8))
         if B == 1 and jax.default_backend() == "tpu":
             best = max(best, measure(params_q, "int8-fused-trunk", B, fused=True))
+            best = max(best, measure(params_q4, "int4-fused-trunk", B, fused=True))
             measure_beam(params_q, "int8-beam+fp8kv", kv=FP8)
     tok_per_sec = best
     gpt_rtf = 23.4 / max(tok_per_sec, 1e-9)  # codes/sec of audio ÷ decode rate

@@ -126,12 +126,35 @@ def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x [B,T,K] @ w [K,N].  `w` may be a plain array or an int8
-    weight-only-quantised dict {"q": int8 [K,N], "s": fp32 [1,N]}.  With
-    per-output-channel scales, (x @ q)·s ≡ x @ (q·s) — scaling the [B,T,N]
-    *output* instead of the [K,N] weights keeps HBM traffic at int8 and
-    avoids a full-weight-matrix multiply (the decode loop is
-    weight-bandwidth-bound)."""
+    """x [B,T,K] @ w [K,N].  `w` may be a plain array, an int8
+    weight-only-quantised dict {"q": int8 [K,N], "s": fp32 [1,N]}, or a
+    nibble-packed int4 dict {"q4": int8 [K/2,N], "s": fp32 [2G,N]}
+    (ops/quantization).  With per-output-channel scales,
+    (x @ q)·s ≡ x @ (q·s) — scaling the [B,T,N] *output* instead of the
+    [K,N] weights keeps HBM traffic at the quantised width and avoids a
+    full-weight-matrix multiply (the decode loop is weight-bandwidth-bound).
+    The int4 path contracts each (group, nibble-half) slice of x against
+    the matching unpacked half — 2G small dots, still reading K/2 bytes."""
+    if isinstance(w, dict) and "q4" in w:
+        from indextts_tpu.ops.quantization import unpack_int4
+
+        Kh, N = w["q4"].shape
+        G = w["s"].shape[0] // 2
+        half = Kh // G
+        lo, hi = unpack_int4(w["q4"])           # [Kh, N] halves, row (g, j)
+        lo = lo.reshape(G, half, N)
+        hi = hi.reshape(G, half, N)
+        xg = x.reshape(x.shape[:-1] + (G, 2, half))  # row order (g, half, j)
+        s = w["s"].reshape(G, 2, N).astype(jnp.float32)
+        y = 0.0
+        for g in range(G):
+            y = y + jnp.einsum("btk,kn->btn", xg[..., g, 0, :],
+                               lo[g].astype(x.dtype),
+                               preferred_element_type=jnp.float32) * s[g, 0]
+            y = y + jnp.einsum("btk,kn->btn", xg[..., g, 1, :],
+                               hi[g].astype(x.dtype),
+                               preferred_element_type=jnp.float32) * s[g, 1]
+        return y.astype(x.dtype)
     if isinstance(w, dict):
         y = jnp.einsum("btk,kn->btn", x, w["q"].astype(x.dtype),
                        preferred_element_type=jnp.float32)

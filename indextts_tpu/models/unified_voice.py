@@ -141,8 +141,20 @@ def get_conditioning(params: Dict[str, Any], cfg: GPTConfig,
 
 
 def _head_mm(h: jnp.ndarray, kernel) -> jnp.ndarray:
-    """Head matmul; kernel may be int8-quantised {"q","s"} (ops/quantization).
-    Per-output-channel scales fold into the output (see gpt2._mm)."""
+    """Head matmul; kernel may be int8-quantised {"q","s"} or nibble-packed
+    int4 {"q4","s"} (ops/quantization).  Per-output-channel scales fold into
+    the output (see gpt2._mm)."""
+    if isinstance(kernel, dict) and "q4" in kernel:
+        from indextts_tpu.ops.quantization import unpack_int4
+
+        Kh = kernel["q4"].shape[0]
+        lo, hi = unpack_int4(kernel["q4"])
+        s = kernel["s"].astype(jnp.float32)  # [2, N]
+        y = (jnp.einsum("...k,kn->...n", h[..., :Kh], lo.astype(h.dtype),
+                        preferred_element_type=jnp.float32) * s[0]
+             + jnp.einsum("...k,kn->...n", h[..., Kh:], hi.astype(h.dtype),
+                          preferred_element_type=jnp.float32) * s[1])
+        return y.astype(h.dtype)
     if isinstance(kernel, dict):
         y = jnp.einsum("...k,kn->...n", h, kernel["q"].astype(h.dtype),
                        preferred_element_type=jnp.float32)

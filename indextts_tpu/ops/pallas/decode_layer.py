@@ -67,7 +67,7 @@ def _kernel(
     qrow_scr, krow_scr, vrow_scr,           # [1, D] fp32 rows
     m_scr, s_scr,                           # [1, H] online-softmax state
     ctx_scr,                                # [1, D] context accumulator
-    *, head_dim: int, n_chunks: int, n_tc: int, t_chunk: int, quant: bool,
+    *, head_dim: int, n_chunks: int, n_tc: int, t_chunk: int, quant: str,
 ):
     l = pl.program_id(0)
     c = pl.program_id(1)
@@ -76,11 +76,32 @@ def _kernel(
     pos = pos_ref[0]
 
     def mm(x32, w_ref, s_ref):
+        if quant == "int4":
+            # nibble-packed block [Kh, N]: low nibbles = first Kh rows of
+            # the activation, high = last Kh (ops/quantization packing) —
+            # unpack with sign-extending shifts, contract each half.
+            q32 = w_ref[0].astype(jnp.int32)
+            lo = jnp.right_shift(jnp.left_shift(q32, 28), 28)
+            hi = jnp.right_shift(jnp.left_shift(q32, 24), 28)
+            kh = lo.shape[0]
+            # scale blocks are (1, 2, N), except mproj's chunk-indexed
+            # (1, 1, 2, N) (its 3D block would be (1, 2, N) over a
+            # [L, 2G, N] array — an illegal second-minor tile on TPU)
+            s = (s_ref[0, 0] if s_ref.ndim == 4 else s_ref[0]).astype(jnp.float32)
+            y = jax.lax.dot_general(
+                x32[:, :kh], lo.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * s[0:1]
+            y = y + jax.lax.dot_general(
+                x32[:, kh:], hi.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * s[1:2]
+            return y
         y = jax.lax.dot_general(
             x32, w_ref[0].astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if quant:
+        if quant == "int8":
             y = y * s_ref[0]
         return y
 
@@ -233,20 +254,34 @@ def fused_decode_trunk_flat(
     """One decode step over the flat cache.  Returns (trunk hidden [1, 1, D]
     **before** ln_f, k_flat', v_flat')."""
     blocks = params["blocks"]
-    quant = isinstance(blocks["attn"]["qkv_w"], dict)
+    aw = blocks["attn"]["qkv_w"]
+    quant = ("int4" if "q4" in aw else "int8") if isinstance(aw, dict) else "none"
+    int4 = quant == "int4"
     L, D = blocks["ln_1"]["scale"].shape
 
     def wq(w):
-        return w["q"] if quant else w
+        if quant == "none":
+            return w
+        return w["q4"] if int4 else w["q"]
 
     def sc(w, cols):
-        if quant:
-            return w["s"].astype(jnp.float32)
-        return jnp.zeros((L, 1, cols), jnp.float32)
+        if quant == "none":
+            return jnp.zeros((L, 1, cols), jnp.float32)
+        return w["s"].astype(jnp.float32)
 
     F = wq(blocks["mlp"]["fc_w"]).shape[2]
     assert F % n_chunks == 0
     Fc = F // n_chunks
+    # packed-int4 K dims are halved; scale blocks carry 2 rows (lo/hi half)
+    Kb = D // 2 if int4 else D            # qkv/proj/fc contraction block rows
+    Mb = Fc // 2 if int4 else Fc          # mproj per-chunk block rows
+    S = 2 if int4 else 1                  # scale rows per block
+    if int4:
+        g = sc(blocks["mlp"]["proj_w"], D).shape[1] // 2
+        assert g == n_chunks, (
+            f"mlp.proj_w int4 packing has {g} groups but the kernel streams "
+            f"{n_chunks} K-chunks — quantize with groups=n_chunks "
+            "(ops/quantization.MLP_PROJ_GROUPS)")
     T = k_flat.shape[1]
     t_chunk = T_CHUNK
     while T % t_chunk:
@@ -274,19 +309,24 @@ def fused_decode_trunk_flat(
         pl.BlockSpec((D, heads), const2, memory_space=pltpu.VMEM),        # head mat
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 b
-        pl.BlockSpec((1, D, D), qmap3, memory_space=pltpu.VMEM),          # qkv w phase
-        pl.BlockSpec((1, 1, D), qmap3b, memory_space=pltpu.VMEM),         # qkv s phase
+        pl.BlockSpec((1, Kb, D), qmap3, memory_space=pltpu.VMEM),         # qkv w phase
+        pl.BlockSpec((1, S, D), qmap3b, memory_space=pltpu.VMEM),         # qkv s phase
         pl.BlockSpec((1, 1, D), qmap3b, memory_space=pltpu.VMEM),         # qkv b phase
-        pl.BlockSpec((1, D, D), rep3, memory_space=pltpu.VMEM),           # proj w
-        pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # proj s
+        pl.BlockSpec((1, Kb, D), rep3, memory_space=pltpu.VMEM),          # proj w
+        pl.BlockSpec((1, S, D), rep3, memory_space=pltpu.VMEM),           # proj s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # proj b
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln2 s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln2 b
-        pl.BlockSpec((1, D, Fc), mmap3, memory_space=pltpu.VMEM),         # fc w
-        pl.BlockSpec((1, 1, Fc), mmap3, memory_space=pltpu.VMEM),         # fc s
+        pl.BlockSpec((1, Kb, Fc), mmap3, memory_space=pltpu.VMEM),        # fc w
+        pl.BlockSpec((1, S, Fc), mmap3, memory_space=pltpu.VMEM),         # fc s
         pl.BlockSpec((1, 1, 1, Fc), mmap4, memory_space=pltpu.VMEM),      # fc b
-        pl.BlockSpec((1, Fc, D), mmap_mp, memory_space=pltpu.VMEM),       # mproj w
-        pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # mproj s
+        pl.BlockSpec((1, Mb, D), mmap_mp, memory_space=pltpu.VMEM),       # mproj w
+        # int4 packs mproj per K-chunk → its scale rows follow the chunk;
+        # shipped 4D [L, G, 2, D] so the block's last-two dims equal the
+        # array's (a (1, 2, D) block over [L, 2G, D] is an illegal tile)
+        (pl.BlockSpec((1, 1, 2, D), mmap4, memory_space=pltpu.VMEM)
+         if int4 else
+         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM)),         # mproj s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # mproj b
         pl.BlockSpec((1, t_chunk, D), tmap, memory_space=pltpu.VMEM),     # k chunk
         pl.BlockSpec((1, t_chunk, D), tmap, memory_space=pltpu.VMEM),     # v chunk
@@ -345,7 +385,9 @@ def fused_decode_trunk_flat(
         blocks["ln_2"]["scale"][:, None], blocks["ln_2"]["bias"][:, None],
         wq(blocks["mlp"]["fc_w"]), sc(blocks["mlp"]["fc_w"], F),
         blocks["mlp"]["fc_b"].reshape(L, n_chunks, 1, Fc),
-        wq(blocks["mlp"]["proj_w"]), sc(blocks["mlp"]["proj_w"], D),
+        wq(blocks["mlp"]["proj_w"]),
+        (sc(blocks["mlp"]["proj_w"], D).reshape(L, n_chunks, 2, D)
+         if int4 else sc(blocks["mlp"]["proj_w"], D)),
         blocks["mlp"]["proj_b"][:, None],
         k_flat, v_flat,
     )

@@ -1,15 +1,25 @@
-"""Weight-only quantization tiers (int8 / int4).
+"""Weight-only quantization tiers (int8 / packed int4).
 
 Capability rebuild of the reference's bitsandbytes path
 (indextts/infer.py:50-182,317-353): the GPT trunk + text/mel head weights
-are quantised per-output-channel to an int grid and stored as
-``{"q": int8, "s": fp32 scale}``.  The matmul helpers
-(models/gpt2._mm, models/unified_voice._head_mm) dequantise inside the
-einsum, so XLA fuses the convert into the operand load and HBM traffic on
-the bandwidth-bound decode path drops ~2× (int8) vs bf16.
+are quantised per-output-channel to an int grid.
 
-int4 is stored in an int8 container with the int4 grid (values in [-8, 7]);
-same bandwidth as int8 at rest here, but numerically the int4 tier.
+int8 is stored as ``{"q": int8 [.., K, N], "s": fp32 [.., 1, N]}``.  The
+matmul helpers (models/gpt2._mm, models/unified_voice._head_mm) dequantise
+inside the einsum, so XLA fuses the convert into the operand load and HBM
+traffic on the bandwidth-bound decode path drops ~2× vs bf16.
+
+int4 is **nibble-packed**: two int4 values per int8 byte, halving the
+weight bytes again.  Packing pairs row ``k`` with row ``k + K/2`` within
+each contraction group (low nibble = first half), so consumers unpack with
+two sign-extending shifts and contract each half with the matching half of
+the activation — no interleave/reshape anywhere, which keeps the layout
+legal for the Pallas decode kernel (lane↔sublane reshapes crash Mosaic).
+Format: ``{"q4": int8 [.., K/2, N], "s": fp32 [.., 2·G, N]}`` where G is
+the number of contraction groups (1 for plain matrices; the fused decode
+kernel streams the MLP down-projection in K-chunks, so its G equals the
+chunk count and each chunk packs/scales independently — finer groups also
+mean better int4 accuracy).
 """
 
 from __future__ import annotations
@@ -18,6 +28,11 @@ from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
+
+# K-chunk count of the fused decode kernel's MLP down-projection stream
+# (ops/pallas/decode_layer.py `n_chunks`); the int4 packing of `mlp.proj_w`
+# must group by the same chunking.
+MLP_PROJ_GROUPS = 4
 
 
 def quantize_int(w: jnp.ndarray, bits: int = 8,
@@ -32,7 +47,56 @@ def quantize_int(w: jnp.ndarray, bits: int = 8,
     return {"q": q.astype(jnp.int8), "s": scale.astype(jnp.float32)}
 
 
+def quantize_int4_packed(w: jnp.ndarray, k_axis: int = -2,
+                         groups: int = 1) -> Dict[str, jnp.ndarray]:
+    """Pack `w` [.., K, N] to {"q4": [.., K/2, N], "s": [.., 2·groups, N]}.
+
+    K is split into `groups` contiguous chunks; within each chunk the first
+    half is quantised into low nibbles and the second half into high
+    nibbles of the same byte.  Each (chunk, half) gets its own per-output-
+    channel scale — scale row ``2·g + half``.
+    """
+    k_axis = k_axis % w.ndim
+    # move K to axis -2 canonical position for the packing math
+    assert k_axis == w.ndim - 2, "pack along the contraction (second-minor) axis"
+    K, N = w.shape[-2], w.shape[-1]
+    assert K % (2 * groups) == 0, (K, groups)
+    chunk = K // groups
+    half = chunk // 2
+    lead = w.shape[:-2]
+    wg = w.reshape(lead + (groups, 2, half, N))  # (g, half, j) row order
+    qmax = 7.0
+    amax = jnp.max(jnp.abs(wg.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / qmax               # [.., G, 2, 1, N]
+    q = jnp.clip(jnp.round(wg.astype(jnp.float32) / scale), -8, 7).astype(jnp.int8)
+    lo = q[..., :, 0, :, :]                                # [.., G, half, N]
+    hi = q[..., :, 1, :, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    q4 = packed.reshape(lead + (K // 2, N))
+    s = scale[..., 0, :].reshape(lead + (2 * groups, N))   # row 2g+half
+    return {"q4": q4, "s": s.astype(jnp.float32)}
+
+
+def unpack_int4(q4: jnp.ndarray) -> jnp.ndarray:
+    """[.., K/2, N] packed → (lo, hi) int8 halves in [-8, 7] (no reorder)."""
+    q32 = q4.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(q32, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(q32, 24), 28)
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
 def dequantize(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    if "q4" in qw:
+        lo, hi = unpack_int4(qw["q4"])
+        Kh, N = qw["q4"].shape[-2], qw["q4"].shape[-1]
+        lead = qw["q4"].shape[:-2]
+        G = qw["s"].shape[-2] // 2
+        half = Kh // G
+        s = qw["s"].reshape(lead + (G, 2, 1, N)).astype(jnp.float32)
+        w = jnp.stack([lo.reshape(lead + (G, half, N)),
+                       hi.reshape(lead + (G, half, N))], axis=-3)
+        return (w.astype(jnp.float32) * s).reshape(lead + (2 * Kh, N)).astype(dtype)
     return (qw["q"].astype(jnp.float32) * qw["s"]).astype(dtype)
 
 
@@ -40,7 +104,8 @@ def quantize_gpt_params(params: Dict[str, Any], bits: int = 8,
                         dtype=jnp.bfloat16) -> Dict[str, Any]:
     """Quantise the trunk + head matrices (the reference quantises `gpt`,
     `text_head`, `mel_head` Linears, infer.py:324-330).  Trunk weights are
-    stacked [L, K, N] → scale [L, 1, N]; heads [K, N] → scale [1, N]."""
+    stacked [L, K, N] → int8 scale [L, 1, N] / int4 scale [L, 2G, N];
+    heads [K, N] → [1, N] / [2, N]."""
     out = jax.tree.map(lambda x: x, params)
     blocks = out["gpt"]["blocks"]
     attn = dict(blocks["attn"])
@@ -48,12 +113,19 @@ def quantize_gpt_params(params: Dict[str, Any], bits: int = 8,
     for group, leaf in (("attn", "qkv_w"), ("attn", "proj_w"),
                         ("mlp", "fc_w"), ("mlp", "proj_w")):
         tgt = attn if group == "attn" else mlp
-        tgt[leaf] = quantize_int(tgt[leaf], bits, reduce_axes=(1,))
+        if bits == 4:
+            g = MLP_PROJ_GROUPS if (group, leaf) == ("mlp", "proj_w") else 1
+            tgt[leaf] = quantize_int4_packed(tgt[leaf], k_axis=1, groups=g)
+        else:
+            tgt[leaf] = quantize_int(tgt[leaf], bits, reduce_axes=(1,))
     out["gpt"] = {**out["gpt"],
                   "blocks": {**blocks, "attn": attn, "mlp": mlp}}
     for head in ("text_head", "mel_head"):
         if head in out:
-            out[head] = {**out[head],
-                          "kernel": quantize_int(out[head]["kernel"], bits,
-                                                  reduce_axes=(0,))}
+            k = out[head]["kernel"]
+            if bits == 4:
+                qk = quantize_int4_packed(k, k_axis=0, groups=1)
+            else:
+                qk = quantize_int(k, bits, reduce_axes=(0,))
+            out[head] = {**out[head], "kernel": qk}
     return out

@@ -49,6 +49,20 @@ def test_fused_int8_matches_xla_step():
     np.testing.assert_allclose(np.asarray(x_ln), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_int4_matches_xla_step():
+    """Packed-int4 kernel path == the XLA _mm q4 path, bit-close."""
+    full = gpt2.init_gpt2_params(jax.random.PRNGKey(2), SIZE)
+    qtree = quant.quantize_gpt_params({"gpt": full}, bits=4, dtype=jnp.float32)
+    params = qtree["gpt"]
+    tok, cache, full_mask = _setup(full)
+    ref, ref_cache = gpt2.decode_step(params, tok, cache, jnp.int32(6), full_mask, SIZE)
+    x, nc = fused_decode_trunk(params, tok, cache, jnp.int32(6), full_mask,
+                               heads=4, n_chunks=4, interpret=True)
+    x_ln = gpt2.layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"])
+    np.testing.assert_allclose(np.asarray(x_ln), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nc.k), np.asarray(ref_cache.k), atol=1e-6)
+
+
 def test_fused_decode_loop_greedy_equal():
     params = uv.init_params(jax.random.PRNGKey(0), CFG)
     rng = np.random.default_rng(5)

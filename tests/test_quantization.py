@@ -63,3 +63,52 @@ def test_int4_grid():
     qw = q.quantize_int(w, bits=4, reduce_axes=(0,))
     vals = np.unique(np.asarray(qw["q"]))
     assert vals.min() >= -8 and vals.max() <= 7
+
+
+def test_int4_packed_roundtrip():
+    """Pack → dequantize reproduces the per-(chunk-half, channel) int4 grid:
+    error ≤ half a grid step everywhere."""
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.standard_normal((3, 256, 64)).astype(np.float32))
+    qw = q.quantize_int4_packed(w, k_axis=1, groups=4)
+    assert qw["q4"].shape == (3, 128, 64) and qw["q4"].dtype == jnp.int8
+    assert qw["s"].shape == (3, 8, 64)
+    back = np.asarray(q.dequantize(qw, jnp.float32))
+    # per-group step = amax/7; |w - deq| <= step/2
+    wg = np.asarray(w).reshape(3, 4, 2, 32, 64)
+    step = np.abs(wg).max(axis=3, keepdims=True) / 7.0
+    err = np.abs(np.asarray(w).reshape(wg.shape) - back.reshape(wg.shape))
+    assert (err <= step / 2 + 1e-6).all()
+
+
+def test_int4_packed_mm_matches_dequant():
+    """gpt2._mm on the packed dict == plain matmul on the dequantised w."""
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32) * 0.05)
+    qw = q.quantize_int4_packed(w, k_axis=0, groups=4)
+    x = jnp.asarray(rng.standard_normal((2, 3, 256)).astype(np.float32))
+    got = gpt2._mm(x, qw)
+    want = jnp.einsum("btk,kn->btn", x, q.dequantize(qw, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_int4_packed_trunk_forward_close():
+    import tests.test_unified_voice as tu
+    from indextts_tpu.models import unified_voice as uv
+
+    params = uv.init_params(jax.random.PRNGKey(0), tu.CFG)
+    qparams = q.quantize_gpt_params(params, bits=4, dtype=jnp.float32)
+    # trunk leaves packed: half the K rows, 2G scale rows
+    blk = qparams["gpt"]["blocks"]
+    assert blk["attn"]["qkv_w"]["q4"].shape[1] == tu.CFG.model_dim // 2
+    assert blk["mlp"]["proj_w"]["s"].shape[1] == 2 * q.MLP_PROJ_GROUPS
+    rng = np.random.default_rng(6)
+    cond = jnp.asarray(rng.standard_normal((1, 32, tu.CFG.model_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(2, 40, (1, 6)), jnp.int32)
+    mel = jnp.asarray(rng.integers(0, 46, (1, 10)), jnp.int32)
+    out = uv.train_forward(params, tu.CFG, cond, text, jnp.asarray([6]), mel, jnp.asarray([10]))
+    qout = uv.train_forward(qparams, tu.CFG, cond, text, jnp.asarray([6]), mel, jnp.asarray([10]))
+    # int4 grid is coarse; losses stay in the same neighbourhood
+    assert abs(float(out["loss_mel"]) - float(qout["loss_mel"])) < 0.5
+    assert np.isfinite(float(qout["loss_text"]))
