@@ -479,6 +479,74 @@ class IndexTTS:
         }
         return self._emit(wav, output_path, sampling_rate)
 
+    def infer_stream(self, audio_prompt: Optional[str], text: str,
+                     verbose: bool = False,
+                     max_text_tokens_per_sentence: int = 120,
+                     speaker_id: Optional[str] = None, **generation_kwargs):
+        """Streaming synthesis: a generator yielding (sample_rate, int16 wav
+        chunk) per sentence, with a one-deep pipeline — sentence i+1's GPT
+        decode is dispatched on a worker thread while sentence i runs its
+        latent re-forward + vocoder and is yielded.  Chunks concatenate to
+        exactly `infer`'s output (same per-sentence rng fold), so streaming
+        is a latency feature, not a different synthesis path.  The reference
+        has no streaming mode; time-to-first-audio drops from O(all
+        sentences) to O(one sentence)."""
+        if speaker_id is not None and self.speaker_list and speaker_id not in self.speaker_list:
+            raise ValueError(f"invalid speaker_id: {speaker_id}")
+        import concurrent.futures
+
+        start_time = time.perf_counter()
+        cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
+        cond_latent = self._conditioning(cond_mel, speaker_id)
+        mel_ref = self._mel_ref(cond_mel, speaker_id)
+
+        tokens = self.tokenizer.tokenize(text)
+        sentences = self.tokenizer.split_sentences(tokens, max_text_tokens_per_sentence)
+        gen = dict(generation_kwargs)
+        sampling_rate = self.cfg.dataset.sample_rate
+        rng = jax.random.PRNGKey(self._rng_seed)
+
+        def decode_sentence(si, sent):
+            ids = np.asarray(self.tokenizer.convert_tokens_to_ids(sent), np.int32)
+            codes, lens = self._decode_bucket(
+                cond_latent, [ids], jax.random.fold_in(rng, si), gen)
+            codes, lens = remove_long_silence(codes, lens,
+                                              stop_token=self.stop_mel_token)
+            return ids, codes, lens
+
+        first_chunk_time = None
+        total_samples = 0
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            fut = pool.submit(decode_sentence, 0, sentences[0]) if sentences else None
+            for si in range(len(sentences)):
+                ids, codes, lens = fut.result()
+                if si + 1 < len(sentences):
+                    fut = pool.submit(decode_sentence, si + 1, sentences[si + 1])
+                code_len = int(lens[0])
+                latent = self._latents(cond_latent, ids, len(ids),
+                                       codes[0], code_len)
+                wav = self._vocoder_fn(
+                    self.bigvgan_params, latent[None].astype(self.vocoder_dtype),
+                    mel_ref.astype(self.vocoder_dtype))
+                n_samples = code_len * self.cfg.gpt.mel_length_compression
+                wav = np.asarray(wav[0, 0], np.float32)[:n_samples]
+                chunk = np.clip(32767.0 * wav, -32767.0, 32767.0).astype(np.int16)
+                if first_chunk_time is None:
+                    first_chunk_time = time.perf_counter() - start_time
+                total_samples += len(chunk)
+                yield sampling_rate, chunk
+        total = time.perf_counter() - start_time
+        wav_seconds = total_samples / sampling_rate
+        self.last_stats = {
+            "rtf": total / max(wav_seconds, 1e-9),
+            "time_to_first_audio": first_chunk_time,
+            "wav_seconds": wav_seconds,
+        }
+        if verbose:
+            print(f">> stream total {total:.2f}s  TTFA "
+                  f"{first_chunk_time if first_chunk_time is not None else -1:.2f}s "
+                  f"(RTF {self.last_stats['rtf']:.4f})")
+
     def infer_fast(self, audio_prompt: Optional[str], text: str,
                    output_path: Optional[str], verbose: bool = False,
                    max_text_tokens_per_sentence: int = 100,

@@ -156,6 +156,66 @@ def create_app(
         return Response(content=data, media_type="audio/wav",
                         headers={"X-Seed": str(used_seed)})
 
+    @app.post("/tts_stream")
+    async def tts_stream(
+        text: str = Form(...),
+        audio_file: Optional[UploadFile] = File(None),
+        audio_path: Optional[str] = Form(None),
+        speaker_id: Optional[str] = Form(None),
+        do_sample: bool = Form(True),
+        top_p: float = Form(0.8),
+        top_k: int = Form(30),
+        temperature: float = Form(1.0),
+        repetition_penalty: float = Form(10.0),
+        max_mel_tokens: int = Form(600),
+        max_text_tokens_per_sentence: int = Form(100),
+        seed: Optional[int] = Form(None),
+    ):
+        """Streaming synthesis: chunked WAV, one PCM chunk per sentence
+        (engine.infer_stream) — first audio after one sentence's synthesis
+        instead of the whole text's."""
+        from fastapi.responses import StreamingResponse
+
+        from indextts_tpu.utils.audio import wav_stream_header
+
+        if audio_file is None and not audio_path and not speaker_id:
+            raise HTTPException(400, "need audio_file, audio_path or speaker_id")
+        tmp = None
+        prompt = audio_path
+        if audio_file is not None:
+            suffix = os.path.splitext(audio_file.filename or "prompt.wav")[1] or ".wav"
+            tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+            tmp.write(await audio_file.read())
+            tmp.close()
+            prompt = tmp.name
+        used_seed = seed if seed is not None else int(time.time_ns() % (2**31))
+        eng = engine()
+        eng._rng_seed = used_seed
+        gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
+                   temperature=temperature,
+                   repetition_penalty=repetition_penalty,
+                   max_mel_tokens=max_mel_tokens)
+
+        def body():
+            sent_header = False
+            try:
+                for sr, chunk in eng.infer_stream(
+                        prompt, text, speaker_id=speaker_id,
+                        max_text_tokens_per_sentence=max_text_tokens_per_sentence,
+                        **gen):
+                    if not sent_header:
+                        yield wav_stream_header(sr)
+                        sent_header = True
+                    yield chunk.tobytes()
+                if not sent_header:
+                    yield wav_stream_header(24000)
+            finally:
+                if tmp is not None:
+                    os.unlink(tmp.name)
+
+        return StreamingResponse(body(), media_type="audio/wav",
+                                 headers={"X-Seed": str(used_seed)})
+
     return app
 
 

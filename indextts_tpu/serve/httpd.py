@@ -11,6 +11,9 @@ surface works (and is testable) in minimal images:
   POST /tts                        → JSON {"text": ..., "audio_path"|
                                      "speaker_id": ..., sampling params,
                                      "seed"} → WAV bytes, X-Seed header
+  POST /tts_stream                 → same body → chunked-transfer WAV,
+                                     one PCM chunk per sentence (first
+                                     audio after one sentence's synthesis)
 
 File uploads need the FastAPI server; here the prompt is a server-side
 `audio_path` (the reference supports both, api.py:199-216).
@@ -152,6 +155,39 @@ class TTSService:
         self.last_seed = used_seed
         return data
 
+    def tts_stream(self, req: Dict[str, Any]):
+        """Validate the request, then return (seed, generator of
+        (sample_rate, int16 chunk)) — engine.infer_stream, one chunk per
+        sentence, first audio after the first sentence's synthesis."""
+        text = req.get("text")
+        if not text:
+            raise ValueError("missing 'text'")
+        prompt = req.get("audio_path")
+        speaker_id = req.get("speaker_id")
+        if not prompt and not speaker_id:
+            raise ValueError("need 'audio_path' or 'speaker_id'")
+        seed = req.get("seed")
+        used_seed = int(seed) if seed is not None else int(
+            time.time_ns() % (2**31))
+        gen = dict(
+            do_sample=bool(req.get("do_sample", True)),
+            top_p=float(req.get("top_p", 0.8)),
+            top_k=int(req.get("top_k", 30)),
+            temperature=float(req.get("temperature", 1.0)),
+            repetition_penalty=float(req.get("repetition_penalty", 10.0)),
+            max_mel_tokens=int(req.get("max_mel_tokens", 600)),
+        )
+        if "num_beams" in req:
+            gen["num_beams"] = int(req["num_beams"])
+        eng = self.engine()
+        eng._rng_seed = used_seed
+        self.last_seed = used_seed
+        return used_seed, eng.infer_stream(
+            prompt, text, speaker_id=speaker_id,
+            max_text_tokens_per_sentence=int(
+                req.get("max_text_tokens_per_sentence", 100)),
+            **gen)
+
     def _pool_tts(self, req: Dict[str, Any], prompt, speaker_id) -> bytes:
         """Continuous mode: sentences join the shared pool (sampling params
         are pool-level, fixed at startup; per-request params are ignored
@@ -237,6 +273,36 @@ def make_handler(service: TTSService):
                 self.send_header("X-Seed", str(service.last_seed))
                 self.end_headers()
                 self.wfile.write(data)
+            elif path == "/tts_stream":
+                # chunked-transfer WAV: header + one PCM chunk per sentence,
+                # first bytes on the wire after ONE sentence's synthesis
+                from indextts_tpu.utils.audio import wav_stream_header
+
+                try:
+                    seed, chunks = service.tts_stream(req)
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("X-Seed", str(seed))
+                self.end_headers()
+
+                def emit(payload: bytes) -> None:
+                    self.wfile.write(f"{len(payload):X}\r\n".encode())
+                    self.wfile.write(payload)
+                    self.wfile.write(b"\r\n")
+
+                sent_header = False
+                for sr, chunk in chunks:
+                    if not sent_header:
+                        emit(wav_stream_header(sr))
+                        sent_header = True
+                    emit(chunk.tobytes())
+                if not sent_header:
+                    emit(wav_stream_header(24000))
+                self.wfile.write(b"0\r\n\r\n")
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 

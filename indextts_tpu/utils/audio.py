@@ -48,6 +48,23 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
     wavfile.write(path, sample_rate, audio)
 
 
+def wav_stream_header(sample_rate: int, channels: int = 1,
+                      bits: int = 16) -> bytes:
+    """RIFF/WAVE header for a stream of unknown length (sizes set to the
+    0xFFFFFFFF convention players treat as 'read until EOF') — prepend to
+    int16 PCM chunks for chunked-transfer streaming."""
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                             byte_rate, block_align, bits),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
+
+
 def to_mono(audio: np.ndarray) -> np.ndarray:
     """(C, T) -> (T,) by channel mean (reference: infer.py:608)."""
     if audio.ndim == 2:

@@ -211,3 +211,22 @@ def test_speaker_similarity_self(engine):
                           engine.bigvgan_params)
     sim_self = speaker_similarity(params, wav, wav)
     assert sim_self == pytest.approx(1.0, abs=1e-4)
+
+
+def test_infer_stream_matches_infer(engine, tmp_path):
+    """Streaming chunks concatenate to exactly infer()'s wav (same seed,
+    same per-sentence rng fold) — streaming is latency-only."""
+    out = str(tmp_path / "ref.wav")
+    kw = dict(max_mel_tokens=8, do_sample=False, repetition_penalty=1.0,
+              num_beams=1, max_text_tokens_per_sentence=4)
+    engine.infer(SAMPLE, "第一句。Second one.", out, **kw)
+    from indextts_tpu.utils.audio import read_wav
+
+    ref, sr = read_wav(out)
+    chunks = list(engine.infer_stream(SAMPLE, "第一句。Second one.", **kw))
+    assert len(chunks) >= 2            # one chunk per sentence
+    assert all(c.dtype == np.int16 for _, c in chunks)
+    assert chunks[0][0] == sr
+    got = np.concatenate([c for _, c in chunks])
+    np.testing.assert_array_equal(got, np.asarray(ref).reshape(-1))
+    assert engine.last_stats["time_to_first_audio"] > 0

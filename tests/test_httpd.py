@@ -167,3 +167,25 @@ def test_continuous_pool_serving(tmp_path_factory):
             assert data[:4] == b"RIFF" and len(data) > 100, name
     finally:
         httpd.shutdown()
+
+
+def test_tts_stream_over_socket(server):
+    """/tts_stream: chunked WAV whose PCM equals the non-streaming /tts
+    output for the same seed (streaming is latency-only)."""
+    body = {
+        "text": "你好。Second sentence here.",
+        "audio_path": "/root/reference/tests/sample_prompt.wav",
+        "max_mel_tokens": 8, "do_sample": False, "repetition_penalty": 1.0,
+        "num_beams": 1, "seed": 42, "max_text_tokens_per_sentence": 4,
+        "mode": "normal",
+    }
+    code, headers, ref = _post(server + "/tts", body)
+    assert code == 200, ref
+    code, headers, data = _post(server + "/tts_stream", body)
+    assert code == 200, data
+    assert headers["Content-Type"] == "audio/wav"
+    assert headers["X-Seed"] == "42"
+    # urllib de-chunks; we get header + PCM. Sizes are the 0xFFFFFFFF
+    # streaming convention; compare the PCM payloads
+    assert data[:4] == b"RIFF" and data[36:40] == b"data"
+    assert data[44:] == ref[44:]
