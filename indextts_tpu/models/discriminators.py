@@ -16,8 +16,6 @@ from typing import Any, Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from indextts_tpu.ops.mel import _hann_window
-
 LRELU_SLOPE = 0.1
 _DN2 = ("NCHW", "OIHW", "NCHW")
 
@@ -74,9 +72,10 @@ def period_discriminator_forward(params: Dict[str, Any], x: jnp.ndarray
 
 
 def init_resolution_discriminator(rng, resolution: Sequence[int],
-                                   channels: int = 64,
+                                   channels: int = 32,
                                    dtype=jnp.float32) -> Dict[str, Any]:
-    """DiscriminatorR over |STFT| (models.py:394-420 analogue)."""
+    """DiscriminatorR over |STFT| (models.py:341-391): 32·d_mult channels
+    (config.yaml:121 d_mult=1), (3,9) convs then (3,3)."""
     ks = iter(jax.random.split(rng, 8))
 
     def conv_p(cin, cout, kh, kw):
@@ -113,7 +112,9 @@ def _stft_mag(x: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarray:
 
     idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
     frames = x[:, idx]
-    window = jnp.asarray(_hann_window(win))
+    # reference torch.stft is called with window=None (models.py:387) →
+    # a RECTANGULAR ones(win_length) window zero-padded to n_fft centred
+    window = jnp.ones((win,), jnp.float32)
     if win < n_fft:
         lpad = (n_fft - win) // 2
         window = jnp.pad(window, (lpad, n_fft - win - lpad))
