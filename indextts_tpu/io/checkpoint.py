@@ -109,9 +109,36 @@ def convert_gpt_state_dict(sd: Dict[str, Any], cfg: GPTConfig) -> Dict[str, Any]
         "ln_f": {"scale": g("gpt.ln_f.weight"), "bias": g("gpt.ln_f.bias")},
     }
 
-    # --- conformer conditioning encoder --------------------------------
-    CL = cfg.condition_module.num_blocks
+    # --- conditioning encoder (three reference variants,
+    #     gpt/model.py:349-365) ------------------------------------------
     ce = "conditioning_encoder."
+    if cfg.condition_type not in ("conformer_perceiver", "conformer_encoder"):
+        # legacy AttentionBlock encoder ("perceiver" and the mean-pooled
+        # default) — arch_util.py:84-126; conv1d kernels are [out, in, 1]
+        n_attn = len({k.split(".")[2] for k in sd
+                      if k.startswith(ce + "attn.")})
+        cond_params = {
+            "init": {"w": g(ce + "init.weight")[:, :, 0],
+                     "b": g(ce + "init.bias")},
+            "attn": [
+                {"norm": {"scale": g(ce + f"attn.{i}.norm.weight"),
+                          "bias": g(ce + f"attn.{i}.norm.bias")},
+                 "qkv": {"w": g(ce + f"attn.{i}.qkv.weight")[:, :, 0],
+                         "b": g(ce + f"attn.{i}.qkv.bias")},
+                 "proj": {"w": g(ce + f"attn.{i}.proj_out.weight")[:, :, 0],
+                          "b": g(ce + f"attn.{i}.proj_out.bias")}}
+                for i in range(n_attn)
+            ],
+        }
+        perceiver_params = (_convert_perceiver(sd) if
+                            cfg.condition_type == "perceiver" else {})
+        return {
+            "conditioning_encoder": cond_params,
+            "perceiver_encoder": perceiver_params,
+            **_embed_and_heads(g),
+            "gpt": gpt_params,
+        }
+    CL = cfg.condition_module.num_blocks
 
     def cstack(fmt: str, transpose: bool = False) -> np.ndarray:
         arrs = [_to_np(sd[ce + fmt.format(i)]) for i in range(CL)]
@@ -170,7 +197,19 @@ def convert_gpt_state_dict(sd: Dict[str, Any], cfg: GPTConfig) -> Dict[str, Any]
         "after_norm": {"scale": g(ce + "after_norm.weight"), "bias": g(ce + "after_norm.bias")},
     }
 
-    # --- perceiver -------------------------------------------------------
+    return {
+        "conditioning_encoder": conformer_params,
+        "perceiver_encoder": _convert_perceiver(sd),
+        **_embed_and_heads(g),
+        "gpt": gpt_params,
+    }
+
+
+def _convert_perceiver(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """perceiver_encoder.* keys → param pytree — shared by the conformer
+    and legacy "perceiver" condition types (the reference instantiates the
+    same PerceiverResampler class for both, gpt/model.py:350-362)."""
+    g = lambda k: _to_np(sd[k])
     pe = "perceiver_encoder."
     PD = 2  # depth (perceiver.py:219-256)
 
@@ -180,9 +219,17 @@ def convert_gpt_state_dict(sd: Dict[str, Any], cfg: GPTConfig) -> Dict[str, Any]
             arrs = [a.T for a in arrs]
         return np.stack(arrs)
 
-    perceiver_params = {
-        "proj_context": {"kernel": g(pe + "proj_context.weight").T,
-                          "bias": g(pe + "proj_context.bias")},
+    if pe + "proj_context.weight" in sd:
+        proj = {"kernel": g(pe + "proj_context.weight").T,
+                "bias": g(pe + "proj_context.bias")}
+    else:
+        # dim_context == dim → reference uses nn.Identity (perceiver.py:234);
+        # an eye kernel reproduces it through the always-projecting forward
+        D = _to_np(sd[pe + "latents"]).shape[1]
+        proj = {"kernel": np.eye(D, dtype=np.float32),
+                "bias": np.zeros((D,), np.float32)}
+    return {
+        "proj_context": proj,
         "latents": g(pe + "latents"),
         "layers": {
             "attn": {
@@ -200,14 +247,15 @@ def convert_gpt_state_dict(sd: Dict[str, Any], cfg: GPTConfig) -> Dict[str, Any]
         "norm": {"gamma": g(pe + "norm.gamma")},
     }
 
+
+def _embed_and_heads(g) -> Dict[str, Any]:
+    """Embeddings, position tables, final_norm and heads — identical across
+    condition types (gpt/model.py:367-385)."""
     return {
-        "conditioning_encoder": conformer_params,
-        "perceiver_encoder": perceiver_params,
         "text_embedding": {"weight": g("text_embedding.weight")},
         "mel_embedding": {"weight": g("mel_embedding.weight")},
         "mel_pos_embedding": {"weight": g("mel_pos_embedding.emb.weight")},
         "text_pos_embedding": {"weight": g("text_pos_embedding.emb.weight")},
-        "gpt": gpt_params,
         "final_norm": {"scale": g("final_norm.weight"), "bias": g("final_norm.bias")},
         "text_head": {"kernel": g("text_head.weight").T, "bias": g("text_head.bias")},
         "mel_head": {"kernel": g("mel_head.weight").T, "bias": g("mel_head.bias")},

@@ -22,13 +22,19 @@ Mosaic constraints engineered around (micro-bisected on this image):
     row is merged into its chunk with an iota mask and emitted as a
     per-layer row output; the caller scatters it into the HBM cache.
 
-Grid: (L, 3 + n_tc + n_chunks), minor axis fastest:
-  c == 0               q phase   (+ hidden-state init on layer 0)
-  c == 1               k phase
-  c == 2               v phase   (+ online-softmax state reset)
-  c in [3, 3+n_tc)     attention over cache chunk c-3 (online softmax);
-                       the last chunk finalises: ctx/Σ, residual, LN2
-  c >= 3+n_tc          MLP column block (last one finishes the layer)
+Grid: (L, off + n_tc + n_chunks), minor axis fastest, off = 1|3:
+  c < off              qkv phase(s): int4 merges q|k|v into ONE program
+                       (one [1,D]@[D,3D] dot; the halved blocks fit VMEM);
+                       int8/bf16 split into q|k|v column phases (off=3)
+  c in [off, off+n_tc) attention over cache chunk c-off (online softmax);
+                       chunks past `pos` pin their index map to pos's
+                       chunk (no DMA) and skip compute; the last chunk
+                       finalises: ctx/Σ, residual, LN2
+  c >= off+n_tc        MLP column block (last one finishes the layer)
+
+The kernel is per-program-overhead bound, not bandwidth bound (measured:
+240 programs ≈ 633 µs vs a ~230 µs DMA floor at int4/T=384) — hence the
+fewest, fattest programs that fit VMEM (~16 MB).
 
 Supports bf16/fp8 caches and int8 weight-only dicts {"q", "s"} (per-output
 scales folded into the matmul outputs).  B=1 only — batched decode stays on
@@ -68,12 +74,22 @@ def _kernel(
     m_scr, s_scr,                           # [1, H] online-softmax state
     ctx_scr,                                # [1, D] context accumulator
     *, head_dim: int, n_chunks: int, n_tc: int, t_chunk: int, quant: str,
+    compute_dtype, merged_qkv: bool,
 ):
     l = pl.program_id(0)
     c = pl.program_id(1)
     L = pl.num_programs(0)
     D = x_scr.shape[1]
     pos = pos_ref[0]
+    # phase offset: merged_qkv computes q|k|v in ONE program (one [1,D]@
+    # [D,3D] dot) — 2 fewer programs and 4 fewer small dots per layer; only
+    # the int4 tier has the VMEM headroom for the full qkv block
+    off = 1 if merged_qkv else 3
+    cd = compute_dtype  # bf16 on the production path: int grids are exact
+    #   in bf16 and the MXU accumulates fp32, so the dots lose nothing vs
+    #   dequantise-to-fp32 — but the VPU convert traffic halves (measured
+    #   the fp32 converts at ~2× the whole DMA floor); fp32 when the caller
+    #   decodes in fp32 (CPU tests) for bit-exactness vs the XLA path
 
     def mm(x32, w_ref, s_ref):
         if quant == "int4":
@@ -88,17 +104,18 @@ def _kernel(
             # (1, 1, 2, N) (its 3D block would be (1, 2, N) over a
             # [L, 2G, N] array — an illegal second-minor tile on TPU)
             s = (s_ref[0, 0] if s_ref.ndim == 4 else s_ref[0]).astype(jnp.float32)
+            x_c = x32.astype(cd)
             y = jax.lax.dot_general(
-                x32[:, :kh], lo.astype(jnp.float32),
+                x_c[:, :kh], lo.astype(cd),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * s[0:1]
             y = y + jax.lax.dot_general(
-                x32[:, kh:], hi.astype(jnp.float32),
+                x_c[:, kh:], hi.astype(cd),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * s[1:2]
             return y
         y = jax.lax.dot_general(
-            x32, w_ref[0].astype(jnp.float32),
+            x32.astype(cd), w_ref[0].astype(cd),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         if quant == "int8":
@@ -112,73 +129,100 @@ def _kernel(
                 * s_ref[0, 0].astype(jnp.float32)
                 + b_ref[0, 0].astype(jnp.float32))
 
-    @pl.when(c == 0)
-    def _q_phase():
-        @pl.when(l == 0)
-        def _init():
-            x_scr[:] = x_ref[:].astype(jnp.float32)
-
-        h1_scr[:] = layer_norm(x_scr[:], ln1_s_ref, ln1_b_ref)
-        qrow_scr[:] = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
-            + qkv_b_ref[0, 0].astype(jnp.float32)
-
-    @pl.when(c == 1)
-    def _k_phase():
-        krow_scr[:] = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
-            + qkv_b_ref[0, 0].astype(jnp.float32)
-
-    @pl.when(c == 2)
-    def _v_phase():
-        v_new = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
-            + qkv_b_ref[0, 0].astype(jnp.float32)
-        vrow_scr[:] = v_new
-        # emit the new rows; the caller scatters them into the HBM cache
-        krows_out_ref[0] = krow_scr[:].astype(krows_out_ref.dtype)
-        vrows_out_ref[0] = v_new.astype(vrows_out_ref.dtype)
-        # reset the online-softmax state for this layer's attention
+    def _reset_softmax_state():
         m_scr[:] = jnp.full_like(m_scr, _M_INIT)
         s_scr[:] = jnp.zeros_like(s_scr)
         ctx_scr[:] = jnp.zeros_like(ctx_scr)
 
-    @pl.when(jnp.logical_and(c >= 3, c < 3 + n_tc))
+    if merged_qkv:
+        @pl.when(c == 0)
+        def _qkv_phase():
+            @pl.when(l == 0)
+            def _init():
+                x_scr[:] = x_ref[:].astype(jnp.float32)
+
+            h1_scr[:] = layer_norm(x_scr[:], ln1_s_ref, ln1_b_ref)
+            row = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
+                + qkv_b_ref[0, 0].astype(jnp.float32)        # [1, 3D]
+            qrow_scr[:] = row[:, :D]
+            krow_scr[:] = row[:, D:2 * D]
+            vrow_scr[:] = row[:, 2 * D:]
+            krows_out_ref[0] = row[:, D:2 * D].astype(krows_out_ref.dtype)
+            vrows_out_ref[0] = row[:, 2 * D:].astype(vrows_out_ref.dtype)
+            _reset_softmax_state()
+    else:
+        @pl.when(c == 0)
+        def _q_phase():
+            @pl.when(l == 0)
+            def _init():
+                x_scr[:] = x_ref[:].astype(jnp.float32)
+
+            h1_scr[:] = layer_norm(x_scr[:], ln1_s_ref, ln1_b_ref)
+            qrow_scr[:] = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
+                + qkv_b_ref[0, 0].astype(jnp.float32)
+
+        @pl.when(c == 1)
+        def _k_phase():
+            krow_scr[:] = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
+                + qkv_b_ref[0, 0].astype(jnp.float32)
+
+        @pl.when(c == 2)
+        def _v_phase():
+            v_new = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
+                + qkv_b_ref[0, 0].astype(jnp.float32)
+            vrow_scr[:] = v_new
+            # emit the new rows; the caller scatters them into the HBM cache
+            krows_out_ref[0] = krow_scr[:].astype(krows_out_ref.dtype)
+            vrows_out_ref[0] = v_new.astype(vrows_out_ref.dtype)
+            _reset_softmax_state()
+
+    @pl.when(jnp.logical_and(c >= off, c < off + n_tc))
     def _attention_chunk():
-        j = c - 3
-        head_mat = head_mat_ref[:].astype(jnp.float32)       # [D, H]
-        # merge the current token's K/V row into its chunk (iota mask)
-        t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_chunk, 1), 0) \
-            + j * t_chunk
-        sel = t_iota == pos
-        k_all = jnp.where(sel, krow_scr[:], k_ref[0].astype(jnp.float32))
-        v_all = jnp.where(sel, vrow_scr[:], v_ref[0].astype(jnp.float32))
+        j = c - off
+        head_mat32 = head_mat_ref[:].astype(jnp.float32)     # [D, H]
 
-        scores = jax.lax.dot_general(
-            k_all * qrow_scr[:], head_mat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [Tc, H]
-        scores = scores / np.sqrt(head_dim) + jnp.where(
-            mask_ref[:] != 0, 0.0, NEG_INF)
+        # chunks past the current position contribute nothing: their index
+        # map pins them to pos's chunk (no new DMA) and the body is skipped
+        @pl.when(j * t_chunk <= pos)
+        def _accumulate():
+            # merge the current token's K/V row into its chunk (iota mask);
+            # the cache chunks stay in their stored dtype (bf16) on the
+            # production path — converting them up was pure VPU overhead
+            t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_chunk, 1), 0) \
+                + j * t_chunk
+            sel = t_iota == pos
+            k_all = jnp.where(sel, krow_scr[:].astype(cd), k_ref[0].astype(cd))
+            v_all = jnp.where(sel, vrow_scr[:].astype(cd), v_ref[0].astype(cd))
 
-        m_old = m_scr[:]
-        m_new = jnp.maximum(m_old, jnp.max(scores, axis=0, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)                       # [1, H]
-        p = jnp.exp(scores - m_new)                          # [Tc, H]
-        s_scr[:] = s_scr[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
-        m_scr[:] = m_new
-        pe = jax.lax.dot_general(
-            p, head_mat,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [Tc, D]
-        alpha_lanes = jax.lax.dot_general(
-            alpha, head_mat,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [1, D]
-        ctx_scr[:] = (ctx_scr[:] * alpha_lanes
-                      + jnp.sum(pe * v_all, axis=0, keepdims=True))
+            scores = jax.lax.dot_general(
+                k_all * qrow_scr[:].astype(cd), head_mat_ref[:].astype(cd),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [Tc, H]
+            scores = scores / np.sqrt(head_dim) + jnp.where(
+                mask_ref[:] != 0, 0.0, NEG_INF)
 
-        @pl.when(c == 3 + n_tc - 1)
+            m_old = m_scr[:]
+            m_new = jnp.maximum(m_old, jnp.max(scores, axis=0, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)                   # [1, H]
+            p = jnp.exp(scores - m_new)                      # [Tc, H]
+            s_scr[:] = s_scr[:] * alpha + jnp.sum(p, axis=0, keepdims=True)
+            m_scr[:] = m_new
+            pe = jax.lax.dot_general(
+                p, head_mat32,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [Tc, D]
+            alpha_lanes = jax.lax.dot_general(
+                alpha, head_mat32,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [1, D]
+            ctx_scr[:] = (ctx_scr[:] * alpha_lanes
+                          + jnp.sum(pe.astype(cd) * v_all, axis=0,
+                                    keepdims=True, dtype=jnp.float32))
+
+        @pl.when(c == off + n_tc - 1)
         def _finish_attention():
             s_lanes = jax.lax.dot_general(
-                s_scr[:], head_mat,
+                s_scr[:], head_mat32,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [1, D]
             ctx = ctx_scr[:] / s_lanes
@@ -188,7 +232,7 @@ def _kernel(
             h2_scr[:] = layer_norm(x, ln2_s_ref, ln2_b_ref)
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(c >= 3 + n_tc)
+    @pl.when(c >= off + n_tc)
     def _mlp_chunk():
         hidden = (mm(h2_scr[:], fc_w_ref, fc_s_ref)
                   + fc_b_ref[0, 0, 0].astype(jnp.float32))
@@ -196,7 +240,7 @@ def _kernel(
             np.sqrt(2.0 / np.pi) * (hidden + 0.044715 * hidden ** 3)))
         acc_scr[:] = acc_scr[:] + mm(g, mproj_w_ref, mproj_s_ref)
 
-        @pl.when(c == 3 + n_tc + n_chunks - 1)
+        @pl.when(c == off + n_tc + n_chunks - 1)
         def _finish_layer():
             x = x_scr[:] + acc_scr[:] + mproj_b_ref[0, 0].astype(jnp.float32)
             x_scr[:] = x
@@ -250,6 +294,9 @@ def fused_decode_trunk_flat(
     heads: int,
     n_chunks: int = 4,
     interpret: bool = False,
+    merge_qkv: bool = None,       # None = int4 default; tuning knob
+    pos_skip: bool = True,        # pin past-pos cache chunks (skip DMA)
+    t_cap: int = None,            # cache chunk size cap (None = T_CHUNK)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step over the flat cache.  Returns (trunk hidden [1, 1, D]
     **before** ln_f, k_flat', v_flat')."""
@@ -283,35 +330,56 @@ def fused_decode_trunk_flat(
             f"{n_chunks} K-chunks — quantize with groups=n_chunks "
             "(ops/quantization.MLP_PROJ_GROUPS)")
     T = k_flat.shape[1]
-    t_chunk = T_CHUNK
-    while T % t_chunk:
-        t_chunk //= 2
-    assert t_chunk >= 8, f"cache_len {T} must be a multiple of 8"
-    n_tc = T // t_chunk
-    C = 3 + n_tc + n_chunks
+    # cache chunking: the fewest chunks with t_chunk ≤ the cap (fewer, fatter
+    # programs — the kernel is per-program-overhead bound, not BW bound)
+    cap = t_cap or T_CHUNK
+    n_tc = max(1, -(-T // cap))
+    while T % n_tc or (T // n_tc) % 8:
+        n_tc += 1
+    t_chunk = T // n_tc
+    # int4 halves every weight block, buying VMEM headroom to merge the
+    # three qkv phases into one program with the full [1, Kb, 3D] block
+    merged_qkv = int4 if merge_qkv is None else merge_qkv
+    off = 1 if merged_qkv else 3
+    C = off + n_tc + n_chunks
 
     rep3 = lambda l, c, *_: (l, 0, 0)
     # qkv column phase: q|k|v at c = 0|1|2, then parked on the v block
     qmap3 = lambda l, c, *_: (l, 0, jnp.minimum(c, 2))
     qmap3b = lambda l, c, *_: (l, 0, jnp.minimum(c, 2))
-    # attention chunk c-3, parked on chunk 0 / last outside the window
-    tmap = lambda l, c, *_: (l, jnp.clip(c - 3, 0, n_tc - 1), 0)
-    tmask = lambda l, c, *_: (jnp.clip(c - 3, 0, n_tc - 1), 0)
-    # MLP chunk c-3-n_tc, parked on chunk 0 during earlier phases
-    mmap3 = lambda l, c, *_: (l, 0, jnp.maximum(c - 3 - n_tc, 0))
-    mmap4 = lambda l, c, *_: (l, jnp.maximum(c - 3 - n_tc, 0), 0, 0)
-    mmap_mp = lambda l, c, *_: (l, jnp.maximum(c - 3 - n_tc, 0), 0)
+    # attention chunk c-off; parked on chunk 0 / pos's chunk outside the
+    # window; with pos_skip, chunks past pos pin to pos's chunk (same index
+    # twice in a row = no DMA — skipped chunks cost neither traffic nor
+    # compute)
+    if pos_skip:
+        tmap = lambda l, c, pos_ref: (
+            l, jnp.minimum(jnp.clip(c - off, 0, n_tc - 1),
+                           pos_ref[0] // t_chunk), 0)
+        tmask = lambda l, c, pos_ref: (
+            jnp.minimum(jnp.clip(c - off, 0, n_tc - 1),
+                        pos_ref[0] // t_chunk), 0)
+    else:
+        tmap = lambda l, c, *_: (l, jnp.clip(c - off, 0, n_tc - 1), 0)
+        tmask = lambda l, c, *_: (jnp.clip(c - off, 0, n_tc - 1), 0)
+    # MLP chunk c-off-n_tc, parked on chunk 0 during earlier phases
+    mmap3 = lambda l, c, *_: (l, 0, jnp.maximum(c - off - n_tc, 0))
+    mmap4 = lambda l, c, *_: (l, jnp.maximum(c - off - n_tc, 0), 0, 0)
+    mmap_mp = lambda l, c, *_: (l, jnp.maximum(c - off - n_tc, 0), 0)
     const2 = lambda l, c, *_: (0, 0)
 
+    qkv_cols = 3 * D if merged_qkv else D
     in_specs = [
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),            # x
         pl.BlockSpec((t_chunk, 1), tmask, memory_space=pltpu.VMEM),       # mask
         pl.BlockSpec((D, heads), const2, memory_space=pltpu.VMEM),        # head mat
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 b
-        pl.BlockSpec((1, Kb, D), qmap3, memory_space=pltpu.VMEM),         # qkv w phase
-        pl.BlockSpec((1, S, D), qmap3b, memory_space=pltpu.VMEM),         # qkv s phase
-        pl.BlockSpec((1, 1, D), qmap3b, memory_space=pltpu.VMEM),         # qkv b phase
+        pl.BlockSpec((1, Kb, qkv_cols), rep3 if merged_qkv else qmap3,
+                     memory_space=pltpu.VMEM),                            # qkv w
+        pl.BlockSpec((1, S, qkv_cols), rep3 if merged_qkv else qmap3b,
+                     memory_space=pltpu.VMEM),                            # qkv s
+        pl.BlockSpec((1, 1, qkv_cols), rep3 if merged_qkv else qmap3b,
+                     memory_space=pltpu.VMEM),                            # qkv b
         pl.BlockSpec((1, Kb, D), rep3, memory_space=pltpu.VMEM),          # proj w
         pl.BlockSpec((1, S, D), rep3, memory_space=pltpu.VMEM),           # proj s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # proj b
@@ -337,9 +405,15 @@ def fused_decode_trunk_flat(
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),
     )
 
+    # bf16 operands on the production path (int grids exact in bf16, fp32
+    # MXU accumulate — only the VPU convert traffic changes); fp32 when the
+    # caller decodes in fp32 so CPU interpret tests stay bit-exact vs XLA
+    compute_dtype = (jnp.float32 if hidden.dtype == jnp.float32
+                     else jnp.bfloat16)
     kernel = functools.partial(
         _kernel, head_dim=D // heads, n_chunks=n_chunks, n_tc=n_tc,
-        t_chunk=t_chunk, quant=quant)
+        t_chunk=t_chunk, quant=quant, compute_dtype=compute_dtype,
+        merged_qkv=merged_qkv)
 
     # qkv weights/scales/biases rearranged so the column phases are blocks
     qkv_w = wq(blocks["attn"]["qkv_w"])                        # [L, D, 3D]
