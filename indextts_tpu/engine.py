@@ -569,26 +569,41 @@ class IndexTTS:
         rng = jax.random.PRNGKey(self._rng_seed)
         all_latents: List[Tuple[int, jnp.ndarray]] = []
         has_warned = False
-        for bi, bucket in enumerate(buckets):
+
+        def decode_bucket(bi, bucket):
             id_lists = [
                 np.asarray(self.tokenizer.convert_tokens_to_ids(item["sent"]), np.int32)
                 for item in bucket
             ]
-            t0 = time.perf_counter()
             codes, lens = self._decode_bucket(
                 cond_latent, id_lists, jax.random.fold_in(rng, bi), gen)
-            gpt_gen_time += time.perf_counter() - t0
-            codes, lens = remove_long_silence(codes, lens, stop_token=self.stop_mel_token)
-            if not has_warned and (lens >= int(gen.get("max_mel_tokens", 600))).any():
-                warnings.warn("generation reached max_mel_tokens", RuntimeWarning)
-                has_warned = True
-            # batched latent re-forward over the whole bucket (the reference
-            # loops per sentence here, infer.py:699-723)
-            t0 = time.perf_counter()
-            latents = self._latents_batch(cond_latent, id_lists, codes, lens)
-            gpt_forward_time += time.perf_counter() - t0
-            for i, item in enumerate(bucket):
-                all_latents.append((item["idx"], latents[i][: int(lens[i])]))
+            codes, lens = remove_long_silence(codes, lens,
+                                              stop_token=self.stop_mel_token)
+            return id_lists, codes, lens
+
+        # one-deep pipeline: bucket i+1's GPT decode runs on a worker thread
+        # while bucket i's latent re-forward executes (the reference is
+        # strictly sequential here, infer.py:676-723)
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+            fut = pool.submit(decode_bucket, 0, buckets[0]) if buckets else None
+            for bi, bucket in enumerate(buckets):
+                t0 = time.perf_counter()
+                id_lists, codes, lens = fut.result()
+                gpt_gen_time += time.perf_counter() - t0
+                if bi + 1 < len(buckets):
+                    fut = pool.submit(decode_bucket, bi + 1, buckets[bi + 1])
+                if not has_warned and (lens >= int(gen.get("max_mel_tokens", 600))).any():
+                    warnings.warn("generation reached max_mel_tokens", RuntimeWarning)
+                    has_warned = True
+                # batched latent re-forward over the whole bucket (the
+                # reference loops per sentence here, infer.py:699-723)
+                t0 = time.perf_counter()
+                latents = self._latents_batch(cond_latent, id_lists, codes, lens)
+                gpt_forward_time += time.perf_counter() - t0
+                for i, item in enumerate(bucket):
+                    all_latents.append((item["idx"], latents[i][: int(lens[i])]))
 
         all_latents.sort(key=lambda kv: kv[0])
         chunk_size = 2

@@ -22,19 +22,23 @@ Mosaic constraints engineered around (micro-bisected on this image):
     row is merged into its chunk with an iota mask and emitted as a
     per-layer row output; the caller scatters it into the HBM cache.
 
-Grid: (L, off + n_tc + n_chunks), minor axis fastest, off = 1|3:
-  c < off              qkv phase(s): int4 merges q|k|v into ONE program
-                       (one [1,D]@[D,3D] dot; the halved blocks fit VMEM);
-                       int8/bf16 split into q|k|v column phases (off=3)
-  c in [off, off+n_tc) attention over cache chunk c-off (online softmax);
+Grid: (L, 3 + n_tc + n_chunks), minor axis fastest:
+  c == 0               q phase   (+ hidden-state init on layer 0)
+  c == 1               k phase
+  c == 2               v phase   (+ online-softmax state reset)
+  c in [3, 3+n_tc)     attention over cache chunk c-3 (online softmax);
                        chunks past `pos` pin their index map to pos's
                        chunk (no DMA) and skip compute; the last chunk
                        finalises: ctx/Σ, residual, LN2
-  c >= off+n_tc        MLP column block (last one finishes the layer)
+  c >= 3+n_tc          MLP column block (last one finishes the layer)
 
-The kernel is per-program-overhead bound, not bandwidth bound (measured:
-240 programs ≈ 633 µs vs a ~230 µs DMA floor at int4/T=384) — hence the
-fewest, fattest programs that fit VMEM (~16 MB).
+Layout tuning, measured on the tunnel v5e at int4/T=384 (all within or
+below the ±3%% run noise): baseline 642 µs/step; merging q|k|v into one
+program with a [1,Kb,3D] block 694 µs (one fat DMA pipelines worse than
+three splits); t_chunk 192 vs 128 neutral; pos-pinned cache maps neutral
+at short caches (kept — they can only reduce DMA).  The step is ~2/3
+per-program overhead (240 programs) and ~1/3 DMA; restructuring the grid
+does not beat the baseline, so the structure stays as round 2 shipped it.
 
 Supports bf16/fp8 caches and int8 weight-only dicts {"q", "s"} (per-output
 scales folded into the matmul outputs).  B=1 only — batched decode stays on
@@ -74,17 +78,15 @@ def _kernel(
     m_scr, s_scr,                           # [1, H] online-softmax state
     ctx_scr,                                # [1, D] context accumulator
     *, head_dim: int, n_chunks: int, n_tc: int, t_chunk: int, quant: str,
-    compute_dtype, merged_qkv: bool,
+    compute_dtype,
 ):
     l = pl.program_id(0)
     c = pl.program_id(1)
     L = pl.num_programs(0)
     D = x_scr.shape[1]
     pos = pos_ref[0]
-    # phase offset: merged_qkv computes q|k|v in ONE program (one [1,D]@
-    # [D,3D] dot) — 2 fewer programs and 4 fewer small dots per layer; only
-    # the int4 tier has the VMEM headroom for the full qkv block
-    off = 1 if merged_qkv else 3
+    off = 3  # q|k|v column phases (a merged single-program qkv measured
+    #   SLOWER: one fat [1,Kb,3D] DMA pipelines worse than three splits)
     cd = compute_dtype  # bf16 on the production path: int grids are exact
     #   in bf16 and the MXU accumulates fp32, so the dots lose nothing vs
     #   dequantise-to-fp32 — but the VPU convert traffic halves (measured
@@ -134,47 +136,30 @@ def _kernel(
         s_scr[:] = jnp.zeros_like(s_scr)
         ctx_scr[:] = jnp.zeros_like(ctx_scr)
 
-    if merged_qkv:
-        @pl.when(c == 0)
-        def _qkv_phase():
-            @pl.when(l == 0)
-            def _init():
-                x_scr[:] = x_ref[:].astype(jnp.float32)
+    @pl.when(c == 0)
+    def _q_phase():
+        @pl.when(l == 0)
+        def _init():
+            x_scr[:] = x_ref[:].astype(jnp.float32)
 
-            h1_scr[:] = layer_norm(x_scr[:], ln1_s_ref, ln1_b_ref)
-            row = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
-                + qkv_b_ref[0, 0].astype(jnp.float32)        # [1, 3D]
-            qrow_scr[:] = row[:, :D]
-            krow_scr[:] = row[:, D:2 * D]
-            vrow_scr[:] = row[:, 2 * D:]
-            krows_out_ref[0] = row[:, D:2 * D].astype(krows_out_ref.dtype)
-            vrows_out_ref[0] = row[:, 2 * D:].astype(vrows_out_ref.dtype)
-            _reset_softmax_state()
-    else:
-        @pl.when(c == 0)
-        def _q_phase():
-            @pl.when(l == 0)
-            def _init():
-                x_scr[:] = x_ref[:].astype(jnp.float32)
+        h1_scr[:] = layer_norm(x_scr[:], ln1_s_ref, ln1_b_ref)
+        qrow_scr[:] = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
+            + qkv_b_ref[0, 0].astype(jnp.float32)
 
-            h1_scr[:] = layer_norm(x_scr[:], ln1_s_ref, ln1_b_ref)
-            qrow_scr[:] = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
-                + qkv_b_ref[0, 0].astype(jnp.float32)
+    @pl.when(c == 1)
+    def _k_phase():
+        krow_scr[:] = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
+            + qkv_b_ref[0, 0].astype(jnp.float32)
 
-        @pl.when(c == 1)
-        def _k_phase():
-            krow_scr[:] = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
-                + qkv_b_ref[0, 0].astype(jnp.float32)
-
-        @pl.when(c == 2)
-        def _v_phase():
-            v_new = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
-                + qkv_b_ref[0, 0].astype(jnp.float32)
-            vrow_scr[:] = v_new
-            # emit the new rows; the caller scatters them into the HBM cache
-            krows_out_ref[0] = krow_scr[:].astype(krows_out_ref.dtype)
-            vrows_out_ref[0] = v_new.astype(vrows_out_ref.dtype)
-            _reset_softmax_state()
+    @pl.when(c == 2)
+    def _v_phase():
+        v_new = mm(h1_scr[:], qkv_w_ref, qkv_s_ref) \
+            + qkv_b_ref[0, 0].astype(jnp.float32)
+        vrow_scr[:] = v_new
+        # emit the new rows; the caller scatters them into the HBM cache
+        krows_out_ref[0] = krow_scr[:].astype(krows_out_ref.dtype)
+        vrows_out_ref[0] = v_new.astype(vrows_out_ref.dtype)
+        _reset_softmax_state()
 
     @pl.when(jnp.logical_and(c >= off, c < off + n_tc))
     def _attention_chunk():
@@ -294,9 +279,6 @@ def fused_decode_trunk_flat(
     heads: int,
     n_chunks: int = 4,
     interpret: bool = False,
-    merge_qkv: bool = None,       # None = int4 default; tuning knob
-    pos_skip: bool = True,        # pin past-pos cache chunks (skip DMA)
-    t_cap: int = None,            # cache chunk size cap (None = T_CHUNK)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step over the flat cache.  Returns (trunk hidden [1, 1, D]
     **before** ln_f, k_flat', v_flat')."""
@@ -330,17 +312,12 @@ def fused_decode_trunk_flat(
             f"{n_chunks} K-chunks — quantize with groups=n_chunks "
             "(ops/quantization.MLP_PROJ_GROUPS)")
     T = k_flat.shape[1]
-    # cache chunking: the fewest chunks with t_chunk ≤ the cap (fewer, fatter
-    # programs — the kernel is per-program-overhead bound, not BW bound)
-    cap = t_cap or T_CHUNK
-    n_tc = max(1, -(-T // cap))
+    # cache chunking: the fewest chunks with t_chunk ≤ T_CHUNK
+    n_tc = max(1, -(-T // T_CHUNK))
     while T % n_tc or (T // n_tc) % 8:
         n_tc += 1
     t_chunk = T // n_tc
-    # int4 halves every weight block, buying VMEM headroom to merge the
-    # three qkv phases into one program with the full [1, Kb, 3D] block
-    merged_qkv = int4 if merge_qkv is None else merge_qkv
-    off = 1 if merged_qkv else 3
+    off = 3
     C = off + n_tc + n_chunks
 
     rep3 = lambda l, c, *_: (l, 0, 0)
@@ -348,38 +325,29 @@ def fused_decode_trunk_flat(
     qmap3 = lambda l, c, *_: (l, 0, jnp.minimum(c, 2))
     qmap3b = lambda l, c, *_: (l, 0, jnp.minimum(c, 2))
     # attention chunk c-off; parked on chunk 0 / pos's chunk outside the
-    # window; with pos_skip, chunks past pos pin to pos's chunk (same index
-    # twice in a row = no DMA — skipped chunks cost neither traffic nor
-    # compute)
-    if pos_skip:
-        tmap = lambda l, c, pos_ref: (
-            l, jnp.minimum(jnp.clip(c - off, 0, n_tc - 1),
-                           pos_ref[0] // t_chunk), 0)
-        tmask = lambda l, c, pos_ref: (
-            jnp.minimum(jnp.clip(c - off, 0, n_tc - 1),
-                        pos_ref[0] // t_chunk), 0)
-    else:
-        tmap = lambda l, c, *_: (l, jnp.clip(c - off, 0, n_tc - 1), 0)
-        tmask = lambda l, c, *_: (jnp.clip(c - off, 0, n_tc - 1), 0)
+    # window; chunks past pos pin to pos's chunk (same index twice in a
+    # row = no DMA — skipped chunks cost neither traffic nor compute)
+    tmap = lambda l, c, pos_ref: (
+        l, jnp.minimum(jnp.clip(c - off, 0, n_tc - 1),
+                       pos_ref[0] // t_chunk), 0)
+    tmask = lambda l, c, pos_ref: (
+        jnp.minimum(jnp.clip(c - off, 0, n_tc - 1),
+                    pos_ref[0] // t_chunk), 0)
     # MLP chunk c-off-n_tc, parked on chunk 0 during earlier phases
     mmap3 = lambda l, c, *_: (l, 0, jnp.maximum(c - off - n_tc, 0))
     mmap4 = lambda l, c, *_: (l, jnp.maximum(c - off - n_tc, 0), 0, 0)
     mmap_mp = lambda l, c, *_: (l, jnp.maximum(c - off - n_tc, 0), 0)
     const2 = lambda l, c, *_: (0, 0)
 
-    qkv_cols = 3 * D if merged_qkv else D
     in_specs = [
         pl.BlockSpec((1, D), const2, memory_space=pltpu.VMEM),            # x
         pl.BlockSpec((t_chunk, 1), tmask, memory_space=pltpu.VMEM),       # mask
         pl.BlockSpec((D, heads), const2, memory_space=pltpu.VMEM),        # head mat
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 b
-        pl.BlockSpec((1, Kb, qkv_cols), rep3 if merged_qkv else qmap3,
-                     memory_space=pltpu.VMEM),                            # qkv w
-        pl.BlockSpec((1, S, qkv_cols), rep3 if merged_qkv else qmap3b,
-                     memory_space=pltpu.VMEM),                            # qkv s
-        pl.BlockSpec((1, 1, qkv_cols), rep3 if merged_qkv else qmap3b,
-                     memory_space=pltpu.VMEM),                            # qkv b
+        pl.BlockSpec((1, Kb, D), qmap3, memory_space=pltpu.VMEM),         # qkv w phase
+        pl.BlockSpec((1, S, D), qmap3b, memory_space=pltpu.VMEM),         # qkv s phase
+        pl.BlockSpec((1, 1, D), qmap3b, memory_space=pltpu.VMEM),         # qkv b phase
         pl.BlockSpec((1, Kb, D), rep3, memory_space=pltpu.VMEM),          # proj w
         pl.BlockSpec((1, S, D), rep3, memory_space=pltpu.VMEM),           # proj s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # proj b
@@ -412,8 +380,7 @@ def fused_decode_trunk_flat(
                      else jnp.bfloat16)
     kernel = functools.partial(
         _kernel, head_dim=D // heads, n_chunks=n_chunks, n_tc=n_tc,
-        t_chunk=t_chunk, quant=quant, compute_dtype=compute_dtype,
-        merged_qkv=merged_qkv)
+        t_chunk=t_chunk, quant=quant, compute_dtype=compute_dtype)
 
     # qkv weights/scales/biases rearranged so the column phases are blocks
     qkv_w = wq(blocks["attn"]["qkv_w"])                        # [L, D, 3D]

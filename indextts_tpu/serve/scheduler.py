@@ -357,19 +357,41 @@ class ContinuousBatcher:
             if not active[slot]:
                 self._finish(slot, int(n_gen[slot]), report[slot, 2:])
 
+    def _tick_steps(self) -> int:
+        """Steps for this tick.  Full `steps_per_tick` normally; when
+        requests are QUEUED, shrink the tick (powers of two, so the compile
+        set stays log-sized) to the smallest remaining per-slot budget —
+        otherwise a slot that finishes early in a long tick sits dead for
+        the rest of it while work waits (ROADMAP: pool occupancy).  The rng
+        folds on absolute step index, so results are invariant to how the
+        step stream is partitioned into ticks."""
+        if not self._queue:
+            return self.steps_per_tick
+        live = [(s, r) for s, r in enumerate(self._slot_req) if r is not None]
+        if not live:
+            return 1
+        # host-side estimate: slots generate one token per step while active
+        rem = min(max(1, r.max_new - (self.step_count - self._slot_admit_step[s]) - 1)
+                  for s, r in live)
+        steps = 1
+        while steps * 2 <= min(rem, self.steps_per_tick):
+            steps *= 2
+        return steps
+
     def step(self) -> int:
-        """One scheduler tick (`steps_per_tick` decode steps in one
+        """One scheduler tick (up to `steps_per_tick` decode steps in one
         dispatch): admit, advance, emit (one tick late).  Returns number of
         live slots after the tick."""
         self._admit()
         if not any(r is not None for r in self._slot_req):
             self.flush()
             return 0
+        steps = self._tick_steps()
         self.state, report = _step_kernel(
             self.params, self.cfg, self.state, self.rng_base, self.step_count,
-            self.cache_dtype, steps=self.steps_per_tick,
+            self.cache_dtype, steps=steps,
             **self.sampling_kwargs)
-        self.step_count += self.steps_per_tick
+        self.step_count += steps
         prev = self._pending_report
         self._pending_report = (self.step_count, report)
         if prev is not None:
