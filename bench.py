@@ -134,6 +134,8 @@ def main() -> None:
         measure(params, "bf16", B)
         best = max(best, measure(params_q, "int8-weights", B))
         best = max(best, measure(params_q, "int8+fp8kv", B, kv=FP8))
+        if B > 1:
+            best = max(best, measure(params_q4, "int4+fp8kv", B, kv=FP8))
         if B == 1 and jax.default_backend() == "tpu":
             best = max(best, measure(params_q, "int8-fused-trunk", B, fused=True))
             best = max(best, measure(params_q4, "int4-fused-trunk", B, fused=True))
