@@ -19,6 +19,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-fp16", dest="fp16", action="store_false")
     p.add_argument("-f", "--force", action="store_true", help="overwrite output")
     p.add_argument("--fast", action="store_true", help="use infer_fast")
+    p.add_argument("--stream", action="store_true",
+                   help="sentence-streaming synthesis: chunks append to the "
+                        "output as they're ready; prints time-to-first-audio")
     p.add_argument("--speaker_id", default=None)
     p.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)
@@ -35,6 +38,22 @@ def main(argv=None) -> int:
 
     tts = IndexTTS(cfg_path=cfg_path, model_dir=args.model_dir,
                    is_fp16=args.fp16, seed=args.seed)
+    if args.stream:
+        import numpy as np
+
+        from indextts_tpu.utils.audio import write_wav
+
+        chunks, sr = [], 24000
+        for sr, chunk in tts.infer_stream(args.voice, args.text, verbose=True,
+                                          speaker_id=args.speaker_id):
+            chunks.append(chunk)
+            # progressive output: rewrite after each sentence so a player
+            # tailing the file hears audio before synthesis finishes
+            write_wav(args.output_path, np.concatenate(chunks), sr)
+        ttfa = tts.last_stats.get("time_to_first_audio")
+        print(f">> saved: {args.output_path} (TTFA "
+              f"{ttfa if ttfa is not None else -1:.2f}s)")
+        return 0
     infer = tts.infer_fast if args.fast else tts.infer
     kwargs = {} if args.fast else {"speaker_id": args.speaker_id}
     infer(args.voice, args.text, args.output_path, **kwargs)

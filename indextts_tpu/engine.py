@@ -332,7 +332,10 @@ class IndexTTS:
         # reference decode default: num_beams=3 (infer.py:633)
         num_beams = int(generation.get("num_beams", 3))
         kwargs = dict(
-            max_new=int(generation.get("max_mel_tokens", 600)),
+            # generation budget capped by the model's mel position table —
+            # codes past it cannot be re-forwarded for the vocoder
+            max_new=min(int(generation.get("max_mel_tokens", 600)),
+                        self.cfg.gpt.max_mel_tokens),
             temperature=float(generation.get("temperature", 1.0)),
             top_k=int(generation.get("top_k", 30)),
             top_p=float(generation.get("top_p", 0.8)),
@@ -375,8 +378,8 @@ class IndexTTS:
         Shapes are bucketed (text to 16, codes to 64) so the jitted program
         set stays small; the returned latent keeps the padded length —
         callers trim the synthesized wav to code_len*1024 samples."""
+        code_len = min(code_len, self.cfg.gpt.max_mel_tokens)  # position table cap
         width = min(_round_up(max(1, code_len), 64), self.cfg.gpt.max_mel_tokens)
-        width = max(width, code_len)
         twidth = min(_round_up(max(1, text_len), 16), self.cfg.gpt.max_text_tokens)
         twidth = max(twidth, text_len)
         codes_p = np.full((1, width), self.stop_mel_token, dtype=np.int32)

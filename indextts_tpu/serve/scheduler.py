@@ -220,6 +220,7 @@ class ContinuousBatcher:
         kv_dtype=None,            # e.g. jnp.float8_e4m3fn: half-traffic KV
         seed: int = 0,
         steps_per_tick: int = 1,
+        adaptive_ticks: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -237,6 +238,7 @@ class ContinuousBatcher:
         self.rng_base = jax.random.PRNGKey(seed)
         self.step_count = 0
         self.steps_per_tick = max(1, steps_per_tick)
+        self.adaptive_ticks = adaptive_ticks
         self._admit_count = 0
 
         self.state = PoolState(
@@ -358,14 +360,20 @@ class ContinuousBatcher:
                 self._finish(slot, int(n_gen[slot]), report[slot, 2:])
 
     def _tick_steps(self) -> int:
-        """Steps for this tick.  Full `steps_per_tick` normally; when
-        requests are QUEUED, shrink the tick (powers of two, so the compile
-        set stays log-sized) to the smallest remaining per-slot budget —
-        otherwise a slot that finishes early in a long tick sits dead for
-        the rest of it while work waits (ROADMAP: pool occupancy).  The rng
-        folds on absolute step index, so results are invariant to how the
-        step stream is partitioned into ticks."""
-        if not self._queue:
+        """Steps for this tick.  Full `steps_per_tick` normally; with
+        `adaptive_ticks` and requests QUEUED, shrink the tick (powers of
+        two, so the compile set stays log-sized) to the smallest remaining
+        per-slot budget — otherwise a slot that finishes early in a long
+        tick sits dead for the rest of it while work waits.  The rng folds
+        on absolute step index, so results are invariant to how the step
+        stream is partitioned into ticks.
+
+        Default OFF: worth it only when per-dispatch latency ≪ a tick's
+        compute.  On the axon tunnel (~5 ms dispatch + ~30 ms fetch) the
+        extra dispatches cost far more than the reclaimed slot-steps
+        (measured: 358 tok/s adaptive vs ~1230 fixed on the mixed-traffic
+        bench); on a directly-attached chip the trade-off flips."""
+        if not self.adaptive_ticks or not self._queue:
             return self.steps_per_tick
         live = [(s, r) for s, r in enumerate(self._slot_req) if r is not None]
         if not live:
