@@ -151,7 +151,12 @@ def beam_step(
         seqs, parent[:, :, None], axis=1)                 # [B, cand, L]
     cand_seqs = jax.vmap(
         lambda s, t: s.at[:, step].set(t), in_axes=(0, 0))(cand_seqs, token)
-    fin_cand_scores = jnp.where(is_stop, sc, NEG_INF)
+    # HF BeamSearchScorer.process drops (not banks) eos candidates whose
+    # candidate rank is >= num_beams ("is_beam_token_worse_than_top_num_
+    # beams", beam_search.py in transformers 4.44); candidates here are
+    # sorted desc, so rank == position
+    bankable = jnp.logical_and(is_stop, jnp.arange(cand)[None, :] < nb)
+    fin_cand_scores = jnp.where(bankable, sc, NEG_INF)
     all_scores = jnp.concatenate([state.fin_scores, fin_cand_scores], axis=1)
     all_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
     all_lens = jnp.concatenate(
