@@ -50,6 +50,9 @@ def main(argv=None) -> int:
             # progressive output: rewrite after each sentence so a player
             # tailing the file hears audio before synthesis finishes
             write_wav(args.output_path, np.concatenate(chunks), sr)
+        if not chunks:
+            print("error: no audio produced (empty text?)", file=sys.stderr)
+            return 1
         ttfa = tts.last_stats.get("time_to_first_audio")
         print(f">> saved: {args.output_path} (TTFA "
               f"{ttfa if ttfa is not None else -1:.2f}s)")

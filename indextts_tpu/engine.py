@@ -189,6 +189,12 @@ class IndexTTS:
 
         self.stop_mel_token = self.cfg.gpt.stop_mel_token
         self._rng_seed = seed if seed is not None else 0
+        # one device, one synthesis at a time: serialises infer/infer_fast/
+        # infer_stream across server threads (also protects _rng_seed and
+        # last_stats from interleaving)
+        import threading
+
+        self._infer_lock = threading.RLock()
 
         # --- load models -------------------------------------------------
         from indextts_tpu.io import checkpoint as ckpt_io
@@ -424,115 +430,101 @@ class IndexTTS:
               verbose: bool = False, max_text_tokens_per_sentence: int = 120,
               speaker_id: Optional[str] = None, **generation_kwargs):
         """Per-sentence synthesis (reference: infer.py:779-917)."""
-        if speaker_id is not None and self.speaker_list and speaker_id not in self.speaker_list:
-            raise ValueError(f"invalid speaker_id: {speaker_id}")
-        start_time = time.perf_counter()
-        cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
-        cond_latent = self._conditioning(cond_mel, speaker_id)
-
-        tokens = self.tokenizer.tokenize(text)
-        sentences = self.tokenizer.split_sentences(tokens, max_text_tokens_per_sentence)
-        gen = dict(generation_kwargs)
-        sampling_rate = self.cfg.dataset.sample_rate
-
-        wavs: List[np.ndarray] = []
-        gpt_gen_time = gpt_forward_time = bigvgan_time = 0.0
-        has_warned = False
-        rng = jax.random.PRNGKey(self._rng_seed)
-        for si, sent in enumerate(sentences):
-            ids = np.asarray(self.tokenizer.convert_tokens_to_ids(sent), dtype=np.int32)
-            t0 = time.perf_counter()
-            codes, lens = self._decode_bucket(
-                cond_latent, [ids], jax.random.fold_in(rng, si), gen)
-            gpt_gen_time += time.perf_counter() - t0
-            if not has_warned and int(lens[0]) >= int(gen.get("max_mel_tokens", 600)):
-                warnings.warn(
-                    f"generation reached max_mel_tokens; consider shorter sentences",
-                    RuntimeWarning)
-                has_warned = True
-            codes, lens = remove_long_silence(codes, lens, stop_token=self.stop_mel_token)
-
-            t0 = time.perf_counter()
-            # latent re-forward uses raw token ids (infer.py:865-874)
-            code_len = int(lens[0])
-            latent = self._latents(cond_latent, ids, len(ids), codes[0], code_len)
-            gpt_forward_time += time.perf_counter() - t0
-
-            t0 = time.perf_counter()
-            mel_ref = self._mel_ref(cond_mel, speaker_id)
-            wav = self._vocoder_fn(
-                self.bigvgan_params, latent[None].astype(self.vocoder_dtype),
-                mel_ref.astype(self.vocoder_dtype))
-            n_samples = code_len * self.cfg.gpt.mel_length_compression
-            wav = np.asarray(wav[0, 0], dtype=np.float32)[:n_samples]
-            bigvgan_time += time.perf_counter() - t0
-            wavs.append(np.clip(32767.0 * wav, -32767.0, 32767.0))
-
-        wav = np.concatenate(wavs) if wavs else np.zeros(1, np.float32)
-        end_time = time.perf_counter()
-        wav_length = len(wav) / sampling_rate
-        rtf = (end_time - start_time) / max(wav_length, 1e-9)
-        print(f">> total {end_time - start_time:.2f}s  (RTF: {rtf:.4f})")
-        print(f"   gpt_gen {gpt_gen_time:.2f}s  gpt_fwd {gpt_forward_time:.2f}s  "
-              f"vocoder {bigvgan_time:.2f}s")
-        self.last_stats = {
-            "rtf": rtf, "gpt_gen_time": gpt_gen_time,
-            "gpt_forward_time": gpt_forward_time, "bigvgan_time": bigvgan_time,
-            "wav_seconds": wav_length,
-        }
+        # one synthesis pipeline: infer == drained infer_stream (the parity
+        # is structural, not two hand-synchronized loops; see
+        # tests/test_engine.py::test_infer_stream_matches_infer)
+        chunks = list(self.infer_stream(
+            audio_prompt, text,
+            max_text_tokens_per_sentence=max_text_tokens_per_sentence,
+            speaker_id=speaker_id, **generation_kwargs))
+        sampling_rate = (chunks[0][0] if chunks
+                         else self.cfg.dataset.sample_rate)
+        wav = (np.concatenate([c for _, c in chunks]) if chunks
+               else np.zeros(1, np.int16))
+        s = self.last_stats
+        print(f">> total {s['rtf'] * s['wav_seconds']:.2f}s  "
+              f"(RTF: {s['rtf']:.4f})")
+        print(f"   gpt_gen {s['gpt_gen_time']:.2f}s  "
+              f"gpt_fwd {s['gpt_forward_time']:.2f}s  "
+              f"vocoder {s['bigvgan_time']:.2f}s")
         return self._emit(wav, output_path, sampling_rate)
 
     def infer_stream(self, audio_prompt: Optional[str], text: str,
                      verbose: bool = False,
                      max_text_tokens_per_sentence: int = 120,
-                     speaker_id: Optional[str] = None, **generation_kwargs):
-        """Streaming synthesis: a generator yielding (sample_rate, int16 wav
-        chunk) per sentence, with a one-deep pipeline — sentence i+1's GPT
-        decode is dispatched on a worker thread while sentence i runs its
-        latent re-forward + vocoder and is yielded.  Chunks concatenate to
-        exactly `infer`'s output (same per-sentence rng fold), so streaming
-        is a latency feature, not a different synthesis path.  The reference
-        has no streaming mode; time-to-first-audio drops from O(all
-        sentences) to O(one sentence)."""
+                     speaker_id: Optional[str] = None,
+                     seed: Optional[int] = None, **generation_kwargs):
+        """Streaming synthesis: returns a generator yielding (sample_rate,
+        int16 wav chunk) per sentence, with a one-deep pipeline — sentence
+        i+1's GPT decode is dispatched on a worker thread while sentence i
+        runs its latent re-forward + vocoder and is yielded.  Chunks
+        concatenate to exactly `infer`'s output (same per-sentence rng
+        fold), so streaming is a latency feature, not a different synthesis
+        path.  The reference has no streaming mode; time-to-first-audio
+        drops from O(all sentences) to O(one sentence).
+
+        Validation and prompt analysis run EAGERLY (bad speaker_id/prompt
+        raises here, before any bytes stream); `seed` pins the rng at call
+        time so concurrent callers can't race `self._rng_seed`.  The
+        generator holds the engine's inference lock while it runs."""
         if speaker_id is not None and self.speaker_list and speaker_id not in self.speaker_list:
             raise ValueError(f"invalid speaker_id: {speaker_id}")
-        import concurrent.futures
-
-        start_time = time.perf_counter()
-        cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
-        cond_latent = self._conditioning(cond_mel, speaker_id)
-        mel_ref = self._mel_ref(cond_mel, speaker_id)
-
+        with self._infer_lock:
+            cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
+            cond_latent = self._conditioning(cond_mel, speaker_id)
+            mel_ref = self._mel_ref(cond_mel, speaker_id)
         tokens = self.tokenizer.tokenize(text)
         sentences = self.tokenizer.split_sentences(tokens, max_text_tokens_per_sentence)
         gen = dict(generation_kwargs)
+        rng = jax.random.PRNGKey(self._rng_seed if seed is None else seed)
+        return self._stream_chunks(sentences, cond_latent, mel_ref, rng, gen,
+                                   verbose)
+
+    def _stream_chunks(self, sentences, cond_latent, mel_ref, rng,
+                       gen: Dict[str, Any], verbose: bool):
+        import concurrent.futures
+
+        start_time = time.perf_counter()
         sampling_rate = self.cfg.dataset.sample_rate
-        rng = jax.random.PRNGKey(self._rng_seed)
+        phase = {"gpt_gen_time": 0.0, "gpt_forward_time": 0.0,
+                 "bigvgan_time": 0.0}
+        has_warned = False
 
         def decode_sentence(si, sent):
+            t0 = time.perf_counter()
             ids = np.asarray(self.tokenizer.convert_tokens_to_ids(sent), np.int32)
             codes, lens = self._decode_bucket(
                 cond_latent, [ids], jax.random.fold_in(rng, si), gen)
             codes, lens = remove_long_silence(codes, lens,
                                               stop_token=self.stop_mel_token)
+            phase["gpt_gen_time"] += time.perf_counter() - t0
             return ids, codes, lens
 
         first_chunk_time = None
         total_samples = 0
-        with concurrent.futures.ThreadPoolExecutor(1) as pool:
+        with self._infer_lock, concurrent.futures.ThreadPoolExecutor(1) as pool:
             fut = pool.submit(decode_sentence, 0, sentences[0]) if sentences else None
             for si in range(len(sentences)):
                 ids, codes, lens = fut.result()
                 if si + 1 < len(sentences):
                     fut = pool.submit(decode_sentence, si + 1, sentences[si + 1])
+                if not has_warned and int(lens[0]) >= int(
+                        gen.get("max_mel_tokens", 600)):
+                    warnings.warn("generation reached max_mel_tokens; "
+                                  "consider shorter sentences", RuntimeWarning)
+                    has_warned = True
                 code_len = int(lens[0])
+                t0 = time.perf_counter()
                 latent = self._latents(cond_latent, ids, len(ids),
                                        codes[0], code_len)
+                phase["gpt_forward_time"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
                 wav = self._vocoder_fn(
                     self.bigvgan_params, latent[None].astype(self.vocoder_dtype),
                     mel_ref.astype(self.vocoder_dtype))
                 n_samples = code_len * self.cfg.gpt.mel_length_compression
                 wav = np.asarray(wav[0, 0], np.float32)[:n_samples]
+                phase["bigvgan_time"] += time.perf_counter() - t0
                 chunk = np.clip(32767.0 * wav, -32767.0, 32767.0).astype(np.int16)
                 if first_chunk_time is None:
                     first_chunk_time = time.perf_counter() - start_time
@@ -544,6 +536,7 @@ class IndexTTS:
             "rtf": total / max(wav_seconds, 1e-9),
             "time_to_first_audio": first_chunk_time,
             "wav_seconds": wav_seconds,
+            **phase,
         }
         if verbose:
             print(f">> stream total {total:.2f}s  TTFA "

@@ -312,7 +312,9 @@ def fused_decode_trunk_flat(
             f"{n_chunks} K-chunks — quantize with groups=n_chunks "
             "(ops/quantization.MLP_PROJ_GROUPS)")
     T = k_flat.shape[1]
-    # cache chunking: the fewest chunks with t_chunk ≤ T_CHUNK
+    assert T % 8 == 0, f"cache_len {T} must be a multiple of 8"
+    # cache chunking: the fewest chunks with t_chunk ≤ T_CHUNK (the search
+    # terminates: n_tc = T/8 gives t_chunk = 8)
     n_tc = max(1, -(-T // T_CHUNK))
     while T % n_tc or (T // n_tc) % 8:
         n_tc += 1

@@ -178,6 +178,10 @@ def create_app(
 
         from indextts_tpu.utils.audio import wav_stream_header
 
+        if pool_service is not None:
+            raise HTTPException(
+                400, "/tts_stream is not available in --continuous mode "
+                     "(it would bypass the shared decode pool); use /tts")
         if audio_file is None and not audio_path and not speaker_id:
             raise HTTPException(400, "need audio_file, audio_path or speaker_id")
         tmp = None
@@ -189,20 +193,28 @@ def create_app(
             tmp.close()
             prompt = tmp.name
         used_seed = seed if seed is not None else int(time.time_ns() % (2**31))
-        eng = engine()
-        eng._rng_seed = used_seed
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
                    temperature=temperature,
                    repetition_penalty=repetition_penalty,
                    max_mel_tokens=max_mel_tokens)
+        try:
+            # infer_stream validates and analyses the prompt EAGERLY, so a
+            # bad speaker_id / unreadable prompt is a clean 400 here rather
+            # than a broken 200 mid-stream; the seed is pinned at call time
+            # (no race on engine state between overlapping requests)
+            chunks = engine().infer_stream(
+                prompt, text, speaker_id=speaker_id, seed=used_seed,
+                max_text_tokens_per_sentence=max_text_tokens_per_sentence,
+                **gen)
+        except ValueError as e:
+            if tmp is not None:
+                os.unlink(tmp.name)
+            raise HTTPException(400, str(e))
 
         def body():
             sent_header = False
             try:
-                for sr, chunk in eng.infer_stream(
-                        prompt, text, speaker_id=speaker_id,
-                        max_text_tokens_per_sentence=max_text_tokens_per_sentence,
-                        **gen):
+                for sr, chunk in chunks:
                     if not sent_header:
                         yield wav_stream_header(sr)
                         sent_header = True

@@ -108,16 +108,16 @@ class TTSService:
             self._tts = None  # lazily rebuilt with the new weights
         return {"status": "reloaded", "gpt_path": gpt_path}
 
-    def tts(self, req: Dict[str, Any]) -> bytes:
-        text = req.get("text")
-        if not text:
+    @staticmethod
+    def parse_request(req: Dict[str, Any]):
+        """Shared /tts & /tts_stream contract → (prompt, speaker_id,
+        used_seed, gen dict).  Raises ValueError on a bad request."""
+        if not req.get("text"):
             raise ValueError("missing 'text'")
         prompt = req.get("audio_path")
         speaker_id = req.get("speaker_id")
         if not prompt and not speaker_id:
             raise ValueError("need 'audio_path' or 'speaker_id'")
-        if self.continuous:
-            return self._pool_tts(req, prompt, speaker_id)
         seed = req.get("seed")
         used_seed = int(seed) if seed is not None else int(
             time.time_ns() % (2**31))
@@ -131,8 +131,15 @@ class TTSService:
         )
         if "num_beams" in req:
             gen["num_beams"] = int(req["num_beams"])
+        return prompt, speaker_id, used_seed, gen
+
+    def tts(self, req: Dict[str, Any]) -> bytes:
+        prompt, speaker_id, used_seed, gen = self.parse_request(req)
+        if self.continuous:
+            return self._pool_tts(req, prompt, speaker_id)
         eng = self.engine()
         eng._rng_seed = used_seed
+        text = req["text"]
         out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
         out.close()
         try:
@@ -158,32 +165,18 @@ class TTSService:
     def tts_stream(self, req: Dict[str, Any]):
         """Validate the request, then return (seed, generator of
         (sample_rate, int16 chunk)) — engine.infer_stream, one chunk per
-        sentence, first audio after the first sentence's synthesis."""
-        text = req.get("text")
-        if not text:
-            raise ValueError("missing 'text'")
-        prompt = req.get("audio_path")
-        speaker_id = req.get("speaker_id")
-        if not prompt and not speaker_id:
-            raise ValueError("need 'audio_path' or 'speaker_id'")
-        seed = req.get("seed")
-        used_seed = int(seed) if seed is not None else int(
-            time.time_ns() % (2**31))
-        gen = dict(
-            do_sample=bool(req.get("do_sample", True)),
-            top_p=float(req.get("top_p", 0.8)),
-            top_k=int(req.get("top_k", 30)),
-            temperature=float(req.get("temperature", 1.0)),
-            repetition_penalty=float(req.get("repetition_penalty", 10.0)),
-            max_mel_tokens=int(req.get("max_mel_tokens", 600)),
-        )
-        if "num_beams" in req:
-            gen["num_beams"] = int(req["num_beams"])
-        eng = self.engine()
-        eng._rng_seed = used_seed
+        sentence, first audio after the first sentence's synthesis.
+        Validation (bad speaker_id, unreadable prompt) happens HERE, before
+        any response bytes, because infer_stream analyses the prompt
+        eagerly."""
+        if self.continuous:
+            raise ValueError(
+                "/tts_stream is not available in --continuous mode (it would "
+                "bypass the shared decode pool); use /tts")
+        prompt, speaker_id, used_seed, gen = self.parse_request(req)
         self.last_seed = used_seed
-        return used_seed, eng.infer_stream(
-            prompt, text, speaker_id=speaker_id,
+        return used_seed, self.engine().infer_stream(
+            prompt, req["text"], speaker_id=speaker_id, seed=used_seed,
             max_text_tokens_per_sentence=int(
                 req.get("max_text_tokens_per_sentence", 100)),
             **gen)
@@ -215,6 +208,10 @@ class TTSService:
 
 def make_handler(service: TTSService):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (/tts_stream) requires HTTP/1.1 — under the
+        # default HTTP/1.0 spec-conforming clients would not de-chunk
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 

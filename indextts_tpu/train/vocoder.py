@@ -238,16 +238,29 @@ def latent_batches(processed_dir: str, gpt_params, gpt_cfg, tokenizer,
 
     rng = np.random.default_rng(tc.seed)
     W = tc.segment_codes
+    # mmap for the length scan — don't decode every codes array up front
     usable = [i for i, (_, d, rec) in enumerate(records)
-              if np.load(os.path.join(d, rec["codes"])).reshape(-1).shape[0] >= W]
+              if np.load(os.path.join(d, rec["codes"]),
+                         mmap_mode="r").reshape(-1).shape[0] >= W]
     assert usable, f"no record has ≥ {W} codes"
+    wav_cache: Dict[int, np.ndarray] = {}
+
+    def record_wav(idx: int) -> np.ndarray:
+        # decoded/resampled audio cached per record — reloading the full
+        # source clip per crop would starve the accelerator on slow hosts
+        if idx not in wav_cache:
+            _, d, rec = records[idx]
+            wav_cache[idx] = load_audio(os.path.join(d, rec["audio"]),
+                                        sample_rate).reshape(-1)
+        return wav_cache[idx]
+
     while True:
         lats, mels, wavs = [], [], []
         while len(lats) < tc.batch_size:
             idx = usable[int(rng.integers(0, len(usable)))]
             name, d, rec = records[idx]
             lat = record_latent(idx)
-            wav = load_audio(os.path.join(d, rec["audio"]), sample_rate).reshape(-1)
+            wav = record_wav(idx)
             t0 = int(rng.integers(0, lat.shape[0] - W + 1))
             w = wav[t0 * 1024 : (t0 + W) * 1024]
             if w.shape[0] < W * 1024:

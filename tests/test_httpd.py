@@ -44,6 +44,15 @@ def server(tmp_path_factory):
                                   model_dir=str(d),
                                   precision_config={"gpt": "fp32",
                                                      "vocoder": "fp32"})
+    # bias the vocoder's pre-tanh output so random weights make loud (not
+    # sub-int16-quantum) audio — keeps PCM equality assertions non-vacuous
+    import jax.numpy as jnp
+
+    eng.bigvgan_params = {
+        **eng.bigvgan_params,
+        "conv_post": {**eng.bigvgan_params["conv_post"],
+                      "b": eng.bigvgan_params["conv_post"]["b"]
+                      + jnp.float32(1.0)}}
     httpd = serve(str(d / "config.yaml"), str(d), host="127.0.0.1", port=0,
                   engine_instance=eng)
     port = httpd.server_address[1]
@@ -185,7 +194,17 @@ def test_tts_stream_over_socket(server):
     assert code == 200, data
     assert headers["Content-Type"] == "audio/wav"
     assert headers["X-Seed"] == "42"
-    # urllib de-chunks; we get header + PCM. Sizes are the 0xFFFFFFFF
-    # streaming convention; compare the PCM payloads
+    # urllib de-chunks (the response is HTTP/1.1); we get header + PCM.
+    # Sizes are the 0xFFFFFFFF streaming convention; compare PCM payloads
     assert data[:4] == b"RIFF" and data[36:40] == b"data"
+    pcm = np.frombuffer(data[44:], np.int16)
+    assert np.abs(pcm).max() > 1000  # non-vacuous (fixture biases vocoder)
     assert data[44:] == ref[44:]
+
+
+def test_tts_stream_bad_speaker_rejected(server):
+    """Validation errors surface as a clean 400, not a broken 200 stream
+    (infer_stream validates eagerly)."""
+    code, _, data = _post(server + "/tts_stream", {
+        "text": "hi", "speaker_id": "no-such-speaker"})
+    assert code == 400, data
