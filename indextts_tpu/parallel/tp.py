@@ -54,3 +54,18 @@ def shard_gpt_params(params: Dict[str, Any], mesh: Mesh,
         return jax.device_put(p, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, params, specs)
+
+
+def shard_uv_params(params: Dict[str, Any], mesh: Mesh,
+                    axis: str = "model") -> Dict[str, Any]:
+    """Tensor-parallel placement for the full UnifiedVoice param tree: the
+    GPT trunk shards per `gpt_param_specs`; embeddings, heads and the
+    conditioning encoder replicate (they are a few %% of the weights).
+    With these input shardings, `inference_speech`'s jitted prefill +
+    while_loop propagate the sharding through the KV cache (heads axis)
+    and XLA inserts the qkv/proj all-reduces over ICI — a decode-latency
+    option for variants too big (or too latency-sensitive) for one chip."""
+    rep = NamedSharding(mesh, P())
+    out = jax.tree.map(lambda p: jax.device_put(p, rep), params)
+    out["gpt"] = shard_gpt_params(params["gpt"], mesh, axis)
+    return out

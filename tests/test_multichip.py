@@ -103,3 +103,36 @@ def test_dvae_ema_psum():
     out = fn(cb, z, codes)
     np.testing.assert_allclose(np.asarray(out["embed"]),
                                np.asarray(ref["embed"]), rtol=1e-4, atol=1e-5)
+
+
+def test_tensor_parallel_decode():
+    """Full KV-cache decode under tensor parallelism: UnifiedVoice params
+    sharded over a 'model' axis (trunk column/row-parallel, rest
+    replicated), greedy inference_speech — the KV cache shards on heads by
+    GSPMD propagation and XLA inserts the all-reduces.  Codes must equal
+    the unsharded decode."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_unified_voice import CFG
+
+    from indextts_tpu.models import unified_voice as uv
+    from indextts_tpu.parallel.tp import shard_uv_params
+
+    params = uv.init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(7)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    prep = uv.prepare_text_prompt([rng.integers(2, 40, (8,))],
+                                  CFG.start_text_token, CFG.stop_text_token)
+    args = (jnp.asarray(prep.text_tokens), jnp.asarray(prep.attn_text),
+            jax.random.PRNGKey(3))
+    kw = dict(max_new=16, do_sample=False, repetition_penalty=1.0,
+              cache_dtype=jnp.float32)
+
+    ref = uv.inference_speech(params, CFG, cond, *args, **kw)
+    mesh = make_mesh((("model", 2), ("data", 4)))
+    with mesh:
+        sp = shard_uv_params(params, mesh)
+        got = uv.inference_speech(sp, CFG, cond, *args, **kw)
+    np.testing.assert_array_equal(np.asarray(got.codes), np.asarray(ref.codes))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
