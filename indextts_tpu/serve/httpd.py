@@ -229,6 +229,36 @@ def make_handler(service: TTSService):
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             if ctype == "application/json":
                 return json.loads(raw.decode("utf-8") or "{}")
+            if ctype == "multipart/form-data":
+                # browser-form + file-upload support (the FastAPI server's
+                # multipart contract, api.py:199-216) via the stdlib email
+                # parser; uploaded audio lands in a temp file exposed to the
+                # service as audio_path
+                import email.parser
+
+                hdr = (f"Content-Type: {self.headers['Content-Type']}\r\n"
+                       "\r\n").encode()
+                msg = email.parser.BytesParser().parsebytes(hdr + raw)
+                out: Dict[str, Any] = {}
+                for part in msg.get_payload():
+                    name = part.get_param("name",
+                                          header="content-disposition")
+                    if not name:
+                        continue
+                    filename = part.get_param("filename",
+                                              header="content-disposition")
+                    payload = part.get_payload(decode=True) or b""
+                    if filename:
+                        suffix = os.path.splitext(filename)[1] or ".wav"
+                        tmp = tempfile.NamedTemporaryFile(
+                            suffix=suffix, delete=False)
+                        tmp.write(payload)
+                        tmp.close()
+                        out["audio_path"] = tmp.name
+                        out["_tmp_upload"] = tmp.name
+                    else:
+                        out[name] = payload.decode("utf-8")
+                return out
             pairs = urllib.parse.parse_qsl(raw.decode("utf-8"))
             return dict(pairs)
 
@@ -239,6 +269,20 @@ def make_handler(service: TTSService):
                                  "model_loaded": service._tts is not None})
             elif path == "/models":
                 self._json(200, service.models())
+            elif path == "/ui" or path == "/ui/" or path == "/":
+                # browser UI (FastAPI mounts static/; same page here)
+                static = os.path.join(os.path.dirname(__file__), "..", "..",
+                                      "static", "index.html")
+                if not os.path.isfile(static):
+                    self._json(404, {"error": "static UI not found"})
+                    return
+                with open(static, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
@@ -264,6 +308,9 @@ def make_handler(service: TTSService):
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
                     return
+                finally:
+                    if req.get("_tmp_upload"):
+                        os.unlink(req["_tmp_upload"])
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(data)))
@@ -278,6 +325,8 @@ def make_handler(service: TTSService):
                 try:
                     seed, chunks = service.tts_stream(req)
                 except ValueError as e:
+                    if req.get("_tmp_upload"):
+                        os.unlink(req["_tmp_upload"])
                     self._json(400, {"error": str(e)})
                     return
                 self.send_response(200)
@@ -292,14 +341,18 @@ def make_handler(service: TTSService):
                     self.wfile.write(b"\r\n")
 
                 sent_header = False
-                for sr, chunk in chunks:
+                try:
+                    for sr, chunk in chunks:
+                        if not sent_header:
+                            emit(wav_stream_header(sr))
+                            sent_header = True
+                        emit(chunk.tobytes())
                     if not sent_header:
-                        emit(wav_stream_header(sr))
-                        sent_header = True
-                    emit(chunk.tobytes())
-                if not sent_header:
-                    emit(wav_stream_header(24000))
-                self.wfile.write(b"0\r\n\r\n")
+                        emit(wav_stream_header(24000))
+                    self.wfile.write(b"0\r\n\r\n")
+                finally:
+                    if req.get("_tmp_upload"):
+                        os.unlink(req["_tmp_upload"])
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 

@@ -208,3 +208,30 @@ def test_tts_stream_bad_speaker_rejected(server):
     code, _, data = _post(server + "/tts_stream", {
         "text": "hi", "speaker_id": "no-such-speaker"})
     assert code == 400, data
+
+
+def test_tts_multipart_upload(server):
+    """Browser-form contract: multipart/form-data with a file upload works
+    on the stdlib server too (previously FastAPI-only)."""
+    boundary = "----testboundary42"
+    with open("/root/reference/tests/sample_prompt.wav", "rb") as f:
+        wav = f.read()
+    parts = []
+    for name, val in [("text", "你好。"), ("max_mel_tokens", "8"),
+                      ("do_sample", ""), ("repetition_penalty", "1.0"),
+                      ("num_beams", "1"), ("seed", "7"), ("mode", "normal")]:
+        parts.append(f'--{boundary}\r\nContent-Disposition: form-data; '
+                     f'name="{name}"\r\n\r\n{val}\r\n'.encode())
+    parts.append(f'--{boundary}\r\nContent-Disposition: form-data; '
+                 f'name="audio_file"; filename="p.wav"\r\n'
+                 f'Content-Type: audio/wav\r\n\r\n'.encode() + wav + b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        server + "/tts", data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.status == 200
+        assert r.headers["X-Seed"] == "7"
+        data = r.read()
+    assert data[:4] == b"RIFF" and len(data) > 100
