@@ -97,11 +97,14 @@ def _admit_kernel(params, cfg: GPTConfig, cond, text_tokens, text_mask,
     return cache.k, cache.v, pmask, tok, presence
 
 
-@functools.partial(jax.jit, static_argnames=("cache_dtype",),
+@functools.partial(jax.jit, static_argnames=("cache_dtype", "stop_token"),
                    donate_argnames=("state",))
 def _insert_kernel(state: PoolState, slot, kv_k, kv_v, pmask, token,
-                   presence_row, max_new_slot, cache_dtype):
-    """Install one prefilled request (row of a batched prefill) into `slot`."""
+                   presence_row, max_new_slot, cache_dtype, stop_token):
+    """Install one prefilled request (row of a batched prefill) into `slot`.
+    A first-token stop deactivates the slot ON DEVICE (active=False), so
+    admission needs no host fetch at all — the empty result surfaces
+    through the normal lagged report."""
     P = kv_k.shape[3]
     cache = KVCache(
         jax.lax.dynamic_update_slice(
@@ -121,7 +124,7 @@ def _insert_kernel(state: PoolState, slot, kv_k, kv_v, pmask, token,
         full_mask=full_mask,
         presence=state.presence.at[slot].set(presence_row),
         codes=state.codes.at[slot].set(0).at[slot, 0].set(token),
-        active=state.active.at[slot].set(True),
+        active=state.active.at[slot].set(token != stop_token),
         budget=state.budget.at[slot].set(max_new_slot),
     )
 
@@ -321,20 +324,18 @@ class ContinuousBatcher:
             jnp.asarray(mask), self.rng_base, self._admit_count + (1 << 20),
             self.cache_dtype, **self.sampling_kwargs)
         self._admit_count += 1
-        # one small fetch per admission burst: a first-token stop means the
-        # request is already complete (empty output) and never enters a slot
-        tok_np = np.asarray(tok)
+        # NO host fetch here: a first-token stop deactivates the slot on
+        # device inside _insert_kernel and the empty result surfaces through
+        # the lagged report (a sync fetch per admission burst cost ~30 ms on
+        # the tunnel and stalled every live slot)
         for i, (slot, req) in enumerate(zip(slots, reqs)):
-            if int(tok_np[i]) == self.cfg.stop_mel_token:
-                if req.done_cb:
-                    req.done_cb(req.req_id, np.zeros((0,), np.int32))
-                continue
             self.state = _insert_kernel(
                 self.state, jnp.int32(slot),
                 jax.lax.dynamic_slice_in_dim(kv_k, i, 1, axis=1),
                 jax.lax.dynamic_slice_in_dim(kv_v, i, 1, axis=1),
                 pmask[i : i + 1], tok[i], presence[i],
-                np.int32(req.max_new), self.cache_dtype)
+                np.int32(req.max_new), self.cache_dtype,
+                self.cfg.stop_mel_token)
             self._slot_req[slot] = req
             self._slot_admit_step[slot] = self.step_count
 
