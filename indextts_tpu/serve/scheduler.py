@@ -391,6 +391,16 @@ class ContinuousBatcher:
         """One scheduler tick (up to `steps_per_tick` decode steps in one
         dispatch): admit, advance, emit (one tick late).  Returns number of
         live slots after the tick."""
+        # opportunistic early report processing: if the lagged report is
+        # ALREADY on the host-visible side (is_ready — no stall) and work is
+        # queued, process it before admitting so slots it freed refill THIS
+        # tick instead of next (saves a tick of dead slot-steps per finish)
+        prev = self._pending_report
+        if (prev is not None and self._queue
+                and getattr(prev[1], "is_ready", lambda: False)()):
+            self._pending_report = None
+            self._process_report(np.asarray(prev[1]), prev[0])
+            prev = None
         self._admit()
         if not any(r is not None for r in self._slot_req):
             self.flush()
@@ -401,10 +411,10 @@ class ContinuousBatcher:
             self.cache_dtype, steps=steps,
             **self.sampling_kwargs)
         self.step_count += steps
-        prev = self._pending_report
+        prev2 = self._pending_report
         self._pending_report = (self.step_count, report)
-        if prev is not None:
-            self._process_report(np.asarray(prev[1]), prev[0])
+        if prev2 is not None:
+            self._process_report(np.asarray(prev2[1]), prev2[0])
         return sum(r is not None for r in self._slot_req)
 
     def flush(self) -> None:
