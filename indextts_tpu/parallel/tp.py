@@ -66,6 +66,10 @@ def shard_uv_params(params: Dict[str, Any], mesh: Mesh,
     and XLA inserts the qkv/proj all-reduces over ICI — a decode-latency
     option for variants too big (or too latency-sensitive) for one chip."""
     rep = NamedSharding(mesh, P())
-    out = jax.tree.map(lambda p: jax.device_put(p, rep), params)
-    out["gpt"] = shard_gpt_params(params["gpt"], mesh, axis)
+    # the trunk (the overwhelming bulk of the weights) must NEVER pass
+    # through a replicated placement — that would OOM exactly the
+    # too-big-for-one-chip variants this function exists for
+    out = {k: (jax.tree.map(lambda p: jax.device_put(p, rep), v)
+               if k != "gpt" else shard_gpt_params(v, mesh, axis))
+           for k, v in params.items()}
     return out

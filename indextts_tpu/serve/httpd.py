@@ -15,8 +15,10 @@ surface works (and is testable) in minimal images:
                                      one PCM chunk per sentence (first
                                      audio after one sentence's synthesis)
 
-File uploads need the FastAPI server; here the prompt is a server-side
-`audio_path` (the reference supports both, api.py:199-216).
+Accepts JSON, urlencoded, and multipart/form-data bodies — uploads (the
+browser form's `audio_file`) land in a temp file and are passed to the
+service as `audio_path` (the reference's contract, api.py:199-216).
+GET /ui serves the static browser player.
 """
 
 from __future__ import annotations
@@ -121,8 +123,18 @@ class TTSService:
         seed = req.get("seed")
         used_seed = int(seed) if seed is not None else int(
             time.time_ns() % (2**31))
+
+        def form_bool(v, default):
+            # form values arrive as STRINGS — bool("false") is True; match
+            # FastAPI's form-bool parsing (api.py do_sample: bool = Form)
+            if v is None:
+                return default
+            if isinstance(v, str):
+                return v.strip().lower() not in ("", "0", "false", "no", "off")
+            return bool(v)
+
         gen = dict(
-            do_sample=bool(req.get("do_sample", True)),
+            do_sample=form_bool(req.get("do_sample"), True),
             top_p=float(req.get("top_p", 0.8)),
             top_k=int(req.get("top_k", 30)),
             temperature=float(req.get("temperature", 1.0)),
@@ -223,12 +235,15 @@ def make_handler(service: TTSService):
             self.end_headers()
             self.wfile.write(body)
 
-        def _read_body(self) -> Dict[str, Any]:
+        def _read_body(self):
+            """→ (request dict, uploaded-temp-file path or None).  The temp
+            path stays a HANDLER-LOCAL value: a cleanup key inside the
+            request dict would be client-controlled (arbitrary unlink)."""
             n = int(self.headers.get("Content-Length", 0) or 0)
             raw = self.rfile.read(n) if n else b""
             ctype = (self.headers.get("Content-Type") or "").split(";")[0]
             if ctype == "application/json":
-                return json.loads(raw.decode("utf-8") or "{}")
+                return json.loads(raw.decode("utf-8") or "{}"), None
             if ctype == "multipart/form-data":
                 # browser-form + file-upload support (the FastAPI server's
                 # multipart contract, api.py:199-216) via the stdlib email
@@ -240,6 +255,7 @@ def make_handler(service: TTSService):
                        "\r\n").encode()
                 msg = email.parser.BytesParser().parsebytes(hdr + raw)
                 out: Dict[str, Any] = {}
+                tmp_path = None
                 for part in msg.get_payload():
                     name = part.get_param("name",
                                           header="content-disposition")
@@ -255,12 +271,12 @@ def make_handler(service: TTSService):
                         tmp.write(payload)
                         tmp.close()
                         out["audio_path"] = tmp.name
-                        out["_tmp_upload"] = tmp.name
+                        tmp_path = tmp.name
                     else:
                         out[name] = payload.decode("utf-8")
-                return out
+                return out, tmp_path
             pairs = urllib.parse.parse_qsl(raw.decode("utf-8"))
-            return dict(pairs)
+            return dict(pairs), None
 
         def do_GET(self):
             path = urllib.parse.urlparse(self.path).path
@@ -289,10 +305,17 @@ def make_handler(service: TTSService):
         def do_POST(self):
             path = urllib.parse.urlparse(self.path).path
             try:
-                req = self._read_body()
+                req, tmp_upload = self._read_body()
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": f"bad body: {e}"})
                 return
+            try:
+                self._dispatch_post(path, req)
+            finally:
+                if tmp_upload and os.path.exists(tmp_upload):
+                    os.unlink(tmp_upload)
+
+        def _dispatch_post(self, path: str, req: Dict[str, Any]) -> None:
             if path == "/model/reload":
                 gpt_path = req.get("gpt_path")
                 if not gpt_path:
@@ -308,9 +331,6 @@ def make_handler(service: TTSService):
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
                     return
-                finally:
-                    if req.get("_tmp_upload"):
-                        os.unlink(req["_tmp_upload"])
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(data)))
@@ -325,8 +345,6 @@ def make_handler(service: TTSService):
                 try:
                     seed, chunks = service.tts_stream(req)
                 except ValueError as e:
-                    if req.get("_tmp_upload"):
-                        os.unlink(req["_tmp_upload"])
                     self._json(400, {"error": str(e)})
                     return
                 self.send_response(200)
@@ -341,18 +359,14 @@ def make_handler(service: TTSService):
                     self.wfile.write(b"\r\n")
 
                 sent_header = False
-                try:
-                    for sr, chunk in chunks:
-                        if not sent_header:
-                            emit(wav_stream_header(sr))
-                            sent_header = True
-                        emit(chunk.tobytes())
+                for sr, chunk in chunks:
                     if not sent_header:
-                        emit(wav_stream_header(24000))
-                    self.wfile.write(b"0\r\n\r\n")
-                finally:
-                    if req.get("_tmp_upload"):
-                        os.unlink(req["_tmp_upload"])
+                        emit(wav_stream_header(sr))
+                        sent_header = True
+                    emit(chunk.tobytes())
+                if not sent_header:
+                    emit(wav_stream_header(24000))
+                self.wfile.write(b"0\r\n\r\n")
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 

@@ -395,12 +395,11 @@ class ContinuousBatcher:
         # ALREADY on the host-visible side (is_ready — no stall) and work is
         # queued, process it before admitting so slots it freed refill THIS
         # tick instead of next (saves a tick of dead slot-steps per finish)
-        prev = self._pending_report
-        if (prev is not None and self._queue
-                and getattr(prev[1], "is_ready", lambda: False)()):
+        early = self._pending_report
+        if (early is not None and self._queue
+                and getattr(early[1], "is_ready", lambda: False)()):
             self._pending_report = None
-            self._process_report(np.asarray(prev[1]), prev[0])
-            prev = None
+            self._process_report(np.asarray(early[1]), early[0])
         self._admit()
         if not any(r is not None for r in self._slot_req):
             self.flush()
@@ -411,10 +410,10 @@ class ContinuousBatcher:
             self.cache_dtype, steps=steps,
             **self.sampling_kwargs)
         self.step_count += steps
-        prev2 = self._pending_report
+        prev = self._pending_report
         self._pending_report = (self.step_count, report)
-        if prev2 is not None:
-            self._process_report(np.asarray(prev2[1]), prev2[0])
+        if prev is not None:
+            self._process_report(np.asarray(prev[1]), prev[0])
         return sum(r is not None for r in self._slot_req)
 
     def flush(self) -> None:

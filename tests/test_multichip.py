@@ -111,12 +111,6 @@ def test_tensor_parallel_decode():
     replicated), greedy inference_speech — the KV cache shards on heads by
     GSPMD propagation and XLA inserts the all-reduces.  Codes must equal
     the unsharded decode."""
-    import sys
-
-    sys.path.insert(0, "tests")
-    from test_unified_voice import CFG
-
-    from indextts_tpu.models import unified_voice as uv
     from indextts_tpu.parallel.tp import shard_uv_params
 
     params = uv.init_params(jax.random.PRNGKey(0), CFG)
