@@ -150,11 +150,10 @@ def discover_mels(source: str) -> List[str]:
     output dir containing speaker_info.json (data/extract.py contract)."""
     info = os.path.join(source, "speaker_info.json")
     if os.path.isfile(info):
-        with open(info) as f:
-            speakers = json.load(f)
+        from indextts_tpu.train.vocoder import speaker_dirs
+
         paths: List[str] = []
-        for spk in speakers.values():
-            d = spk["data_dir"] if isinstance(spk, dict) else spk
+        for _, d in speaker_dirs(source):
             for split in ("metadata_train.jsonl", "metadata_valid.jsonl"):
                 mpath = os.path.join(d, split)
                 if not os.path.isfile(mpath):

@@ -181,6 +181,17 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def speaker_dirs(processed_dir: str):
+    """speaker_info.json (data/extract.py writes a LIST of per-speaker stats
+    dicts keyed by "speaker"; speaker data lives in processed_dir/<name>) →
+    [(name, dir)].  A dict form {name: {...}} is tolerated."""
+    with open(os.path.join(processed_dir, "speaker_info.json")) as f:
+        speakers = json.load(f)
+    names = (list(speakers.keys()) if isinstance(speakers, dict)
+             else [s["speaker"] for s in speakers])
+    return [(n, os.path.join(processed_dir, n)) for n in names]
+
+
 def latent_batches(processed_dir: str, gpt_params, gpt_cfg, tokenizer,
                    tc: VocoderTrainConfig, mel_ref_frames: int = 256,
                    sample_rate: int = 24000) -> Iterator[VocoderBatch]:
@@ -198,11 +209,8 @@ def latent_batches(processed_dir: str, gpt_params, gpt_cfg, tokenizer,
     from indextts_tpu.models import unified_voice as uv
     from indextts_tpu.utils.audio import load_audio
 
-    with open(os.path.join(processed_dir, "speaker_info.json")) as f:
-        speakers = json.load(f)
     records, med_cond, med_mel = [], {}, {}
-    for name, spk in speakers.items():
-        d = spk["data_dir"] if isinstance(spk, dict) else spk
+    for name, d in speaker_dirs(processed_dir):
         med_cond[name] = np.load(os.path.join(d, "medoid_condition.npy"))
         mm = np.load(os.path.join(d, "medoid_mel.npy"))  # [100, F]
         if mm.shape[1] < mel_ref_frames:

@@ -125,3 +125,38 @@ def test_medoid_mel_saved(audio_tree, tmp_path):
     mel = np.load(os.path.join(out, "spk_x", "medoid_mel.npy"))
     assert mel.ndim == 2 and mel.shape[0] == 100
     assert np.abs(mel).max() > 0
+
+
+def test_extraction_feeds_training_loaders(audio_tree, tmp_path):
+    """The extraction output dir is the data contract for BOTH training
+    loaders: train/dvae.discover_mels and train/vocoder.latent_batches must
+    consume speaker_info.json + metadata + medoid artifacts as written
+    (the real file is a LIST of stats dicts, not a name->dir map)."""
+    import jax
+    import jax.numpy as jnp
+
+    from indextts_tpu.models import unified_voice as uv
+    from indextts_tpu.train import dvae as dvae_train
+    from indextts_tpu.train import vocoder as vtrain
+    from indextts_tpu.utils.tokenizer import TextTokenizer
+
+    root, list_path = audio_tree
+    out = str(tmp_path / "proc")
+    extract_audio_list(list_path, out, TINY, model_dir="/nonexistent",
+                       valid_ratio=0.25, extract_condition=True)
+
+    # DVAE loader: finds every referenced mel
+    mels = dvae_train.discover_mels(out)
+    assert len(mels) == 4 and all(os.path.exists(p) for p in mels)
+
+    # vocoder loader: yields correctly-shaped batches from real artifacts
+    gpt_params = uv.init_params(jax.random.PRNGKey(0), TINY.gpt)
+    tok = TextTokenizer("/root/reference/vocab.txt")
+    tc = vtrain.VocoderTrainConfig(batch_size=2, segment_codes=8, seed=0)
+    it = vtrain.latent_batches(out, gpt_params, TINY.gpt, tok, tc,
+                               mel_ref_frames=32)
+    b = next(it)
+    assert b.latent.shape == (2, 8, TINY.gpt.model_dim)
+    assert b.mel_ref.shape == (2, 32, 100)
+    assert b.wav.shape == (2, 1, 8 * 1024)
+    assert np.isfinite(b.latent).all() and np.isfinite(b.wav).all()
