@@ -367,10 +367,11 @@ class IndexTTS:
                 num_beams=num_beams, **kwargs)
         else:
             if use_fused and generation.get("kv_dtype") is None:
-                # measured: fused+bf16 1042 tok/s beats fused+fp8 803 (the
-                # in-kernel fp8 casts outweigh the traffic saved); fp8 only
-                # pays off for XLA steps, so the fused path keeps bf16 KV
-                # unless the caller forces otherwise
+                # measured: fused+bf16 beats fused+fp8 (int8: 1042 vs 803;
+                # re-measured with bf16 kernel operands at int4: 1301-1375
+                # vs 1002 — the in-kernel fp8 casts still outweigh the
+                # traffic saved); fp8 only pays off for XLA steps, so the
+                # fused path keeps bf16 KV unless the caller forces it
                 kwargs["kv_dtype"] = None
             result = uv.inference_speech(
                 self.gpt_params, self.cfg.gpt, cond_latent,
