@@ -290,3 +290,19 @@ def test_regression_battery(engine, tmp_path):
         wav, sr = read_wav(out)
         assert sr == 24000 and wav.shape[-1] >= 1024, (i, text[:20])
         assert np.isfinite(wav).all(), (i, text[:20])
+
+
+def test_infer_stream_beam_default(engine, tmp_path):
+    """Streaming through the reference-default decode path (num_beams=3):
+    the stream must deliver the same audio as infer at beam defaults."""
+    from scipy.io import wavfile
+
+    out = str(tmp_path / "beam.wav")
+    kw = dict(max_mel_tokens=8, do_sample=False, repetition_penalty=1.0,
+              max_text_tokens_per_sentence=6)  # num_beams defaults to 3
+    engine.infer(SAMPLE, "你好。再見。", out, **kw)
+    _, ref = wavfile.read(out)
+    chunks = list(engine.infer_stream(SAMPLE, "你好。再見。", **kw))
+    assert chunks, "beam streaming produced no chunks"
+    got = np.concatenate([c for _, c in chunks])
+    np.testing.assert_array_equal(got, ref.reshape(-1))
