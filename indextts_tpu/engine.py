@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import warnings
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -192,8 +193,6 @@ class IndexTTS:
         # one device, one synthesis at a time: serialises infer/infer_fast/
         # infer_stream across server threads (also protects _rng_seed and
         # last_stats from interleaving)
-        import threading
-
         self._infer_lock = threading.RLock()
 
         # --- load models -------------------------------------------------
@@ -429,7 +428,8 @@ class IndexTTS:
 
     def infer(self, audio_prompt: Optional[str], text: str, output_path: Optional[str],
               verbose: bool = False, max_text_tokens_per_sentence: int = 120,
-              speaker_id: Optional[str] = None, **generation_kwargs):
+              speaker_id: Optional[str] = None, seed: Optional[int] = None,
+              **generation_kwargs):
         """Per-sentence synthesis (reference: infer.py:779-917)."""
         # one synthesis pipeline: infer == drained infer_stream (the parity
         # is structural, not two hand-synchronized loops; see
@@ -437,14 +437,13 @@ class IndexTTS:
         chunks = list(self.infer_stream(
             audio_prompt, text,
             max_text_tokens_per_sentence=max_text_tokens_per_sentence,
-            speaker_id=speaker_id, **generation_kwargs))
+            speaker_id=speaker_id, seed=seed, **generation_kwargs))
         sampling_rate = (chunks[0][0] if chunks
                          else self.cfg.dataset.sample_rate)
         wav = (np.concatenate([c for _, c in chunks]) if chunks
                else np.zeros(1, np.int16))
         s = self.last_stats
-        print(f">> total {s['rtf'] * s['wav_seconds']:.2f}s  "
-              f"(RTF: {s['rtf']:.4f})")
+        print(f">> total {s['total_s']:.2f}s  (RTF: {s['rtf']:.4f})")
         print(f"   gpt_gen {s['gpt_gen_time']:.2f}s  "
               f"gpt_fwd {s['gpt_forward_time']:.2f}s  "
               f"vocoder {s['bigvgan_time']:.2f}s")
@@ -535,6 +534,7 @@ class IndexTTS:
         wav_seconds = total_samples / sampling_rate
         self.last_stats = {
             "rtf": total / max(wav_seconds, 1e-9),
+            "total_s": total,
             "time_to_first_audio": first_chunk_time,
             "wav_seconds": wav_seconds,
             **phase,
@@ -548,7 +548,8 @@ class IndexTTS:
                    output_path: Optional[str], verbose: bool = False,
                    max_text_tokens_per_sentence: int = 100,
                    sentences_bucket_max_size: int = 4,
-                   speaker_id: Optional[str] = None, **generation_kwargs):
+                   speaker_id: Optional[str] = None,
+                   seed: Optional[int] = None, **generation_kwargs):
         """Batched long-text mode (reference: infer.py:595-777)."""
         if speaker_id is not None and self.speaker_list and speaker_id not in self.speaker_list:
             raise ValueError(f"invalid speaker_id: {speaker_id}")
@@ -563,7 +564,7 @@ class IndexTTS:
         buckets = bucket_sentences(sentences, sentences_bucket_max_size)
 
         gpt_gen_time = gpt_forward_time = bigvgan_time = 0.0
-        rng = jax.random.PRNGKey(self._rng_seed)
+        rng = jax.random.PRNGKey(self._rng_seed if seed is None else seed)
         all_latents: List[Tuple[int, jnp.ndarray]] = []
         has_warned = False
 

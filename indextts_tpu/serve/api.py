@@ -55,6 +55,16 @@ def create_app(
                 gpt_path=state["gpt_path"], speaker_info_path=speaker_info_path)
         return state["tts"]
 
+    async def _save_upload(audio_file) -> Optional[str]:
+        """Uploaded prompt → temp file path (shared by /tts, /tts_stream)."""
+        if audio_file is None:
+            return None
+        suffix = os.path.splitext(audio_file.filename or "prompt.wav")[1] or ".wav"
+        tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+        tmp.write(await audio_file.read())
+        tmp.close()
+        return tmp.name
+
     @app.get("/health")
     def health():
         return {"status": "ok", "model_loaded": state["tts"] is not None}
@@ -109,14 +119,8 @@ def create_app(
         echoed in the X-Seed header."""
         if audio_file is None and not audio_path and not speaker_id:
             raise HTTPException(400, "need audio_file, audio_path or speaker_id")
-        tmp = None
-        prompt = audio_path
-        if audio_file is not None:
-            suffix = os.path.splitext(audio_file.filename or "prompt.wav")[1] or ".wav"
-            tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
-            tmp.write(await audio_file.read())
-            tmp.close()
-            prompt = tmp.name
+        tmp = await _save_upload(audio_file)
+        prompt = tmp or audio_path
         used_seed = seed if seed is not None else int(time.time_ns() % (2**31))
         if pool_service is not None:
             try:
@@ -127,14 +131,13 @@ def create_app(
                 })
             finally:
                 if tmp is not None:
-                    os.unlink(tmp.name)
+                    os.unlink(tmp)
             return Response(content=data, media_type="audio/wav",
                             headers={"X-Seed": str(used_seed)})
         eng = engine()
-        eng._rng_seed = used_seed
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
                    temperature=temperature, repetition_penalty=repetition_penalty,
-                   max_mel_tokens=max_mel_tokens)
+                   max_mel_tokens=max_mel_tokens, seed=used_seed)
         try:
             out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
             out.close()
@@ -152,7 +155,7 @@ def create_app(
             os.unlink(out.name)
         finally:
             if tmp is not None:
-                os.unlink(tmp.name)
+                os.unlink(tmp)
         return Response(content=data, media_type="audio/wav",
                         headers={"X-Seed": str(used_seed)})
 
@@ -184,14 +187,8 @@ def create_app(
                      "(it would bypass the shared decode pool); use /tts")
         if audio_file is None and not audio_path and not speaker_id:
             raise HTTPException(400, "need audio_file, audio_path or speaker_id")
-        tmp = None
-        prompt = audio_path
-        if audio_file is not None:
-            suffix = os.path.splitext(audio_file.filename or "prompt.wav")[1] or ".wav"
-            tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
-            tmp.write(await audio_file.read())
-            tmp.close()
-            prompt = tmp.name
+        tmp = await _save_upload(audio_file)
+        prompt = tmp or audio_path
         used_seed = seed if seed is not None else int(time.time_ns() % (2**31))
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
                    temperature=temperature,
@@ -208,7 +205,7 @@ def create_app(
                 **gen)
         except ValueError as e:
             if tmp is not None:
-                os.unlink(tmp.name)
+                os.unlink(tmp)
             raise HTTPException(400, str(e))
 
         def body():
@@ -223,7 +220,7 @@ def create_app(
                     yield wav_stream_header(24000)
             finally:
                 if tmp is not None:
-                    os.unlink(tmp.name)
+                    os.unlink(tmp)
 
         return StreamingResponse(body(), media_type="audio/wav",
                                  headers={"X-Seed": str(used_seed)})

@@ -150,7 +150,6 @@ class TTSService:
         if self.continuous:
             return self._pool_tts(req, prompt, speaker_id)
         eng = self.engine()
-        eng._rng_seed = used_seed
         text = req["text"]
         out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
         out.close()
@@ -159,13 +158,14 @@ class TTSService:
             mtps = int(req.get("max_text_tokens_per_sentence", 100))
             if mode == "fast" and not speaker_id:
                 eng.infer_fast(
-                    prompt, text, out.name,
+                    prompt, text, out.name, seed=used_seed,
                     max_text_tokens_per_sentence=mtps,
                     sentences_bucket_max_size=int(
                         req.get("sentences_bucket_max_size", 4)),
                     **gen)
             else:
                 eng.infer(prompt, text, out.name, speaker_id=speaker_id,
+                          seed=used_seed,
                           max_text_tokens_per_sentence=mtps, **gen)
             with open(out.name, "rb") as f:
                 data = f.read()

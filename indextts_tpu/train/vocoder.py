@@ -255,7 +255,9 @@ def latent_batches(processed_dir: str, gpt_params, gpt_cfg, tokenizer,
 
     def record_wav(idx: int) -> np.ndarray:
         # decoded/resampled audio cached per record — reloading the full
-        # source clip per crop would starve the accelerator on slow hosts
+        # source clip per crop would starve the accelerator on slow hosts.
+        # Unbounded, like latent_cache: fine at the reference's fine-tune
+        # scale (~hundreds of clips); shard the manifest for huge corpora.
         if idx not in wav_cache:
             _, d, rec = records[idx]
             wav_cache[idx] = load_audio(os.path.join(d, rec["audio"]),
