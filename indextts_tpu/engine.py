@@ -192,8 +192,14 @@ class IndexTTS:
         self._rng_seed = seed if seed is not None else 0
         # one device, one synthesis at a time: serialises infer/infer_fast/
         # infer_stream across server threads (also protects _rng_seed and
-        # last_stats from interleaving)
-        self._infer_lock = threading.RLock()
+        # last_stats from interleaving).  A plain Lock, NOT an RLock: the
+        # streaming generator is consumed through Starlette's
+        # iterate_in_threadpool, where successive next() calls — and the
+        # generator's close() on client disconnect — can run on different
+        # worker threads.  Lock.release() is documented thread-agnostic;
+        # RLock.release() from a non-owner thread raises and would leave the
+        # engine permanently locked (ADVICE r2 high).
+        self._infer_lock = threading.Lock()
 
         # --- load models -------------------------------------------------
         from indextts_tpu.io import checkpoint as ckpt_io
@@ -434,15 +440,20 @@ class IndexTTS:
         # one synthesis pipeline: infer == drained infer_stream (the parity
         # is structural, not two hand-synchronized loops; see
         # tests/test_engine.py::test_infer_stream_matches_infer)
+        stats: Dict[str, Any] = {}
         chunks = list(self.infer_stream(
-            audio_prompt, text,
+            audio_prompt, text, verbose=verbose,
             max_text_tokens_per_sentence=max_text_tokens_per_sentence,
-            speaker_id=speaker_id, seed=seed, **generation_kwargs))
+            speaker_id=speaker_id, seed=seed, stats_out=stats,
+            **generation_kwargs))
         sampling_rate = (chunks[0][0] if chunks
                          else self.cfg.dataset.sample_rate)
         wav = (np.concatenate([c for _, c in chunks]) if chunks
                else np.zeros(1, np.int16))
-        s = self.last_stats
+        # read this run's stats from the generator-filled dict, not
+        # self.last_stats — a concurrent stream call could have clobbered
+        # the shared attribute between drain and print (ADVICE r2)
+        s = stats or self.last_stats
         print(f">> total {s['total_s']:.2f}s  (RTF: {s['rtf']:.4f})")
         print(f"   gpt_gen {s['gpt_gen_time']:.2f}s  "
               f"gpt_fwd {s['gpt_forward_time']:.2f}s  "
@@ -453,7 +464,9 @@ class IndexTTS:
                      verbose: bool = False,
                      max_text_tokens_per_sentence: int = 120,
                      speaker_id: Optional[str] = None,
-                     seed: Optional[int] = None, **generation_kwargs):
+                     seed: Optional[int] = None,
+                     stats_out: Optional[Dict[str, Any]] = None,
+                     **generation_kwargs):
         """Streaming synthesis: returns a generator yielding (sample_rate,
         int16 wav chunk) per sentence, with a one-deep pipeline — sentence
         i+1's GPT decode is dispatched on a worker thread while sentence i
@@ -478,16 +491,27 @@ class IndexTTS:
         gen = dict(generation_kwargs)
         rng = jax.random.PRNGKey(self._rng_seed if seed is None else seed)
         return self._stream_chunks(sentences, cond_latent, mel_ref, rng, gen,
-                                   verbose)
+                                   verbose, stats_out)
 
     def _stream_chunks(self, sentences, cond_latent, mel_ref, rng,
-                       gen: Dict[str, Any], verbose: bool):
+                       gen: Dict[str, Any], verbose: bool,
+                       stats_out: Optional[Dict[str, Any]] = None):
         import concurrent.futures
 
         start_time = time.perf_counter()
         sampling_rate = self.cfg.dataset.sample_rate
         phase = {"gpt_gen_time": 0.0, "gpt_forward_time": 0.0,
                  "bigvgan_time": 0.0}
+        # warn against the EFFECTIVE generation cap: _decode_bucket clamps
+        # max_new to the model's mel position table, so a larger requested
+        # budget silently truncates there (ADVICE r2)
+        requested_cap = int(gen.get("max_mel_tokens", 600))
+        effective_cap = min(requested_cap, self.cfg.gpt.max_mel_tokens)
+        if requested_cap > self.cfg.gpt.max_mel_tokens:
+            warnings.warn(
+                f"max_mel_tokens={requested_cap} exceeds the model's "
+                f"position table ({self.cfg.gpt.max_mel_tokens}); "
+                f"generation is capped there", RuntimeWarning)
         has_warned = False
 
         def decode_sentence(si, sent):
@@ -508,8 +532,7 @@ class IndexTTS:
                 ids, codes, lens = fut.result()
                 if si + 1 < len(sentences):
                     fut = pool.submit(decode_sentence, si + 1, sentences[si + 1])
-                if not has_warned and int(lens[0]) >= int(
-                        gen.get("max_mel_tokens", 600)):
+                if not has_warned and int(lens[0]) >= effective_cap:
                     warnings.warn("generation reached max_mel_tokens; "
                                   "consider shorter sentences", RuntimeWarning)
                     has_warned = True
@@ -530,19 +553,25 @@ class IndexTTS:
                     first_chunk_time = time.perf_counter() - start_time
                 total_samples += len(chunk)
                 yield sampling_rate, chunk
-        total = time.perf_counter() - start_time
-        wav_seconds = total_samples / sampling_rate
-        self.last_stats = {
-            "rtf": total / max(wav_seconds, 1e-9),
-            "total_s": total,
-            "time_to_first_audio": first_chunk_time,
-            "wav_seconds": wav_seconds,
-            **phase,
-        }
+            # stats are computed while still holding the lock so a
+            # concurrent synthesis can't interleave its own assignment
+            # between this run's completion and its readers (ADVICE r2)
+            total = time.perf_counter() - start_time
+            wav_seconds = total_samples / sampling_rate
+            stats = {
+                "rtf": total / max(wav_seconds, 1e-9),
+                "total_s": total,
+                "time_to_first_audio": first_chunk_time,
+                "wav_seconds": wav_seconds,
+                **phase,
+            }
+            if stats_out is not None:
+                stats_out.update(stats)
+            self.last_stats = stats
         if verbose:
             print(f">> stream total {total:.2f}s  TTFA "
                   f"{first_chunk_time if first_chunk_time is not None else -1:.2f}s "
-                  f"(RTF {self.last_stats['rtf']:.4f})")
+                  f"(RTF {stats['rtf']:.4f})")
 
     def infer_fast(self, audio_prompt: Optional[str], text: str,
                    output_path: Optional[str], verbose: bool = False,
@@ -550,9 +579,22 @@ class IndexTTS:
                    sentences_bucket_max_size: int = 4,
                    speaker_id: Optional[str] = None,
                    seed: Optional[int] = None, **generation_kwargs):
-        """Batched long-text mode (reference: infer.py:595-777)."""
+        """Batched long-text mode (reference: infer.py:595-777).
+
+        Serialised with infer/infer_stream via the engine lock (one device,
+        one synthesis at a time)."""
         if speaker_id is not None and self.speaker_list and speaker_id not in self.speaker_list:
             raise ValueError(f"invalid speaker_id: {speaker_id}")
+        with self._infer_lock:
+            return self._infer_fast_locked(
+                audio_prompt, text, output_path, verbose,
+                max_text_tokens_per_sentence, sentences_bucket_max_size,
+                speaker_id, seed, generation_kwargs)
+
+    def _infer_fast_locked(self, audio_prompt, text, output_path, verbose,
+                           max_text_tokens_per_sentence,
+                           sentences_bucket_max_size, speaker_id, seed,
+                           generation_kwargs):
         start_time = time.perf_counter()
         cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
         cond_latent = self._conditioning(cond_mel, speaker_id)
@@ -566,6 +608,13 @@ class IndexTTS:
         gpt_gen_time = gpt_forward_time = bigvgan_time = 0.0
         rng = jax.random.PRNGKey(self._rng_seed if seed is None else seed)
         all_latents: List[Tuple[int, jnp.ndarray]] = []
+        requested_cap = int(gen.get("max_mel_tokens", 600))
+        effective_cap = min(requested_cap, self.cfg.gpt.max_mel_tokens)
+        if requested_cap > self.cfg.gpt.max_mel_tokens:
+            warnings.warn(
+                f"max_mel_tokens={requested_cap} exceeds the model's "
+                f"position table ({self.cfg.gpt.max_mel_tokens}); "
+                f"generation is capped there", RuntimeWarning)
         has_warned = False
 
         def decode_bucket(bi, bucket):
@@ -592,7 +641,7 @@ class IndexTTS:
                 gpt_gen_time += time.perf_counter() - t0
                 if bi + 1 < len(buckets):
                     fut = pool.submit(decode_bucket, bi + 1, buckets[bi + 1])
-                if not has_warned and (lens >= int(gen.get("max_mel_tokens", 600))).any():
+                if not has_warned and (lens >= effective_cap).any():
                     warnings.warn("generation reached max_mel_tokens", RuntimeWarning)
                     has_warned = True
                 # batched latent re-forward over the whole bucket (the

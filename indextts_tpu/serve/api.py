@@ -194,19 +194,38 @@ def create_app(
                    temperature=temperature,
                    repetition_penalty=repetition_penalty,
                    max_mel_tokens=max_mel_tokens)
+        def cleanup_tmp():
+            # idempotent: runs both from the generator's finally and from
+            # the response BackgroundTask (which also fires when the client
+            # disconnects before the generator is first iterated, ADVICE r2)
+            if tmp is not None:
+                import contextlib
+
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(tmp)
+
         try:
             # infer_stream validates and analyses the prompt EAGERLY, so a
-            # bad speaker_id / unreadable prompt is a clean 400 here rather
-            # than a broken 200 mid-stream; the seed is pinned at call time
-            # (no race on engine state between overlapping requests)
+            # bad speaker_id / unreadable/corrupt prompt is a clean 4xx here
+            # rather than a broken 200 mid-stream; the seed is pinned at
+            # call time (no race on engine state between overlapping
+            # requests).  Any setup failure — including library errors from
+            # an unreadable uploaded file (soundfile/librosa) — must unlink
+            # the temp upload (ADVICE r2 medium).
             chunks = engine().infer_stream(
                 prompt, text, speaker_id=speaker_id, seed=used_seed,
                 max_text_tokens_per_sentence=max_text_tokens_per_sentence,
                 **gen)
         except ValueError as e:
-            if tmp is not None:
-                os.unlink(tmp)
+            cleanup_tmp()
             raise HTTPException(400, str(e))
+        except HTTPException:
+            cleanup_tmp()
+            raise
+        except Exception as e:
+            cleanup_tmp()
+            raise HTTPException(
+                400, f"could not prepare synthesis (bad prompt audio?): {e}")
 
         def body():
             sent_header = False
@@ -219,11 +238,13 @@ def create_app(
                 if not sent_header:
                     yield wav_stream_header(24000)
             finally:
-                if tmp is not None:
-                    os.unlink(tmp)
+                cleanup_tmp()
+
+        from starlette.background import BackgroundTask
 
         return StreamingResponse(body(), media_type="audio/wav",
-                                 headers={"X-Seed": str(used_seed)})
+                                 headers={"X-Seed": str(used_seed)},
+                                 background=BackgroundTask(cleanup_tmp))
 
     return app
 

@@ -306,3 +306,52 @@ def test_infer_stream_beam_default(engine, tmp_path):
     assert chunks, "beam streaming produced no chunks"
     got = np.concatenate([c for _, c in chunks])
     np.testing.assert_array_equal(got, ref.reshape(-1))
+
+
+def test_stream_generator_cross_thread_consumption(engine):
+    """Starlette's iterate_in_threadpool runs successive next() calls — and
+    the generator's close() on client disconnect — on DIFFERENT threads.
+    The engine lock must survive that (ADVICE r2 high: an RLock released
+    from a non-owner thread raises and deadlocks the engine forever)."""
+    import concurrent.futures
+
+    kw = dict(max_mel_tokens=8, do_sample=False, repetition_penalty=1.0,
+              num_beams=1, max_text_tokens_per_sentence=4)
+    gen = engine.infer_stream(SAMPLE, "第一句。第二句。第三句。", **kw)
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        # each step on a fresh-ish thread (pool rotates among 4 workers)
+        first = pool.submit(next, gen).result()
+        assert first[1].dtype == np.int16
+        pool.submit(next, gen).result()
+        # client disconnects: close() arrives on yet another thread
+        pool.submit(gen.close).result()
+    # the lock must be free again — a full synthesis must not deadlock
+    done = []
+
+    def run():
+        chunks = list(engine.infer_stream(SAMPLE, "你好。", **kw))
+        done.append(chunks)
+
+    import threading
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert done and done[0], "engine lock was not released after cross-thread close"
+
+
+def test_max_mel_tokens_over_model_cap_warns(engine):
+    """Requesting a generation budget past the model's position table must
+    warn once up front (ADVICE r2: the old warning compared against the
+    uncapped request and could never fire)."""
+    import warnings as warnings_mod
+
+    kw = dict(do_sample=False, repetition_penalty=1.0, num_beams=1,
+              max_text_tokens_per_sentence=4)
+    with warnings_mod.catch_warnings(record=True) as rec:
+        warnings_mod.simplefilter("always")
+        list(engine.infer_stream(
+            SAMPLE, "你好。", max_mel_tokens=engine.cfg.gpt.max_mel_tokens + 64,
+            **kw))
+    msgs = [str(w.message) for w in rec]
+    assert any("position table" in m for m in msgs), msgs
