@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -31,6 +32,58 @@ def _load_torch_state(path: str) -> Dict[str, Any]:
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     return obj
+
+
+class _SDView:
+    """State-dict view that (a) raises ACTIONABLE KeyErrors naming the
+    checkpoint format and nearby keys instead of a bare key, and (b) records
+    which keys a converter consumed so genuinely unexpected leftovers can be
+    reported instead of silently ignored (real checkpoints carry surprises:
+    fp16 saves, `module.` prefixes, optimizer/buffer leftovers — reference
+    handles the analogous variance at utils/checkpoint.py:23-89, train.py:40).
+    """
+
+    def __init__(self, sd: Dict[str, Any], what: str):
+        self._sd = sd
+        self._what = what
+        self.consumed: set = set()
+
+    def __getitem__(self, k: str):
+        try:
+            v = self._sd[k]
+        except KeyError:
+            close = [s for s in self._sd if s.split(".")[0] == k.split(".")[0]]
+            raise KeyError(
+                f"checkpoint is missing key '{k}' (expected a {self._what} "
+                f"state_dict with {len(self._sd)} keys; nearby keys: "
+                f"{sorted(close)[:4] or sorted(self._sd)[:4]} …). "
+                "If this is a raw training checkpoint, pass the file that "
+                "nests the weights under 'model'/'generator'.") from None
+        self.consumed.add(k)
+        return v
+
+    def __contains__(self, k: str) -> bool:
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def keys(self):
+        return self._sd.keys()
+
+    def items(self):
+        return self._sd.items()
+
+    def warn_leftovers(self, ignore_patterns: Tuple[str, ...]) -> None:
+        left = [k for k in self._sd if k not in self.consumed
+                and not any(re.search(p, k) for p in ignore_patterns)]
+        if left:
+            warnings.warn(
+                f"{self._what} checkpoint carries {len(left)} unexpected "
+                f"key(s) not mapped into the model (first few: "
+                f"{sorted(left)[:6]}); they were ignored — check the "
+                "checkpoint matches the configured architecture",
+                RuntimeWarning)
 
 
 def _to_np(t) -> np.ndarray:
@@ -81,10 +134,16 @@ def convert_gpt_state_dict(sd: Dict[str, Any], cfg: GPTConfig) -> Dict[str, Any]
     gpt.h.* trunk (HF Conv1D [in, out] layout — no transpose), final_norm,
     text/mel heads (nn.Linear [out, in] — transposed here).
     """
-    sd = {k: v for k, v in _strip_module_prefix(sd).items()
-          if not k.startswith("inference_model.")}
+    sd = _SDView({k: v for k, v in _strip_module_prefix(sd).items()
+                  if not k.startswith("inference_model.")},
+                 "UnifiedVoice (gpt.pth)")
     g = lambda k: _to_np(sd[k])
     L = cfg.layers
+    # keys a real reference checkpoint carries that are correct to ignore:
+    # HF GPT2's unused wte/wpe tables (nulled/external, gpt/model.py:263-286),
+    # its causal-mask buffers, and speaker extras extracted by the loader
+    _IGNORE = (r"^gpt\.wte\.", r"^gpt\.wpe\.",
+               r"\.attn\.(bias|masked_bias)$", r"^mean_condition")
 
     def stack(fmt: str) -> np.ndarray:
         return np.stack([_to_np(sd[fmt.format(i)]) for i in range(L)])
@@ -132,12 +191,14 @@ def convert_gpt_state_dict(sd: Dict[str, Any], cfg: GPTConfig) -> Dict[str, Any]
         }
         perceiver_params = (_convert_perceiver(sd) if
                             cfg.condition_type == "perceiver" else {})
-        return {
+        out = {
             "conditioning_encoder": cond_params,
             "perceiver_encoder": perceiver_params,
             **_embed_and_heads(g),
             "gpt": gpt_params,
         }
+        sd.warn_leftovers(_IGNORE)
+        return out
     CL = cfg.condition_module.num_blocks
 
     def cstack(fmt: str, transpose: bool = False) -> np.ndarray:
@@ -197,15 +258,17 @@ def convert_gpt_state_dict(sd: Dict[str, Any], cfg: GPTConfig) -> Dict[str, Any]
         "after_norm": {"scale": g(ce + "after_norm.weight"), "bias": g(ce + "after_norm.bias")},
     }
 
-    return {
+    out = {
         "conditioning_encoder": conformer_params,
         "perceiver_encoder": _convert_perceiver(sd),
         **_embed_and_heads(g),
         "gpt": gpt_params,
     }
+    sd.warn_leftovers(_IGNORE)
+    return out
 
 
-def _convert_perceiver(sd: Dict[str, Any]) -> Dict[str, Any]:
+def _convert_perceiver(sd) -> Dict[str, Any]:
     """perceiver_encoder.* keys → param pytree — shared by the conformer
     and legacy "perceiver" condition types (the reference instantiates the
     same PerceiverResampler class for both, gpt/model.py:350-362)."""
@@ -267,22 +330,28 @@ def load_gpt_checkpoint(path: str, cfg: GPTConfig) -> Tuple[Dict[str, Any], Dict
     extras may contain 'speaker_conditions' {id: (1,32,D) np}, 'speakers',
     'mean_condition' (utils/checkpoint.py:42-89)."""
     ckpt = _load_torch_state(path)
+    if not isinstance(ckpt, dict):
+        raise ValueError(
+            f"{path}: expected a dict checkpoint (state_dict or "
+            f"{{'model': state_dict}}), got {type(ckpt).__name__}")
     extras: Dict[str, Any] = {}
-    if isinstance(ckpt, dict) and "speaker_conditions" in ckpt:
+    if "speaker_conditions" in ckpt:
+        # _to_np, not np.asarray: the tensors may be saved fp16/bf16
+        # (numpy cannot view torch bf16 directly)
         extras["speaker_conditions"] = {
-            k: np.asarray(v, dtype=np.float32).reshape(1, *np.asarray(v).shape[-2:])
+            k: _to_np(v).astype(np.float32).reshape(1, *_to_np(v).shape[-2:])
             for k, v in ckpt["speaker_conditions"].items()
         }
-    if isinstance(ckpt, dict) and "speakers" in ckpt:
+    if "speakers" in ckpt:
         extras["speakers"] = list(ckpt["speakers"])
-    if isinstance(ckpt, dict) and "speaker_mels" in ckpt:
+    if "speaker_mels" in ckpt:
         # per-speaker vocoder reference mels [n_mels, T] (our extension: the
         # vocoder's ECAPA conditioning for speaker_id-only synthesis)
         extras["speaker_mels"] = {
-            k: np.asarray(v, dtype=np.float32)
+            k: _to_np(v).astype(np.float32)
             for k, v in ckpt["speaker_mels"].items()
         }
-    sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+    sd = next((ckpt[n] for n in ("model", "state_dict") if n in ckpt), ckpt)
     sd = _strip_module_prefix(dict(sd))
     if "mean_condition" in sd:
         extras["mean_condition"] = _to_np(sd.pop("mean_condition"))
@@ -301,7 +370,7 @@ def load_gpt_checkpoint(path: str, cfg: GPTConfig) -> Tuple[Dict[str, Any], Dict
 def convert_dvae_state_dict(sd: Dict[str, Any], cfg: VQVAEConfig) -> Dict[str, Any]:
     """DiscreteVAE state_dict → our pytree (layer indices per
     xtts_dvae.py:258-298 at the shipped config)."""
-    sd = _strip_module_prefix(sd)
+    sd = _SDView(_strip_module_prefix(dict(sd)), "DiscreteVAE (dvae.pth)")
     g = lambda k: _to_np(sd[k])
     n_res = cfg.num_resnet_blocks
 
@@ -315,7 +384,7 @@ def convert_dvae_state_dict(sd: Dict[str, Any], cfg: VQVAEConfig) -> Dict[str, A
                     "b": np.stack([g(f"{prefix}.{i}.net.4.bias") for i in indices])},
         }
 
-    return {
+    out = {
         "enc_conv0": {"w": g("encoder.0.0.weight"), "b": g("encoder.0.0.bias")},
         "enc_conv1": {"w": g("encoder.1.0.weight"), "b": g("encoder.1.0.bias")},
         "enc_res": res("encoder", list(range(2, 2 + n_res))),
@@ -333,12 +402,17 @@ def convert_dvae_state_dict(sd: Dict[str, Any], cfg: VQVAEConfig) -> Dict[str, A
                      "b": g(f"decoder.{2 + n_res}.0.conv.bias")},
         "dec_out": {"w": g(f"decoder.{3 + n_res}.weight"), "b": g(f"decoder.{3 + n_res}.bias")},
     }
+    sd.warn_leftovers((r"\.initted$", r"^codebook\.initted",))
+    return out
 
 
 def load_dvae_checkpoint(path: str, cfg: Optional[VQVAEConfig] = None) -> Dict[str, Any]:
     cfg = cfg or VQVAEConfig()
     ckpt = _load_torch_state(path)
-    sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+    if not isinstance(ckpt, dict):
+        raise ValueError(
+            f"{path}: expected a dict checkpoint, got {type(ckpt).__name__}")
+    sd = next((ckpt[n] for n in ("model", "state_dict") if n in ckpt), ckpt)
     return convert_dvae_state_dict(sd, cfg)
 
 
@@ -380,7 +454,8 @@ def _ecapa_convert(sd: Dict[str, Any], prefix: str, n_blocks: int = 4) -> Dict[s
 
 
 def convert_bigvgan_state_dict(sd: Dict[str, Any], cfg: BigVGANConfig) -> Dict[str, Any]:
-    sd = fold_weight_norm(_strip_module_prefix(sd))
+    sd = _SDView(fold_weight_norm(_strip_module_prefix(dict(sd))),
+                 "BigVGAN generator (bigvgan_generator.pth)")
     g = lambda k: _to_np(sd[k])
     n_up = len(cfg.upsample_rates)
     n_kernels = len(cfg.resblock_kernel_sizes)
@@ -410,13 +485,19 @@ def convert_bigvgan_state_dict(sd: Dict[str, Any], cfg: BigVGANConfig) -> Dict[s
     params["activation_post"] = {"alpha": g("activation_post.act.alpha"),
                                   "beta": g("activation_post.act.beta")}
     params["conv_post"] = {"w": g("conv_post.weight"), "b": g("conv_post.bias")}
+    # BatchNorm bookkeeping buffers in the ECAPA encoder are expected noise
+    sd.warn_leftovers((r"num_batches_tracked$",))
     return params
 
 
 def load_bigvgan_checkpoint(path: str, cfg: Optional[BigVGANConfig] = None) -> Dict[str, Any]:
     cfg = cfg or BigVGANConfig()
     ckpt = _load_torch_state(path)
-    sd = ckpt["generator"] if isinstance(ckpt, dict) and "generator" in ckpt else ckpt
+    if not isinstance(ckpt, dict):
+        raise ValueError(
+            f"{path}: expected a dict checkpoint, got {type(ckpt).__name__}")
+    sd = next((ckpt[n] for n in ("generator", "model", "state_dict")
+               if n in ckpt), ckpt)
     return convert_bigvgan_state_dict(sd, cfg)
 
 
