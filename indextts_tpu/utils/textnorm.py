@@ -164,10 +164,41 @@ class _BuiltinNormalizer:
             return out
         text = re.sub(r"(?<![\d:])(\d{1,2}):(\d{2})(?::(\d{2}))?(?![\d:])",
                       ftime, text)
+        # sports scores (after times, which consume :MM two-digit minutes):
+        # 3:2 → 三比二 (tn sport tagger)
+        text = re.sub(r"(?<![\d:])(\d{1,2}):(\d{1,2})(?![\d:])",
+                      lambda m: num(m.group(1)) + "比" + num(m.group(2)), text)
+        # fractions: 2/3 → 三分之二 (denominator read first; dates with two
+        # separators were consumed above, unit slashes have no flanking digits)
+        text = re.sub(r"(?<![\d./])(\d{1,4})/(\d{1,4})(?![\d./])",
+                      lambda m: num(m.group(2)) + "分之" + num(m.group(1)),
+                      text)
+        # year ranges read digit-wise: 2010-2020 → 二零一零到二零二零
+        def fyrange(m):
+            a, b = m.group(1), m.group(2)
+            return (dig(a) + "到" + dig(b)) if int(a) <= int(b) else m.group(0)
+        text = re.sub(r"(?<![\d.-])(\d{4})\s*[-~～—]\s*(\d{4})(?![\d.-])",
+                      fyrange, text)
         # phone-like hyphenated digit groups read digit-wise: 135-4567-8900
         text = re.sub(
             r"(?<!\d)(\d{3,4}(?:-\d{3,4}){1,3})(?!\d)",
             lambda m: dig(m.group(1).replace("-", "")), text)
+        # percent ranges: 3-5% → 百分之三到百分之五 (before the plain
+        # percent rule, which would otherwise leave the range's first half)
+        text = re.sub(
+            r"(?<![\d.-])(\d+(?:\.\d+)?)\s*[-~～—]\s*(\d+(?:\.\d+)?)\s*%",
+            lambda m: "百分之" + num(m.group(1)) + "到百分之" + num(m.group(2)),
+            text)
+        # value ranges: 3-5個 → 三到五個 (ascending pairs only; anything
+        # else reads as separate numbers through the fallback)
+        def frange(m):
+            a, b = m.group(1), m.group(2)
+            if float(a) <= float(b):
+                return num(a) + "到" + num(b)
+            return m.group(0)
+        text = re.sub(
+            r"(?<![\d.-])(\d+(?:\.\d+)?)\s*[-~～—]\s*(\d+(?:\.\d+)?)(?![\d.-])",
+            frange, text)
         # percent is a prefix word: 2.5% → 百分之二點五
         text = re.sub(r"(\d+(?:,\d{3})*(?:\.\d+)?)\s*%",
                       lambda m: "百分之" + num(m.group(1).replace(",", "")), text)
@@ -184,17 +215,36 @@ class _BuiltinNormalizer:
                  ("g", "克"), ("m", "米"), ("l", "升"), ("h", "小時"),
                  ("s", "秒")]
         def funit(m):
-            n, u = m.group(1), m.group(2).lower()
+            sign, n, u = m.group(1), m.group(2), m.group(3).lower()
             for key, word in units:
                 if u == key:
-                    return num(n.replace(",", "")) + word
+                    body = num(n.replace(",", "")) + word
+                    if sign:
+                        # temperatures read 零下, other quantities 負
+                        return ("零下" if "攝氏" in word else "負") + body
+                    return body
             return m.group(0)
-        text = re.sub(r"(\d+(?:,\d{3})*(?:\.\d+)?)\s*"
+        text = re.sub(r"(-?)(\d+(?:,\d{3})*(?:\.\d+)?)\s*"
                       r"(km/h|m/s|km|kg|cm|mm|ml|kw|°[Cc]|℃|[gmlhs])(?![a-zA-Z])",
                       funit, text)
+        # bare negative numbers: -5 → 負五 (ranges/phones/units consumed
+        # their hyphens above; a digit-adjacent hyphen is never a sign here)
+        text = re.sub(r"(?<![0-9a-zA-Z])-(\d+(?:\.\d+)?)",
+                      lambda m: "負" + num(m.group(1)), text)
         return text
 
     def _pass_en(self, text: str) -> str:
+        # fractions: 2/3 → two thirds; 1/2 → one half; 3/4 → three quarters
+        def ffrac(m):
+            a, b = int(m.group(1)), int(m.group(2))
+            if b == 2:
+                word = "half" if a == 1 else "halves"
+            elif b == 4:
+                word = "quarter" if a == 1 else "quarters"
+            else:
+                word = self._en_ordinal(b) + ("" if a == 1 else "s")
+            return f"{self._en_int(a)} {word}"
+        text = re.sub(r"(?<![\d./])(\d{1,3})/(\d{1,3})(?![\d./])", ffrac, text)
         # times: 8:00 → eight o'clock; 8:30 → eight thirty
         def ftime(m):
             h, mi = int(m.group(1)), m.group(2)
@@ -204,6 +254,20 @@ class _BuiltinNormalizer:
                 return f"{self._en_int(h)} oh {self._en_int(int(mi))}"
             return f"{self._en_int(h)} {self._en_int(int(mi))}"
         text = re.sub(r"(?<![\d:])(\d{1,2}):(\d{2})(?![\d:])", ftime, text)
+        # value ranges: pages 3-5 → pages three to five (ascending only;
+        # after times so 9:00-10:30 can't bleed across the colon groups)
+        def frange(m):
+            a, b = m.group(1), m.group(2)
+            if float(a) <= float(b):
+                return f"{self._en_number(a)} to {self._en_number(b)}"
+            return m.group(0)
+        text = re.sub(
+            r"(?<![\d.-])(\d+(?:\.\d+)?)\s*[-~～—]\s*(\d+(?:\.\d+)?)(?![\d.-])",
+            frange, text)
+        # bare negative numbers: -5 → minus five
+        text = re.sub(
+            r"(?<![0-9a-zA-Z])-(\d+(?:\.\d+)?)",
+            lambda m: "minus " + self._en_number(m.group(1)), text)
         # ordinals: 1st, 22nd, 103rd …
         text = re.sub(r"(\d+)(st|nd|rd|th)\b",
                       lambda m: self._en_ordinal(int(m.group(1))), text,
@@ -223,11 +287,14 @@ class _BuiltinNormalizer:
             raw = m.group(0).replace(",", "")
             try:
                 if self.lang == "zh":
-                    # long digit strings (IDs etc.) read digit-wise
-                    if "." not in raw and len(raw) > 8:
+                    # IDs/serials read digit-wise: long digit strings and
+                    # anything with a leading zero (007, 0571…)
+                    if "." not in raw and (len(raw) > 8 or
+                                           (raw.startswith("0") and len(raw) > 1)):
                         return self._zh_digit_string(raw)
                     return self._zh_number(raw)
-                if "." not in raw and len(raw) > 9:
+                if "." not in raw and (len(raw) > 9 or
+                                       (raw.startswith("0") and len(raw) > 1)):
                     return " ".join(self._EN_ONES[int(c)] for c in raw)
                 return self._en_number(raw)
             except (ValueError, IndexError):

@@ -188,6 +188,17 @@ def test_builtin_normalizer_battery():
         "蘋果於2030/1/2釋出，售價僅 ¥12999": "蘋果於二零三零年一月二日釋出,售價僅 一萬二千九百九十九元",
         "氣溫23°C，跑了5km": "氣溫二十三攝氏度,跑了五公里",
         "共1,234,567字": "共一百二十三萬四千五百六十七字",
+        # --- long tail (VERDICT r2 #6): fractions, ranges, negatives,
+        # scores, serial/ID readings (tn zh taggers, front.py:93-115) ---
+        "完成了2/3的任務": "完成了三分之二的任務",
+        "大概3-5個工作日": "大概三到五個工作日",
+        "增長了3-5%": "增長了百分之三到百分之五",
+        "2010~2020這十年": "二零一零到二零二零這十年",
+        "最低溫-5°C": "最低溫零下五攝氏度",
+        "股價跌到-3.5了": "股價跌到負三點五了",
+        "比分是3:2": "比分是三比二",
+        "房間號是0571": "房間號是零五七一",
+        "編號007的特工": "編號零零七的特工",
     }
     for src, want in golden.items():
         assert n.normalize(src) == want, src
@@ -199,6 +210,12 @@ def test_builtin_normalizer_battery():
         "The meeting is on the 3rd, at 10:30, costs $1":
             "The meeting is on the third, at ten thirty, costs one dollar",
         "where's the money?": "where is the money?",
+        # --- long tail: fractions, ranges, negatives, serials ---
+        "I finished 2/3 of the work": "I finished two thirds of the work",
+        "Read pages 3-5 tonight": "Read pages three to five tonight",
+        "It was -5 degrees outside": "It was minus five degrees outside",
+        "Add 1/2 cup of sugar": "Add one half cup of sugar",
+        "Agent 007 reporting": "Agent zero zero seven reporting",
     }
     for src, want in golden_en.items():
         assert n.normalize(src) == want, src
