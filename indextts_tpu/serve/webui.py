@@ -2,26 +2,31 @@
 
 Tabs: generation (prompt upload + text + sampling/bucketing sliders), model
 dropdown with hot reload, live sentence-split preview, examples from
-tests/cases.jsonl.  gradio is an optional extra.
+tests/cases.jsonl.
+
+gradio is an optional extra: the UI-independent logic (model discovery,
+examples parsing, the reload/preview/synthesize callbacks) lives in plain
+functions importable and testable without gradio; only
+``create_demo``/``main`` require it.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import List, Optional
+from typing import Any, Callable, Dict, List, Optional
 
-try:
+try:  # pragma: no cover - exercised only when gradio is installed
     import gradio as gr
+    _GRADIO_ERROR: Optional[ImportError] = None
 except ImportError as e:  # pragma: no cover
-    raise ImportError(
-        "gradio is required for the WebUI: pip install 'indextts-tpu[webui]'"
-    ) from e
-
-from indextts_tpu.engine import IndexTTS
+    gr = None
+    _GRADIO_ERROR = e
 
 
 def discover_models(model_dir: str) -> List[str]:
+    """All .pth checkpoints under model_dir, relative paths, sorted
+    (reference webui.py:107-140 model dropdown)."""
     out = []
     for root, _, files in os.walk(model_dir):
         for name in files:
@@ -30,46 +35,79 @@ def discover_models(model_dir: str) -> List[str]:
     return sorted(out)
 
 
-def create_demo(cfg_path: str, model_dir: str,
-                cases_path: Optional[str] = None) -> "gr.Blocks":
-    state = {"tts": IndexTTS(cfg_path=cfg_path, model_dir=model_dir)}
+def parse_examples(cases_path: Optional[str]) -> List[List[str]]:
+    """Example texts from a tests/cases.jsonl file; malformed lines are
+    skipped (reference webui.py:170-184)."""
+    examples: List[List[str]] = []
+    if cases_path and os.path.exists(cases_path):
+        with open(cases_path, "r", encoding="utf-8") as f:
+            for line in f:
+                try:
+                    case = json.loads(line)
+                    text = case.get("text", "")
+                    if text:
+                        examples.append([text])
+                except json.JSONDecodeError:
+                    pass
+    return examples
+
+
+def build_callbacks(cfg_path: str, model_dir: str,
+                    engine_factory: Callable[..., Any] = None,
+                    out_dir: str = "outputs") -> Dict[str, Callable]:
+    """The WebUI's three actions as plain callables over a shared engine
+    slot.  ``engine_factory`` defaults to IndexTTS; tests inject a stub."""
+    if engine_factory is None:
+        from indextts_tpu.engine import IndexTTS as engine_factory  # noqa: N813
+
+    state = {"tts": engine_factory(cfg_path=cfg_path, model_dir=model_dir)}
 
     def reload_model(gpt_path):
-        state["tts"] = IndexTTS(cfg_path=cfg_path, model_dir=model_dir,
-                                gpt_path=gpt_path or None)
+        state["tts"] = engine_factory(cfg_path=cfg_path, model_dir=model_dir,
+                                      gpt_path=gpt_path or None)
         return f"loaded: {gpt_path or 'default'}"
 
     def preview_split(text, max_tokens):
         tts = state["tts"]
         tokens = tts.tokenizer.tokenize(text)
         sents = tts.tokenizer.split_sentences(tokens, int(max_tokens))
-        return [[i, len(s), "".join(s).replace("▁", " ")] for i, s in enumerate(sents)]
+        return [[i, len(s), "".join(s).replace("▁", " ")]
+                for i, s in enumerate(sents)]
 
     def synthesize(prompt, text, mode, max_tokens, bucket_size, do_sample,
-                   top_p, top_k, temperature, repetition_penalty, max_mel_tokens,
-                   progress=gr.Progress()):
+                   top_p, top_k, temperature, repetition_penalty,
+                   max_mel_tokens, progress=None):
         tts = state["tts"]
         tts.gr_progress = progress
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=int(top_k),
-                   temperature=temperature, repetition_penalty=repetition_penalty,
+                   temperature=temperature,
+                   repetition_penalty=repetition_penalty,
                    max_mel_tokens=int(max_mel_tokens))
-        out_path = os.path.join("outputs", "webui_gen.wav")
+        out_path = os.path.join(out_dir, "webui_gen.wav")
         if mode == "fast":
             return tts.infer_fast(prompt, text, out_path,
                                   max_text_tokens_per_sentence=int(max_tokens),
-                                  sentences_bucket_max_size=int(bucket_size), **gen)
+                                  sentences_bucket_max_size=int(bucket_size),
+                                  **gen)
         return tts.infer(prompt, text, out_path,
                          max_text_tokens_per_sentence=int(max_tokens), **gen)
 
-    examples = []
-    if cases_path and os.path.exists(cases_path):
-        with open(cases_path, "r", encoding="utf-8") as f:
-            for line in f:
-                try:
-                    case = json.loads(line)
-                    examples.append([case.get("text", "")])
-                except json.JSONDecodeError:
-                    pass
+    return {"state": state, "reload_model": reload_model,
+            "preview_split": preview_split, "synthesize": synthesize}
+
+
+def create_demo(cfg_path: str, model_dir: str,
+                cases_path: Optional[str] = None) -> "gr.Blocks":
+    if gr is None:  # pragma: no cover
+        raise ImportError(
+            "gradio is required for the WebUI: pip install 'indextts-tpu[webui]'"
+        ) from _GRADIO_ERROR
+    cb = build_callbacks(cfg_path, model_dir)
+
+    def synthesize_ui(*args, progress=gr.Progress()):
+        return cb["synthesize"](*args, progress=progress)
+
+    examples = parse_examples(cases_path)
 
     with gr.Blocks(title="IndexTTS-TPU") as demo:
         gr.Markdown("# IndexTTS-TPU — zero-shot TTS")
@@ -90,21 +128,21 @@ def create_demo(cfg_path: str, model_dir: str,
                                          label="sentences_bucket_max_size")
             btn = gr.Button("Synthesize", variant="primary")
             audio_out = gr.Audio(label="Output")
-            btn.click(synthesize,
+            btn.click(synthesize_ui,
                       [prompt, text, mode, max_tokens, bucket_size, do_sample,
                        top_p, top_k, temperature, repetition_penalty, max_mel_tokens],
                       audio_out)
             with gr.Accordion("Sentence split preview", open=False):
                 preview_btn = gr.Button("Preview split")
                 preview = gr.Dataframe(headers=["#", "tokens", "text"])
-                preview_btn.click(preview_split, [text, max_tokens], preview)
+                preview_btn.click(cb["preview_split"], [text, max_tokens], preview)
             if examples:
                 gr.Examples(examples, inputs=[text])
         with gr.Tab("Model"):
             models = gr.Dropdown(discover_models(model_dir), label="GPT checkpoint")
             reload_btn = gr.Button("Reload")
             status = gr.Textbox(label="Status")
-            reload_btn.click(reload_model, [models], status)
+            reload_btn.click(cb["reload_model"], [models], status)
     return demo
 
 

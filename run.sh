@@ -75,6 +75,12 @@ case "$cmd" in
         ;;
     test)
         python -m pytest tests/ -x -q "$@"
+        # routine quality-metric check (speaker-sim pipeline; BASELINE cfg 3)
+        python tools/eval_quality.py --self-test
+        ;;
+    eval)
+        # speaker-sim (+ WER/CER via --asr-cmd) over validation clips
+        python tools/eval_quality.py "$@"
         ;;
     shell)
         exec "${SHELL:-/bin/bash}"
@@ -92,7 +98,8 @@ usage: ./run.sh <command>
   tensorboard  training dashboards
   bench        decode throughput benchmark
   healthcheck  TPU availability probe
-  test         run the pytest suite
+  test         run the pytest suite + quality-metric self-check
+  eval         speaker-sim / WER over clips (tools/eval_quality.py)
   shell        interactive shell
 USAGE
         ;;
