@@ -544,7 +544,7 @@ def inference_speech_beam(
     typical_sampling: bool = False,
     typical_mass: float = 0.9,
     cache_dtype=jnp.bfloat16,
-    reorder: str = "dslice",   # see the strategy menu in `select`
+    reorder: str = "lineage",  # see the strategy menu in `select`
     kv_dtype=None,             # e.g. jnp.float8_e4m3fn: half-traffic KV tier
 ) -> DecodeResult:
     """Beam(-sample) mel-code generation, HF 4.44 semantics (ops/beam.py
@@ -552,11 +552,13 @@ def inference_speech_beam(
     + beam scores → per-beam warpers → draw 2·nb candidates → bank
     finished, continue best nb.
 
-    Cache reorder (HF _reorder_cache, gpt/model.py:207-218), TPU-shaped:
-    the prompt prefix [0, P) is identical across a batch row's beams, so
-    only the generated suffix is gathered — and only up to a bucketed
-    bound of the current step, so early steps move a fraction of the
-    cache.  Identity permutations skip the gather entirely."""
+    TPU-shaped split KV cache: the prompt prefix [cond|text|start] is
+    identical across a request row's nb beams, so it is prefilled and
+    stored ONCE per request ([L, B, H, Pc, d]) while only the generated
+    suffix lives per beam ([L, B*nb, H, Sc, d]) — see
+    gpt2.decode_step_split.  The per-step beam-parent cache reorder
+    (HF _reorder_cache, gpt/model.py:207-218) therefore touches only the
+    suffix array; identity permutations skip the gather entirely."""
     from indextts_tpu.ops import beam as beam_lib
 
     size = trunk_size(cfg)
@@ -566,10 +568,6 @@ def inference_speech_beam(
     cond_len = cond_latent.shape[1]
     if cond_latent.shape[0] == 1 and B > 1:
         cond_latent = jnp.broadcast_to(cond_latent, (B,) + cond_latent.shape[1:])
-
-    # expand every row to nb beams
-    def tile(x):
-        return jnp.repeat(x, nb, axis=0)
 
     tpos = jnp.clip(jnp.cumsum(text_mask, axis=1) - 1, 0, cfg.max_text_seq_len - 1)
     text_emb = (params["text_embedding"]["weight"][text_tokens]
@@ -583,29 +581,39 @@ def inference_speech_beam(
     P = cond_len + Ltot + 1
     # 64-aligned so the Pallas permute kernel gets clean T chunks; extra
     # slots are never unmasked
-    cache_len = -(-(P + max_new) // 64) * 64
+    prefix_len = -(-P // 64) * 64
+    suffix_len = -(-max_new // 64) * 64
     prefill_mask = jnp.concatenate(
         [jnp.ones((B, cond_len), jnp.int32), text_mask.astype(jnp.int32),
          jnp.ones((B, 1), jnp.int32)], axis=1)
 
-    hidden, cache = gpt2.prefill(
-        params["gpt"], tile(prefill_emb).astype(cache_dtype),
-        tile(prefill_mask), size, cache_len, kv_dtype=kv_dtype)
-    logits0 = _lm_head(params, hidden[:, -1])             # [B*nb, V]
+    # distinct fold domain per sampling site: beam-select draws must never
+    # collide with inference_speech's per-step stream if a caller ever
+    # mixes both paths under one key (VERDICT r2)
+    rng = jax.random.fold_in(rng, 0xBEA3)
 
-    full_mask = jnp.zeros((B * nb, cache_len), jnp.int32).at[:, :P].set(
-        tile(prefill_mask))
+    # prefill runs on B rows, NOT B*nb — the beams share it
+    hidden, prefix = gpt2.prefill(
+        params["gpt"], prefill_emb.astype(cache_dtype),
+        prefill_mask, size, prefix_len, kv_dtype=kv_dtype)
+    logits0 = jnp.repeat(_lm_head(params, hidden[:, -1]), nb, axis=0)  # [B*nb, V]
+
+    pmask = jnp.zeros((B, prefix_len), jnp.int32).at[:, :P].set(prefill_mask)
+    prefix_bias = jnp.where(pmask.astype(bool), 0.0,
+                            gpt2.NEG_INF).astype(jnp.float32)[:, None, None, :]
+    suffix = gpt2.KVCache.zeros(
+        size, B * nb, suffix_len,
+        dtype=kv_dtype if kv_dtype is not None else cache_dtype)
     presence = sampling.init_penalty_presence(
         V, B * nb, prompt_token_ids=(1,), start_token=cfg.start_mel_token)
     state = beam_lib.init_beam_state(B, nb, max_new)
     seqs0 = jnp.zeros((B, nb, max_new), jnp.int32)
+    # lineage strategy: anc[b, i, s] = physical suffix row owning slot s in
+    # beam i's ancestry — replaces every physical cache permutation
+    anc0 = jnp.zeros((B, nb, suffix_len), jnp.int32)
 
-    # suffix-reorder buckets: gather only [P, P+bound) where bound is the
-    # smallest bucket covering the current step (4 static program branches)
-    n_buckets = 4
-    bucket = -(-max_new // n_buckets)
-
-    def select(rng_i, logits, state, seqs, presence, cache, full_mask, step):
+    def select(rng_i, logits, state, seqs, presence, cache, anc, step,
+               has_cache=True):
         flat = beam_lib.flat_scores(
             logits, presence, state.scores, nb,
             temperature=temperature, top_k=top_k, top_p=top_p,
@@ -618,25 +626,20 @@ def inference_speech_beam(
         rows = (jnp.arange(B)[:, None] * nb + parent).reshape(-1)   # [B*nb]
         identity = jnp.all(rows == jnp.arange(B * nb))
 
-        def gather_suffix(c, bound):
-            ks = jax.lax.slice_in_dim(c.k, P, P + bound, axis=3)[:, rows]
-            vs = jax.lax.slice_in_dim(c.v, P, P + bound, axis=3)[:, rows]
-            return gpt2.KVCache(
-                jax.lax.dynamic_update_slice_in_dim(c.k, ks, P, axis=3),
-                jax.lax.dynamic_update_slice_in_dim(c.v, vs, P, axis=3))
-
-        # Reorder-strategy menu, measured in-loop on v5e for the flagship
-        # beam-3 cache (ms/step, bench shapes; chip stream BW ~334 GB/s):
-        #   dslice  1.17  per-row dynamic_slice + concat  ← default
-        #   onehot  1.76  permutation as tiny matmul
-        #   pallas  2.20  copy kernel w/ scalar-prefetch rows
-        #   full    ~3    XLA row gather under a cond
-        #   none    0     diagnostic only (WRONG results)
-        # (a suffix-only bucketed dslice variant was measured WORSE — the
-        # slice→update pattern under lax.switch forces full-cache copies:
-        # 4.36 vs 2.64 ms/step at B=1 — so the whole-row dslice stays)
-        if reorder == "none":
-            pass
+        # Reorder-strategy menu over the SUFFIX cache, measured in-loop on
+        # v5e at the flagship beam-3 engine shape (ms/step for the FULL
+        # step, T≈133+600, fp8 KV, tools/bench_beam_step.py):
+        #   lineage 0     no physical reorder at all — ancestry-masked
+        #                 attention over all rows' suffixes  ← default
+        #   dslice  4.45  per-row dynamic_slice + concat
+        #   pallas  4.30  copy kernel w/ scalar-prefetch rows
+        #   full    6.08  XLA row gather under a cond
+        #   none    1.75  diagnostic floor (WRONG results)
+        if reorder == "lineage":
+            if has_cache:
+                anc = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
+        elif reorder == "none" or not has_cache:
+            pass  # first select: suffix is all zeros, nothing to gather
         elif reorder == "dslice":
             def pick(x):
                 return jnp.concatenate(
@@ -657,29 +660,17 @@ def inference_speech_beam(
             W = jax.nn.one_hot(rows, B * nb, dtype=cache.k.dtype)  # [N, N]
             perm = lambda x: jnp.einsum("nb,lbhtd->lnhtd", W, x)
             cache = gpt2.KVCache(perm(cache.k), perm(cache.v))
-        else:
-            if reorder == "full":
-                do_gather = lambda c: gpt2.KVCache(c.k[:, rows], c.v[:, rows])
-            elif reorder == "suffix":
-                do_gather = functools.partial(gather_suffix, bound=max_new)
-            else:
-                branches = [
-                    functools.partial(gather_suffix,
-                                      bound=min((i + 1) * bucket, max_new))
-                    for i in range(n_buckets)
-                ]
-                bidx = jnp.minimum(step // bucket, n_buckets - 1)
-                do_gather = lambda c: jax.lax.switch(bidx, branches, c)
+        else:                        # "full": XLA row gather under a cond
+            do_gather = lambda c: gpt2.KVCache(c.k[:, rows], c.v[:, rows])
             cache = jax.lax.cond(identity, lambda c: c, do_gather, cache)
         presence = presence[rows]
-        full_mask = full_mask[rows]
         tok_flat = token.reshape(-1)
         presence = presence.at[jnp.arange(B * nb), tok_flat].set(True)
-        return state, tok_flat, seqs, presence, cache, full_mask
+        return state, tok_flat, seqs, presence, cache, anc
 
-    state, tok, seqs, presence, cache, full_mask = select(
-        jax.random.fold_in(rng, 0), logits0, state, seqs0, presence, cache,
-        full_mask, jnp.int32(0))
+    state, tok, seqs, presence, suffix, anc = select(
+        jax.random.fold_in(rng, 0), logits0, state, seqs0, presence, suffix,
+        anc0, jnp.int32(0), has_cache=False)
 
     def cond_fn(carry):
         step, state, *_ = carry
@@ -689,22 +680,33 @@ def inference_speech_beam(
         return jnp.logical_and(step < max_new, ~jnp.all(done))
 
     def body_fn(carry):
-        step, state, tok, seqs, presence, cache, full_mask = carry
+        step, state, tok, seqs, presence, suffix, anc = carry
         mel_pos = jnp.clip(step + 1, 0, cfg.max_mel_seq_len - 1)
         emb = (params["mel_embedding"]["weight"][tok]
                + params["mel_pos_embedding"]["weight"][mel_pos])[:, None, :]
-        slot = P + step - 1
-        full_mask = jax.lax.dynamic_update_slice(
-            full_mask, jnp.ones((B * nb, 1), jnp.int32), (0, slot))
-        hidden, cache = gpt2.decode_step(
-            params["gpt"], emb.astype(cache_dtype), cache, slot, full_mask, size)
+        if reorder == "lineage":
+            # each row owns the slot it writes this step
+            anc = jax.lax.dynamic_update_slice(
+                anc, jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :, None],
+                                      (B, nb, 1)), (0, 0, step - 1))
+            valid = jnp.arange(suffix_len)[None, None, None, :] < step
+            owns = anc[:, :, None, :] == jnp.arange(nb)[None, None, :, None]
+            suffix_bias = jnp.where(jnp.logical_and(owns, valid), 0.0,
+                                    gpt2.NEG_INF).astype(jnp.float32)
+            hidden, suffix = gpt2.decode_step_lineage(
+                params["gpt"], emb.astype(cache_dtype), prefix, prefix_bias,
+                suffix, suffix_bias, step, size, nb)
+        else:
+            hidden, suffix = gpt2.decode_step_split(
+                params["gpt"], emb.astype(cache_dtype), prefix, prefix_bias,
+                suffix, step, size, nb)
         logits = _lm_head(params, hidden[:, 0])
-        state, tok, seqs, presence, cache, full_mask = select(
+        state, tok, seqs, presence, suffix, anc = select(
             jax.random.fold_in(rng, step), logits, state, seqs, presence,
-            cache, full_mask, step)
-        return step + 1, state, tok, seqs, presence, cache, full_mask
+            suffix, anc, step)
+        return step + 1, state, tok, seqs, presence, suffix, anc
 
-    carry = (jnp.int32(1), state, tok, seqs, presence, cache, full_mask)
+    carry = (jnp.int32(1), state, tok, seqs, presence, suffix, anc)
     step, state, tok, seqs, *_ = jax.lax.while_loop(cond_fn, body_fn, carry)
 
     best_seq, best_len = beam_lib.finalize(state, seqs, step)

@@ -82,6 +82,26 @@ def test_beam_batched(params):
     assert r.codes.shape == (2, 12)
 
 
+def test_beam_batched_matches_single(params):
+    """Batched (left-padded) greedy beam decode must reproduce each
+    sentence's single-row decode — the beam-path analogue of the reference
+    padding_test.py invariant.  Catches prefix-mask broadcasting mistakes
+    across the (batch, beam) axes of the split KV cache."""
+    rng = np.random.default_rng(4)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    t1 = rng.integers(2, 40, (7,))
+    t2 = rng.integers(2, 40, (4,))
+    kw = dict(cond=cond, max_new=12, num_beams=2, do_sample=False,
+              repetition_penalty=1.0, top_k=0, top_p=1.0)
+    rb = _decode(params, [t1, t2], **kw)
+    for i, t in enumerate([t1, t2]):
+        rs = _decode(params, [t], **kw)
+        n = int(rs.lengths[0])
+        assert int(rb.lengths[i]) == n
+        np.testing.assert_array_equal(
+            np.asarray(rb.codes[i][:n]), np.asarray(rs.codes[0][:n]))
+
+
 def test_flat_scores_matches_hf_beam_sample_order():
     """Score-pipeline parity with HF 4.44 beam_sample (ADVICE r1): per-beam
     warpers on [B*nb, V] AFTER adding beam scores, processors on log-probs,
