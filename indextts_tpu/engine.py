@@ -404,9 +404,11 @@ class IndexTTS:
             jnp.asarray(codes_p), jnp.asarray([code_len]))
         return lat[0]  # [width, D], valid prefix = code_len
 
-    def _latents_batch(self, cond_latent, id_lists, codes: np.ndarray,
-                       lens: np.ndarray) -> np.ndarray:
-        """Batched teacher-forced re-forward for a bucket → [B, width, D]."""
+    def _latents_batch_dev(self, cond_latent, id_lists, codes: np.ndarray,
+                           lens: np.ndarray) -> jnp.ndarray:
+        """Batched teacher-forced re-forward for a bucket → [B, width, D],
+        left on device so the vocoder can consume it without a host
+        round-trip (the axon tunnel makes device↔host latency the tax)."""
         B = len(id_lists)
         # the position tables cap the re-forward length; longer code runs
         # (a pool configured past the model's max_mel_tokens) are truncated
@@ -424,11 +426,10 @@ class IndexTTS:
             codes_p[i, :n] = codes[i, :n]
         if cond_latent.shape[0] == 1 and B > 1:
             cond_latent = jnp.broadcast_to(cond_latent, (B,) + cond_latent.shape[1:])
-        lat = uv.latent_forward(
+        return uv.latent_forward(
             self.gpt_params, self.cfg.gpt, cond_latent,
             jnp.asarray(text_p), jnp.asarray(tlens),
             jnp.asarray(codes_p), jnp.asarray(lens.astype(np.int32)))
-        return np.asarray(lat)
 
     # -- public API -------------------------------------------------------
 
@@ -607,7 +608,6 @@ class IndexTTS:
 
         gpt_gen_time = gpt_forward_time = bigvgan_time = 0.0
         rng = jax.random.PRNGKey(self._rng_seed if seed is None else seed)
-        all_latents: List[Tuple[int, jnp.ndarray]] = []
         requested_cap = int(gen.get("max_mel_tokens", 600))
         effective_cap = min(requested_cap, self.cfg.gpt.max_mel_tokens)
         if requested_cap > self.cfg.gpt.max_mel_tokens:
@@ -629,10 +629,17 @@ class IndexTTS:
             return id_lists, codes, lens
 
         # one-deep pipeline: bucket i+1's GPT decode runs on a worker thread
-        # while bucket i's latent re-forward executes (the reference is
-        # strictly sequential here, infer.py:676-723)
+        # while bucket i's latent re-forward + vocoder DISPATCH execute (the
+        # reference is strictly sequential and vocodes only after every
+        # bucket has decoded, infer.py:676-755).  Latents stay on device and
+        # the vocoder runs one batched call per bucket (the reference
+        # concatenates 2 sentences along time per call, infer.py:726-749);
+        # nothing is fetched until all work is queued, so the device
+        # pipeline never drains on host round-trips.
         import concurrent.futures
 
+        mel_ref = self._mel_ref(cond_mel, speaker_id)
+        bucket_wavs: List[Tuple[List[Dict[str, Any]], jnp.ndarray, np.ndarray]] = []
         with concurrent.futures.ThreadPoolExecutor(1) as pool:
             fut = pool.submit(decode_bucket, 0, buckets[0]) if buckets else None
             for bi, bucket in enumerate(buckets):
@@ -647,29 +654,29 @@ class IndexTTS:
                 # batched latent re-forward over the whole bucket (the
                 # reference loops per sentence here, infer.py:699-723)
                 t0 = time.perf_counter()
-                latents = self._latents_batch(cond_latent, id_lists, codes, lens)
-                gpt_forward_time += time.perf_counter() - t0
-                for i, item in enumerate(bucket):
-                    all_latents.append((item["idx"], latents[i][: int(lens[i])]))
+                latents = self._latents_batch_dev(cond_latent, id_lists, codes, lens)
+                gpt_forward_time += time.perf_counter() - t0  # dispatch time
+                t0 = time.perf_counter()
+                wav = self._vocoder_fn(self.bigvgan_params,
+                                       latents.astype(self.vocoder_dtype),
+                                       mel_ref.astype(self.vocoder_dtype))
+                bucket_wavs.append((bucket, wav, lens))
+                bigvgan_time += time.perf_counter() - t0  # dispatch time
 
-        all_latents.sort(key=lambda kv: kv[0])
-        chunk_size = 2
-        wavs: List[np.ndarray] = []
-        mel_ref = self._mel_ref(cond_mel, speaker_id)
-        for i in range(0, len(all_latents), chunk_size):
-            latent = np.concatenate([l for _, l in all_latents[i : i + chunk_size]],
-                                     axis=0)
-            n_samples = latent.shape[0] * self.cfg.gpt.mel_length_compression
-            width = _round_up(latent.shape[0], 64)
-            latent = np.pad(latent, ((0, width - latent.shape[0]), (0, 0)))[None]
-            t0 = time.perf_counter()
-            wav = self._vocoder_fn(self.bigvgan_params,
-                                   jnp.asarray(latent, self.vocoder_dtype),
-                                   mel_ref.astype(self.vocoder_dtype))
-            wav_np = np.asarray(wav[0, 0], np.float32)[:n_samples]  # sync
-            bigvgan_time += time.perf_counter() - t0
-            wavs.append(np.clip(32767.0 * wav_np, -32767.0, 32767.0))
-
+        # one batched fetch for every bucket's waveform (the only sync),
+        # then host-side trim to each sentence's code_len*1024 samples and
+        # re-sort into original order
+        t0 = time.perf_counter()
+        fetched = jax.device_get([w for _, w, _ in bucket_wavs])
+        bigvgan_time += time.perf_counter() - t0
+        parts: Dict[int, np.ndarray] = {}
+        for (bucket, _, lens), wav_host in zip(bucket_wavs, fetched):
+            for i, item in enumerate(bucket):
+                n = int(lens[i]) * self.cfg.gpt.mel_length_compression
+                parts[item["idx"]] = np.clip(
+                    32767.0 * np.asarray(wav_host[i, 0], np.float32)[:n],
+                    -32767.0, 32767.0)
+        wavs = [parts[idx] for idx in sorted(parts)]
         wav = np.concatenate(wavs) if wavs else np.zeros(1, np.float32)
         end_time = time.perf_counter()
         wav_length = len(wav) / sampling_rate
@@ -708,20 +715,18 @@ class IndexTTS:
         """Codes → waveform: silence compression, batched latent re-forward,
         per-sentence vocode, trim, concat (the tail of infer/infer_fast)."""
         codes, lens = remove_long_silence(codes, lens, stop_token=self.stop_mel_token)
-        latents = self._latents_batch(cond_latent, id_lists, codes, lens)
-        wavs: List[np.ndarray] = []
-        for i in range(len(id_lists)):
-            n = max(1, min(int(lens[i]), latents.shape[1]))
-            lat = latents[i][:n]
-            width = _round_up(n, 64)
-            lat = np.pad(lat, ((0, width - n), (0, 0)))[None]
-            wav = self._vocoder_fn(self.bigvgan_params,
-                                   jnp.asarray(lat, self.vocoder_dtype),
-                                   mel_ref.astype(self.vocoder_dtype))
-            n_samples = n * self.cfg.gpt.mel_length_compression
-            wavs.append(np.clip(
-                32767.0 * np.asarray(wav[0, 0], np.float32)[:n_samples],
-                -32767.0, 32767.0))
+        latents = self._latents_batch_dev(cond_latent, id_lists, codes, lens)
+        wav = self._vocoder_fn(self.bigvgan_params,
+                               latents.astype(self.vocoder_dtype),
+                               mel_ref.astype(self.vocoder_dtype))
+        wav_host = np.asarray(wav)  # one fetch
+        wavs = [
+            np.clip(32767.0 * np.asarray(wav_host[i, 0], np.float32)
+                    [: max(1, min(int(lens[i]), latents.shape[1]))
+                     * self.cfg.gpt.mel_length_compression],
+                    -32767.0, 32767.0)
+            for i in range(len(id_lists))
+        ]
         return np.concatenate(wavs) if wavs else np.zeros(1, np.float32)
 
     def pool_infer(self, batcher, audio_prompt: Optional[str], text: str,
