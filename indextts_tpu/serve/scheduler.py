@@ -61,12 +61,21 @@ class PoolState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "cache_dtype", "temperature", "top_k", "top_p",
-                     "repetition_penalty", "do_sample"))
-def _admit_kernel(params, cfg: GPTConfig, cond, text_tokens, text_mask,
-                  rng_base, admit_idx, cache_dtype, temperature, top_k,
-                  top_p, repetition_penalty, do_sample):
-    """Batched prefill of B requests + first-token sampling →
-    (k, v, pmask, tok, presence).  One jitted call per admission burst."""
+                     "repetition_penalty", "do_sample"),
+    donate_argnames=("state",))
+def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
+                         text_tokens, text_mask, rng_base, admit_idx, slots,
+                         budgets, cache_dtype, temperature, top_k, top_p,
+                         repetition_penalty, do_sample) -> PoolState:
+    """Batched prefill of B requests + first-token sampling + scatter-insert
+    into the pool — ONE dispatch per admission burst (the former
+    _admit_kernel + per-slot _insert_kernel split cost 1+B dispatches at
+    ~5 ms each on the tunnel, stalling every live slot).
+
+    `slots` [B] are destination rows; padded rows carry slot == S and are
+    dropped by the scatter (mode="drop").  A first-token stop deactivates
+    the slot ON DEVICE (active=False), so admission needs no host fetch at
+    all — the empty result surfaces through the normal lagged report."""
     size = uv.trunk_size(cfg)
     B = text_tokens.shape[0]
     if cond.shape[0] == 1 and B > 1:
@@ -94,38 +103,28 @@ def _admit_kernel(params, cfg: GPTConfig, cond, text_tokens, text_mask,
         jnp.zeros((B,), bool), stop_token=cfg.stop_mel_token,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, do_sample=do_sample)
-    return cache.k, cache.v, pmask, tok, presence
 
-
-@functools.partial(jax.jit, static_argnames=("cache_dtype", "stop_token"),
-                   donate_argnames=("state",))
-def _insert_kernel(state: PoolState, slot, kv_k, kv_v, pmask, token,
-                   presence_row, max_new_slot, cache_dtype, stop_token):
-    """Install one prefilled request (row of a batched prefill) into `slot`.
-    A first-token stop deactivates the slot ON DEVICE (active=False), so
-    admission needs no host fetch at all — the empty result surfaces
-    through the normal lagged report."""
-    P = kv_k.shape[3]
-    cache = KVCache(
-        jax.lax.dynamic_update_slice(
-            state.cache.k, kv_k.astype(state.cache.k.dtype), (0, slot, 0, 0, 0)),
-        jax.lax.dynamic_update_slice(
-            state.cache.v, kv_v.astype(state.cache.v.dtype), (0, slot, 0, 0, 0)),
-    )
+    P = emb.shape[1]
     cache_len = state.full_mask.shape[1]
-    row_mask = jnp.zeros((1, cache_len), jnp.int32)
-    row_mask = jax.lax.dynamic_update_slice(row_mask, pmask, (0, 0))
-    full_mask = jax.lax.dynamic_update_slice(state.full_mask, row_mask, (slot, 0))
+    drop = dict(mode="drop")
+    new_cache = KVCache(
+        state.cache.k.at[:, slots, :, :P, :].set(
+            cache.k.astype(state.cache.k.dtype), **drop),
+        state.cache.v.at[:, slots, :, :P, :].set(
+            cache.v.astype(state.cache.v.dtype), **drop),
+    )
+    row_mask = jnp.pad(pmask, ((0, 0), (0, cache_len - P)))
+    codes_rows = jnp.zeros((B, state.codes.shape[1]), jnp.int32).at[:, 0].set(tok)
     return PoolState(
-        cache=cache,
-        prev_tok=state.prev_tok.at[slot].set(token),
-        n_gen=state.n_gen.at[slot].set(1),
-        base=state.base.at[slot].set(P),
-        full_mask=full_mask,
-        presence=state.presence.at[slot].set(presence_row),
-        codes=state.codes.at[slot].set(0).at[slot, 0].set(token),
-        active=state.active.at[slot].set(token != stop_token),
-        budget=state.budget.at[slot].set(max_new_slot),
+        cache=new_cache,
+        prev_tok=state.prev_tok.at[slots].set(tok, **drop),
+        n_gen=state.n_gen.at[slots].set(1, **drop),
+        base=state.base.at[slots].set(P, **drop),
+        full_mask=state.full_mask.at[slots].set(row_mask, **drop),
+        presence=state.presence.at[slots].set(presence, **drop),
+        codes=state.codes.at[slots].set(codes_rows, **drop),
+        active=state.active.at[slots].set(tok != cfg.stop_mel_token, **drop),
+        budget=state.budget.at[slots].set(budgets, **drop),
     )
 
 
@@ -319,23 +318,22 @@ class ContinuousBatcher:
             cond_arg = jnp.asarray(conds, self.cond.dtype)
         else:
             cond_arg = self.cond
-        kv_k, kv_v, pmask, tok, presence = _admit_kernel(
-            self.params, self.cfg, cond_arg, jnp.asarray(tokens),
-            jnp.asarray(mask), self.rng_base, self._admit_count + (1 << 20),
-            self.cache_dtype, **self.sampling_kwargs)
-        self._admit_count += 1
+        # padded rows carry slot index S → dropped by the kernel's scatter
+        slots_arr = np.full((Bb,), self.S, np.int32)
+        slots_arr[:take] = slots
+        budgets = np.zeros((Bb,), np.int32)
+        budgets[:take] = [r.max_new for r in reqs]
         # NO host fetch here: a first-token stop deactivates the slot on
-        # device inside _insert_kernel and the empty result surfaces through
+        # device inside the kernel and the empty result surfaces through
         # the lagged report (a sync fetch per admission burst cost ~30 ms on
         # the tunnel and stalled every live slot)
-        for i, (slot, req) in enumerate(zip(slots, reqs)):
-            self.state = _insert_kernel(
-                self.state, jnp.int32(slot),
-                jax.lax.dynamic_slice_in_dim(kv_k, i, 1, axis=1),
-                jax.lax.dynamic_slice_in_dim(kv_v, i, 1, axis=1),
-                pmask[i : i + 1], tok[i], presence[i],
-                np.int32(req.max_new), self.cache_dtype,
-                self.cfg.stop_mel_token)
+        self.state = _admit_insert_kernel(
+            self.params, self.cfg, self.state, cond_arg, jnp.asarray(tokens),
+            jnp.asarray(mask), self.rng_base, self._admit_count + (1 << 20),
+            jnp.asarray(slots_arr), jnp.asarray(budgets),
+            self.cache_dtype, **self.sampling_kwargs)
+        self._admit_count += 1
+        for slot, req in zip(slots, reqs):
             self._slot_req[slot] = req
             self._slot_admit_step[slot] = self.step_count
 
