@@ -148,7 +148,7 @@ def _free_port() -> int:
 
 
 def launch_check(num_processes: int = 2, devices_per_process: int = 4,
-                 timeout: float = 420.0) -> List[Dict]:
+                 timeout: float = 900.0) -> List[Dict]:
     """Spawn the multi-process toy step; returns each worker's report.
 
     Raises on any worker failure.  Each worker runs in a clean CPU-backend
