@@ -24,6 +24,10 @@ def main(argv=None) -> int:
                         "output as they're ready; prints time-to-first-audio")
     p.add_argument("--speaker_id", default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--num_beams", type=int, default=None)
+    p.add_argument("--cfg_scale", type=float, default=None,
+                   help="classifier-free guidance scale (sampling mode; "
+                        "1.0 = off)")
     args = p.parse_args(argv)
 
     if os.path.exists(args.output_path) and not args.force:
@@ -38,6 +42,11 @@ def main(argv=None) -> int:
 
     tts = IndexTTS(cfg_path=cfg_path, model_dir=args.model_dir,
                    is_fp16=args.fp16, seed=args.seed)
+    gen = {}
+    if args.num_beams is not None:
+        gen["num_beams"] = args.num_beams
+    if args.cfg_scale is not None:
+        gen["cfg_scale"] = args.cfg_scale
     if args.stream:
         import numpy as np
 
@@ -45,7 +54,7 @@ def main(argv=None) -> int:
 
         chunks, sr = [], 24000
         for sr, chunk in tts.infer_stream(args.voice, args.text, verbose=True,
-                                          speaker_id=args.speaker_id):
+                                          speaker_id=args.speaker_id, **gen):
             chunks.append(chunk)
             # progressive output: rewrite after each sentence so a player
             # tailing the file hears audio before synthesis finishes
@@ -58,7 +67,7 @@ def main(argv=None) -> int:
               f"{ttfa if ttfa is not None else -1:.2f}s)")
         return 0
     infer = tts.infer_fast if args.fast else tts.infer
-    kwargs = {} if args.fast else {"speaker_id": args.speaker_id}
+    kwargs = dict(gen) if args.fast else {"speaker_id": args.speaker_id, **gen}
     infer(args.voice, args.text, args.output_path, **kwargs)
     return 0
 

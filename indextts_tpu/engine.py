@@ -365,12 +365,19 @@ class IndexTTS:
             "use_fused_trunk",
             len(token_lists) == 1 and self.use_quantization
             and jax.default_backend() == "tpu"))
+        cfg_scale = float(generation.get("cfg_scale", self.cfg_scale))
         if num_beams > 1:
+            if cfg_scale != 1.0:
+                warnings.warn(
+                    "cfg_scale is a sampling-mode feature; beam decode "
+                    "ignores it (set num_beams=1 to use guidance)",
+                    RuntimeWarning)
             result = uv.inference_speech_beam(
                 self.gpt_params, self.cfg.gpt, cond_latent,
                 jnp.asarray(tokens), jnp.asarray(mask), rng,
                 num_beams=num_beams, **kwargs)
         else:
+            kwargs["cfg_scale"] = cfg_scale
             if use_fused and generation.get("kv_dtype") is None:
                 # measured: fused+bf16 beats fused+fp8 (int8: 1042 vs 803;
                 # re-measured with bf16 kernel operands at int4: 1301-1375

@@ -378,7 +378,7 @@ class DecodeResult(NamedTuple):
     static_argnames=("cfg", "max_new", "do_sample", "top_k", "cache_dtype",
                      "temperature", "top_p", "repetition_penalty",
                      "typical_sampling", "typical_mass", "use_fused_trunk",
-                     "kv_dtype"),
+                     "kv_dtype", "cfg_scale"),
 )
 def inference_speech(
     params: Dict[str, Any],
@@ -398,15 +398,39 @@ def inference_speech(
     cache_dtype=jnp.bfloat16,
     use_fused_trunk: bool = False,
     kv_dtype=None,
+    cfg_scale: float = 1.0,
 ) -> DecodeResult:
     """Autoregressive mel-code generation (replaces HF generate,
     gpt/model.py:669-720) as one jitted program: prefill + while_loop decode
-    with on-device sampling and early exit when every row has stopped."""
+    with on-device sampling and early exit when every row has stopped.
+
+    cfg_scale > 1.0 enables classifier-free guidance: a second set of rows
+    decodes with ZERO conditioning latents (exactly what `cfg_dropout_ratio`
+    training drops to, train.py:228-231) and every step samples from
+    `uncond + cfg_scale * (cond - uncond)`.  The reference trains for CFG
+    but its inference never implements the documented `cfg_scale` knob
+    (config.yaml:270 — dead upstream); here it is a first-class decode mode
+    costing one extra cache row per request."""
     size = trunk_size(cfg)
     B, Ltot = text_tokens.shape
     cond_len = cond_latent.shape[1]
     if cond_latent.shape[0] == 1 and B > 1:
         cond_latent = jnp.broadcast_to(cond_latent, (B,) + cond_latent.shape[1:])
+    guided = cfg_scale != 1.0
+    R = 2 * B if guided else B  # physical trunk rows
+    if guided:
+        # rows [B, 2B): same text, zeroed conditioning (the trained null)
+        cond_latent = jnp.concatenate(
+            [cond_latent, jnp.zeros_like(cond_latent)], axis=0)
+        text_tokens = jnp.tile(text_tokens, (2, 1))
+        text_mask = jnp.tile(text_mask, (2, 1))
+
+    def mix(logits):
+        """[R, V] per-row logits → [B, V] guided logits."""
+        if not guided:
+            return logits
+        lc, lu = logits[:B], logits[B:]
+        return lu + cfg_scale * (lc - lu)
 
     # --- prefill embeddings: [cond | text | start_mel] -------------------
     # per-sample text positions: 0.. within the valid (non-pad) region
@@ -420,24 +444,24 @@ def inference_speech(
                  + params["mel_pos_embedding"]["weight"][0])
     prefill_emb = jnp.concatenate(
         [cond_latent.astype(text_emb.dtype), text_emb,
-         jnp.broadcast_to(start_emb, (B, 1, cfg.model_dim))], axis=1)
+         jnp.broadcast_to(start_emb, (R, 1, cfg.model_dim))], axis=1)
     P = cond_len + Ltot + 1
     # cache length alignment: the fused Pallas trunk streams the cache in
     # 256-slot chunks (extra slots are masked and never unmasked); the XLA
     # path only needs 8-alignment
-    align = 128 if (use_fused_trunk and B == 1) else 8
+    align = 128 if (use_fused_trunk and R == 1) else 8
     cache_len = -(-(P + max_new) // align) * align
 
     prefill_mask = jnp.concatenate(
-        [jnp.ones((B, cond_len), jnp.int32), text_mask.astype(jnp.int32),
-         jnp.ones((B, 1), jnp.int32)], axis=1)
+        [jnp.ones((R, cond_len), jnp.int32), text_mask.astype(jnp.int32),
+         jnp.ones((R, 1), jnp.int32)], axis=1)
 
     hidden, cache = gpt2.prefill(
         params["gpt"], prefill_emb.astype(cache_dtype), prefill_mask, size,
         cache_len, kv_dtype=kv_dtype)
-    first_logits = _lm_head(params, hidden[:, -1])
+    first_logits = mix(_lm_head(params, hidden[:, -1]))
 
-    full_mask = jnp.zeros((B, cache_len), jnp.int32).at[:, :P].set(prefill_mask)
+    full_mask = jnp.zeros((R, cache_len), jnp.int32).at[:, :P].set(prefill_mask)
     presence = sampling.init_penalty_presence(
         cfg.number_mel_codes, B, prompt_token_ids=(1,),
         start_token=cfg.start_mel_token)
@@ -457,7 +481,7 @@ def inference_speech(
     # per-step flatten/unflatten cost a full cache pass per token)
     # the fused Pallas trunk handles bf16 and fp8 caches (fp8 halves its
     # VMEM working copies, doubling the supported cache length)
-    fused = use_fused_trunk and B == 1
+    fused = use_fused_trunk and R == 1
     if fused:
         from indextts_tpu.ops.pallas.decode_layer import (
             flatten_cache, fused_decode_trunk_flat)
@@ -488,14 +512,16 @@ def inference_speech(
         # reference position numbering: generated token n → position n + 1
         # (see module docstring); prev_tok was generated at step-1 → n=step
         mel_pos = jnp.clip(step + 1, 0, cfg.max_mel_seq_len - 1)
-        emb = (params["mel_embedding"]["weight"][prev_tok]
+        # under guidance both halves follow the SAME sampled sequence
+        prev_rows = jnp.tile(prev_tok, (2,)) if guided else prev_tok
+        emb = (params["mel_embedding"]["weight"][prev_rows]
                + params["mel_pos_embedding"]["weight"][mel_pos])[:, None, :]
         slot = P + step - 1
         full_mask = jax.lax.dynamic_update_slice(
-            full_mask, jnp.ones((B, 1), jnp.int32), (0, slot))
+            full_mask, jnp.ones((R, 1), jnp.int32), (0, slot))
         hidden, cache_state = trunk_step(
             emb.astype(cache_dtype), cache_state, slot, full_mask)
-        logits = _lm_head(params, hidden[:, 0])
+        logits = mix(_lm_head(params, hidden[:, 0]))
         tok, presence, finished = sampling.sample_step(
             jax.random.fold_in(rng, step + 1), logits, presence, finished,
             stop_token=cfg.stop_mel_token, temperature=temperature,

@@ -114,6 +114,8 @@ def create_app(
         max_text_tokens_per_sentence: int = Form(100),
         sentences_bucket_max_size: int = Form(4),
         seed: Optional[int] = Form(None),
+        num_beams: Optional[int] = Form(None),
+        cfg_scale: Optional[float] = Form(None),
     ):
         """Synthesis (api.py:177-299).  Returns WAV bytes; the seed used is
         echoed in the X-Seed header."""
@@ -138,6 +140,10 @@ def create_app(
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
                    temperature=temperature, repetition_penalty=repetition_penalty,
                    max_mel_tokens=max_mel_tokens, seed=used_seed)
+        if num_beams is not None:
+            gen["num_beams"] = num_beams
+        if cfg_scale is not None:
+            gen["cfg_scale"] = cfg_scale
         try:
             out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
             out.close()
@@ -173,6 +179,8 @@ def create_app(
         max_mel_tokens: int = Form(600),
         max_text_tokens_per_sentence: int = Form(100),
         seed: Optional[int] = Form(None),
+        num_beams: Optional[int] = Form(None),
+        cfg_scale: Optional[float] = Form(None),
     ):
         """Streaming synthesis: chunked WAV, one PCM chunk per sentence
         (engine.infer_stream) — first audio after one sentence's synthesis
@@ -194,6 +202,10 @@ def create_app(
                    temperature=temperature,
                    repetition_penalty=repetition_penalty,
                    max_mel_tokens=max_mel_tokens)
+        if num_beams is not None:
+            gen["num_beams"] = num_beams
+        if cfg_scale is not None:
+            gen["cfg_scale"] = cfg_scale
         def cleanup_tmp():
             # idempotent: runs both from the generator's finally and from
             # the response BackgroundTask (which also fires when the client

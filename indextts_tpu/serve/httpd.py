@@ -143,6 +143,8 @@ class TTSService:
         )
         if "num_beams" in req:
             gen["num_beams"] = int(req["num_beams"])
+        if "cfg_scale" in req:
+            gen["cfg_scale"] = float(req["cfg_scale"])
         return prompt, speaker_id, used_seed, gen
 
     def tts(self, req: Dict[str, Any]) -> bytes:

@@ -76,13 +76,14 @@ def build_callbacks(cfg_path: str, model_dir: str,
 
     def synthesize(prompt, text, mode, max_tokens, bucket_size, do_sample,
                    top_p, top_k, temperature, repetition_penalty,
-                   max_mel_tokens, progress=None):
+                   max_mel_tokens, num_beams=3, cfg_scale=1.0, progress=None):
         tts = state["tts"]
         tts.gr_progress = progress
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=int(top_k),
                    temperature=temperature,
                    repetition_penalty=repetition_penalty,
-                   max_mel_tokens=int(max_mel_tokens))
+                   max_mel_tokens=int(max_mel_tokens),
+                   num_beams=int(num_beams), cfg_scale=float(cfg_scale))
         out_path = os.path.join(out_dir, "webui_gen.wav")
         if mode == "fast":
             return tts.infer_fast(prompt, text, out_path,
@@ -126,11 +127,15 @@ def create_demo(cfg_path: str, model_dir: str,
                                         label="max_text_tokens_per_sentence")
                 bucket_size = gr.Slider(1, 16, 4, step=1,
                                          label="sentences_bucket_max_size")
+                num_beams = gr.Slider(1, 8, 3, step=1, label="num_beams")
+                cfg_scale = gr.Slider(1.0, 5.0, 1.0, step=0.1,
+                                       label="cfg_scale (guidance; sampling mode)")
             btn = gr.Button("Synthesize", variant="primary")
             audio_out = gr.Audio(label="Output")
             btn.click(synthesize_ui,
                       [prompt, text, mode, max_tokens, bucket_size, do_sample,
-                       top_p, top_k, temperature, repetition_penalty, max_mel_tokens],
+                       top_p, top_k, temperature, repetition_penalty,
+                       max_mel_tokens, num_beams, cfg_scale],
                       audio_out)
             with gr.Accordion("Sentence split preview", open=False):
                 preview_btn = gr.Button("Preview split")

@@ -137,6 +137,47 @@ def test_decode_with_bos_eos_invariance(params):
     np.testing.assert_array_equal(np.asarray(r1.codes), np.asarray(r2.codes))
 
 
+def test_cfg_guided_decode(params):
+    """Classifier-free guidance invariants (the reference documents
+    cfg_scale, config.yaml:270, but never implements it at inference):
+
+    1. with ZERO conditioning the guided rows equal the conditioned rows,
+       so ANY cfg_scale must reproduce the unguided decode bit-exactly;
+    2. with real conditioning, guidance must change the trajectory;
+    3. batched guided decode matches per-sample guided decode."""
+    rng = np.random.default_rng(11)
+    zero_cond = jnp.zeros((1, 32, CFG.model_dim), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
+    t1 = rng.integers(2, 40, (8,))
+    t2 = rng.integers(2, 40, (5,))
+
+    def dec(c, texts, scale):
+        prep = uv.prepare_text_prompt(texts, CFG.start_text_token,
+                                      CFG.stop_text_token)
+        return uv.inference_speech(
+            params, CFG, c, jnp.asarray(prep.text_tokens),
+            jnp.asarray(prep.attn_text), jax.random.PRNGKey(7), max_new=16,
+            do_sample=False, repetition_penalty=1.0,
+            cache_dtype=jnp.float32, cfg_scale=scale)
+
+    base = dec(zero_cond, [t1], 1.0)
+    guided_null = dec(zero_cond, [t1], 2.5)
+    np.testing.assert_array_equal(np.asarray(base.codes),
+                                  np.asarray(guided_null.codes))
+
+    plain = dec(cond, [t1], 1.0)
+    guided = dec(cond, [t1], 4.0)
+    assert not np.array_equal(np.asarray(plain.codes), np.asarray(guided.codes))
+
+    gb = dec(cond, [t1, t2], 3.0)
+    for i, t in enumerate([t1, t2]):
+        gs = dec(cond, [t], 3.0)
+        n = int(gs.lengths[0])
+        assert int(gb.lengths[i]) == n
+        np.testing.assert_array_equal(np.asarray(gb.codes[i, :n]),
+                                      np.asarray(gs.codes[0, :n]))
+
+
 def test_sampling_reproducible(params):
     rng = np.random.default_rng(8)
     cond = jnp.asarray(rng.standard_normal((1, 32, CFG.model_dim)), jnp.float32)
