@@ -67,7 +67,7 @@ def main(argv=None) -> int:
               f"{ttfa if ttfa is not None else -1:.2f}s)")
         return 0
     infer = tts.infer_fast if args.fast else tts.infer
-    kwargs = dict(gen) if args.fast else {"speaker_id": args.speaker_id, **gen}
+    kwargs = {"speaker_id": args.speaker_id, **gen}
     infer(args.voice, args.text, args.output_path, **kwargs)
     return 0
 

@@ -361,11 +361,13 @@ class IndexTTS:
         # default max_mel_tokens=600 vs 791 XLA+fp8kv).  The kernel streams
         # the cache in chunks with an online softmax, so any cache length
         # compiles in constant VMEM.
+        cfg_scale = float(generation.get("cfg_scale", self.cfg_scale))
+        # guidance doubles decode rows (R=2), which disables the B==1 fused
+        # trunk inside inference_speech — don't strip the fp8 KV tier then
         use_fused = bool(generation.get(
             "use_fused_trunk",
             len(token_lists) == 1 and self.use_quantization
-            and jax.default_backend() == "tpu"))
-        cfg_scale = float(generation.get("cfg_scale", self.cfg_scale))
+            and cfg_scale == 1.0 and jax.default_backend() == "tpu"))
         if num_beams > 1:
             if cfg_scale != 1.0:
                 warnings.warn(
@@ -672,10 +674,13 @@ class IndexTTS:
 
         # one batched fetch for every bucket's waveform (the only sync),
         # then host-side trim to each sentence's code_len*1024 samples and
-        # re-sort into original order
+        # re-sort into original order.  NOTE: with async dispatch the
+        # in-loop gpt_fwd/vocoder timers measure DISPATCH only; the device
+        # compute they queued is paid here, so the fetch is reported as its
+        # own phase rather than silently inflating the vocoder number.
         t0 = time.perf_counter()
         fetched = jax.device_get([w for _, w, _ in bucket_wavs])
-        bigvgan_time += time.perf_counter() - t0
+        fetch_time = time.perf_counter() - t0
         parts: Dict[int, np.ndarray] = {}
         for (bucket, _, lens), wav_host in zip(bucket_wavs, fetched):
             for i, item in enumerate(bucket):
@@ -689,11 +694,13 @@ class IndexTTS:
         wav_length = len(wav) / sampling_rate
         rtf = (end_time - start_time) / max(wav_length, 1e-9)
         print(f">> total {end_time - start_time:.2f}s  (RTF: {rtf:.4f})")
-        print(f"   gpt_gen {gpt_gen_time:.2f}s  gpt_fwd {gpt_forward_time:.2f}s  "
-              f"vocoder {bigvgan_time:.2f}s")
+        print(f"   gpt_gen {gpt_gen_time:.2f}s  "
+              f"gpt_fwd+vocoder dispatch {gpt_forward_time + bigvgan_time:.2f}s  "
+              f"deferred fetch {fetch_time:.2f}s")
         self.last_stats = {
             "rtf": rtf, "gpt_gen_time": gpt_gen_time,
             "gpt_forward_time": gpt_forward_time, "bigvgan_time": bigvgan_time,
+            "fetch_time": fetch_time,
             "wav_seconds": wav_length,
         }
         return self._emit(wav, output_path, sampling_rate)

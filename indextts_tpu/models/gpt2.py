@@ -294,84 +294,6 @@ def decode_step_rows(params: Dict[str, Any], hidden: jnp.ndarray,
     return out, KVCache(ks, vs)
 
 
-def decode_step_split(params: Dict[str, Any], hidden: jnp.ndarray,
-                      prefix: KVCache, prefix_bias: jnp.ndarray,
-                      suffix: KVCache, step: jnp.ndarray,
-                      size: GPT2Size, nb: int) -> Tuple[jnp.ndarray, KVCache]:
-    """Single-token incremental forward over a prefix/suffix split KV cache —
-    the beam-decode primitive.
-
-    In beam decode the prompt prefix [cond|text|start] is identical across a
-    request row's `nb` beams (HF rebuilds it per beam via expand,
-    gpt/model.py:606-667 + generate's expand_inputs_for_generation).  Storing
-    it ONCE per request ([L, B, H, Pc, d]) and keeping only the generated
-    suffix per beam ([L, B*nb, H, Sc, d]):
-      * cuts the prefix HBM read by nb× every step,
-      * shrinks the per-step beam-parent cache reorder to the suffix array
-        (the prefix never needs gathering — it is beam-invariant),
-      * replaces the [B*nb, cache_len] attention-mask bookkeeping with a
-        scalar: suffix slots [0, step) are valid, everything in the prefix
-        is covered by `prefix_bias`.
-
-    hidden: [B*nb, 1, D] current-token embeddings (beams of one request are
-    adjacent rows); prefix_bias: [B, 1, 1, Pc] additive mask; step: scalar —
-    this token's K/V is written at suffix slot step-1.
-    Returns (ln_f output [B*nb, 1, D], updated suffix cache).
-    """
-    Bnb = hidden.shape[0]
-    B = Bnb // nb
-    Sc = suffix.max_len
-    suffix_bias = jnp.where(jnp.arange(Sc) < step, 0.0, NEG_INF).astype(jnp.float32)
-
-    def body(l, carry):
-        h, k_all, v_all = carry
-        blk = jax.tree.map(lambda x: jax.lax.dynamic_index_in_dim(
-            x, l, axis=0, keepdims=False), params["blocks"])
-
-        def attend(q, k, v):
-            # q,k,v: [B*nb, H, 1, d]
-            kc = jax.lax.dynamic_update_slice(
-                k_all, k.astype(k_all.dtype)[None], (l, 0, 0, step - 1, 0))
-            vc = jax.lax.dynamic_update_slice(
-                v_all, v.astype(v_all.dtype)[None], (l, 0, 0, step - 1, 0))
-            attend.cache = (kc, vc)
-            kp = jax.lax.dynamic_index_in_dim(prefix.k, l, axis=0, keepdims=False)
-            vp = jax.lax.dynamic_index_in_dim(prefix.v, l, axis=0, keepdims=False)
-            ks = jax.lax.dynamic_index_in_dim(kc, l, axis=0, keepdims=False)
-            vs = jax.lax.dynamic_index_in_dim(vc, l, axis=0, keepdims=False)
-            qh = q[:, :, 0, :].reshape(B, nb, q.shape[1], q.shape[3])  # [B,nb,H,d]
-            if kp.dtype != q.dtype:
-                kp, vp = kp.astype(q.dtype), vp.astype(q.dtype)
-            if ks.dtype != q.dtype:
-                ks, vs = ks.astype(q.dtype), vs.astype(q.dtype)
-            scale = 1.0 / math.sqrt(size.head_dim)
-            # prefix read is per-request: [B, H, Pc, d] serves all nb beams
-            sp = jnp.einsum("bnhd,bhpd->bnhp", qh, kp,
-                            preferred_element_type=jnp.float32) * scale
-            sp = sp + prefix_bias  # [B, 1, 1, Pc] → broadcast over (nb, H)
-            ss = jnp.einsum("rhqd,rhsd->rhqs", q, ks,
-                            preferred_element_type=jnp.float32)[:, :, 0, :] * scale
-            ss = ss.reshape(B, nb, -1, Sc) + suffix_bias
-            probs = jax.nn.softmax(
-                jnp.concatenate([sp, ss], axis=-1).astype(jnp.float32), axis=-1)
-            pp, ps = probs[..., :sp.shape[-1]], probs[..., sp.shape[-1]:]
-            ctx = (jnp.einsum("bnhp,bhpd->bnhd", pp.astype(vp.dtype), vp,
-                              preferred_element_type=jnp.float32)
-                   + jnp.einsum("bnhs,bnhsd->bnhd", ps.astype(vs.dtype),
-                                vs.reshape(B, nb, *vs.shape[1:]),
-                                preferred_element_type=jnp.float32))
-            return ctx.reshape(Bnb, -1, 1, size.head_dim).astype(v.dtype)
-
-        h = _block(h, blk, size.heads, attend)
-        k_all, v_all = attend.cache
-        return h, k_all, v_all
-
-    hidden, ks, vs = jax.lax.fori_loop(
-        0, size.layers, body, (hidden, suffix.k, suffix.v))
-    out = layer_norm(hidden, params["ln_f"]["scale"], params["ln_f"]["bias"])
-    return out, KVCache(ks, vs)
-
-
 def decode_step_lineage(params: Dict[str, Any], hidden: jnp.ndarray,
                         prefix: KVCache, prefix_bias: jnp.ndarray,
                         suffix: KVCache, suffix_bias: jnp.ndarray,

@@ -686,9 +686,11 @@ def inference_speech_beam(
             W = jax.nn.one_hot(rows, B * nb, dtype=cache.k.dtype)  # [N, N]
             perm = lambda x: jnp.einsum("nb,lbhtd->lnhtd", W, x)
             cache = gpt2.KVCache(perm(cache.k), perm(cache.v))
-        else:                        # "full": XLA row gather under a cond
+        elif reorder == "full":      # XLA row gather under a cond
             do_gather = lambda c: gpt2.KVCache(c.k[:, rows], c.v[:, rows])
             cache = jax.lax.cond(identity, lambda c: c, do_gather, cache)
+        else:
+            raise ValueError(f"unknown reorder strategy: {reorder!r}")
         presence = presence[rows]
         tok_flat = token.reshape(-1)
         presence = presence.at[jnp.arange(B * nb), tok_flat].set(True)
@@ -715,17 +717,21 @@ def inference_speech_beam(
             anc = jax.lax.dynamic_update_slice(
                 anc, jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :, None],
                                       (B, nb, 1)), (0, 0, step - 1))
-            valid = jnp.arange(suffix_len)[None, None, None, :] < step
-            owns = anc[:, :, None, :] == jnp.arange(nb)[None, None, :, None]
-            suffix_bias = jnp.where(jnp.logical_and(owns, valid), 0.0,
-                                    gpt2.NEG_INF).astype(jnp.float32)
-            hidden, suffix = gpt2.decode_step_lineage(
-                params["gpt"], emb.astype(cache_dtype), prefix, prefix_bias,
-                suffix, suffix_bias, step, size, nb)
+            owner = anc
         else:
-            hidden, suffix = gpt2.decode_step_split(
-                params["gpt"], emb.astype(cache_dtype), prefix, prefix_bias,
-                suffix, step, size, nb)
+            # physically-permuted strategies: every beam's history lives in
+            # its OWN row (select() moved it there), so ownership is the
+            # identity — the same attention primitive serves both
+            owner = jnp.broadcast_to(
+                jnp.arange(nb, dtype=jnp.int32)[None, :, None],
+                (B, nb, suffix_len))
+        valid = jnp.arange(suffix_len)[None, None, None, :] < step
+        owns = owner[:, :, None, :] == jnp.arange(nb)[None, None, :, None]
+        suffix_bias = jnp.where(jnp.logical_and(owns, valid), 0.0,
+                                gpt2.NEG_INF).astype(jnp.float32)
+        hidden, suffix = gpt2.decode_step_lineage(
+            params["gpt"], emb.astype(cache_dtype), prefix, prefix_bias,
+            suffix, suffix_bias, step, size, nb)
         logits = _lm_head(params, hidden[:, 0])
         state, tok, seqs, presence, suffix, anc = select(
             jax.random.fold_in(rng, step), logits, state, seqs, presence,

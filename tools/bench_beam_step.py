@@ -22,7 +22,10 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reorders", default="dslice,none")
+    ap.add_argument("--reorders", default="lineage,none",
+                    help="comma list: lineage (production default), none "
+                         "(diagnostic floor), dslice/pallas/full/onehot "
+                         "(physical-permute ablations)")
     ap.add_argument("--beams", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--text-len", type=int, default=100)
