@@ -377,7 +377,9 @@ class IndexTTS:
             result = uv.inference_speech_beam(
                 self.gpt_params, self.cfg.gpt, cond_latent,
                 jnp.asarray(tokens), jnp.asarray(mask), rng,
-                num_beams=num_beams, **kwargs)
+                num_beams=num_beams,
+                length_penalty=float(generation.get("length_penalty", 0.0)),
+                **kwargs)
         else:
             kwargs["cfg_scale"] = cfg_scale
             if use_fused and generation.get("kv_dtype") is None:

@@ -551,7 +551,7 @@ def inference_speech(
     static_argnames=("cfg", "max_new", "num_beams", "do_sample", "top_k",
                      "cache_dtype", "temperature", "top_p",
                      "repetition_penalty", "typical_sampling", "typical_mass",
-                     "reorder", "kv_dtype"),
+                     "reorder", "kv_dtype", "length_penalty"),
 )
 def inference_speech_beam(
     params: Dict[str, Any],
@@ -572,6 +572,7 @@ def inference_speech_beam(
     cache_dtype=jnp.bfloat16,
     reorder: str = "lineage",  # see the strategy menu in `select`
     kv_dtype=None,             # e.g. jnp.float8_e4m3fn: half-traffic KV tier
+    length_penalty: float = 0.0,  # HF semantics; reference default 0.0
 ) -> DecodeResult:
     """Beam(-sample) mel-code generation, HF 4.44 semantics (ops/beam.py
     flat_scores): log_softmax → processors (repetition penalty, typical) →
@@ -638,7 +639,19 @@ def inference_speech_beam(
     # beam i's ancestry — replaces every physical cache permutation
     anc0 = jnp.zeros((B, nb, suffix_len), jnp.int32)
 
-    def select(rng_i, logits, state, seqs, presence, cache, anc, step,
+    def batch_done(state, step):
+        """HF early_stopping=False heuristic (beam_search.py:968-985): a
+        batch is done when its bank is full AND the worst banked
+        (length-penalised) score beats the best candidate's attainable
+        score best/((step+1)**lp) — HF's cur_len counts the candidate
+        token itself (beam_search.py:232).  Verified exact vs HF for the
+        reference default length_penalty=0."""
+        bank_full = state.fin_scores[:, -1] > beam_lib.NEG_INF / 2
+        attainable = (jnp.max(state.scores, axis=1)
+                      / beam_lib.length_denom(step + 1, length_penalty))
+        return jnp.logical_and(bank_full, state.fin_scores[:, -1] >= attainable)
+
+    def select(rng_i, logits, state, seqs, presence, cache, anc, done, step,
                has_cache=True):
         flat = beam_lib.flat_scores(
             logits, presence, state.scores, nb,
@@ -647,7 +660,10 @@ def inference_speech_beam(
             typical_sampling=typical_sampling, typical_mass=typical_mass,
             do_sample=do_sample)
         state, parent, token, seqs = beam_lib.beam_step(
-            rng_i, flat, nb, state, seqs, step, cfg.stop_mel_token, do_sample)
+            rng_i, flat, nb, state, seqs, step, cfg.stop_mel_token, do_sample,
+            length_penalty=length_penalty, done=done)
+        # latch HF's _done AFTER the step's banking (beam_search.py:300-306)
+        done = jnp.logical_or(done, batch_done(state, step))
         # reorder per-beam tensors by parent (absolute rows)
         rows = (jnp.arange(B)[:, None] * nb + parent).reshape(-1)   # [B*nb]
         identity = jnp.all(rows == jnp.arange(B * nb))
@@ -694,21 +710,18 @@ def inference_speech_beam(
         presence = presence[rows]
         tok_flat = token.reshape(-1)
         presence = presence.at[jnp.arange(B * nb), tok_flat].set(True)
-        return state, tok_flat, seqs, presence, cache, anc
+        return state, tok_flat, seqs, presence, cache, anc, done
 
-    state, tok, seqs, presence, suffix, anc = select(
+    state, tok, seqs, presence, suffix, anc, done = select(
         jax.random.fold_in(rng, 0), logits0, state, seqs0, presence, suffix,
-        anc0, jnp.int32(0), has_cache=False)
+        anc0, jnp.zeros((B,), bool), jnp.int32(0), has_cache=False)
 
     def cond_fn(carry):
-        step, state, *_ = carry
-        # done when every batch's worst banked hypothesis beats its best
-        # running beam (length_penalty=0, HF early_stopping=False)
-        done = state.fin_scores[:, -1] >= jnp.max(state.scores, axis=1)
+        step, state, tok, seqs, presence, suffix, anc, done = carry
         return jnp.logical_and(step < max_new, ~jnp.all(done))
 
     def body_fn(carry):
-        step, state, tok, seqs, presence, suffix, anc = carry
+        step, state, tok, seqs, presence, suffix, anc, done = carry
         mel_pos = jnp.clip(step + 1, 0, cfg.max_mel_seq_len - 1)
         emb = (params["mel_embedding"]["weight"][tok]
                + params["mel_pos_embedding"]["weight"][mel_pos])[:, None, :]
@@ -733,16 +746,17 @@ def inference_speech_beam(
             params["gpt"], emb.astype(cache_dtype), prefix, prefix_bias,
             suffix, suffix_bias, step, size, nb)
         logits = _lm_head(params, hidden[:, 0])
-        state, tok, seqs, presence, suffix, anc = select(
+        state, tok, seqs, presence, suffix, anc, done = select(
             jax.random.fold_in(rng, step), logits, state, seqs, presence,
-            suffix, anc, step)
-        return step + 1, state, tok, seqs, presence, suffix, anc
+            suffix, anc, done, step)
+        return step + 1, state, tok, seqs, presence, suffix, anc, done
 
-    carry = (jnp.int32(1), state, tok, seqs, presence, suffix, anc)
-    step, state, tok, seqs, *_ = jax.lax.while_loop(cond_fn, body_fn, carry)
+    carry = (jnp.int32(1), state, tok, seqs, presence, suffix, anc, done)
+    (step, state, tok, seqs, _, _, _, done) = jax.lax.while_loop(
+        cond_fn, body_fn, carry)
 
-    best_seq, best_len = beam_lib.finalize(state, seqs, step)
-    finished = state.fin_scores[:, 0] > beam_lib.NEG_INF / 2
+    best_seq, best_len, finished = beam_lib.finalize(
+        state, seqs, step, length_penalty=length_penalty, done=done)
     # banked sequences carry the stop token at position len-1; running beams
     # carry `step` valid tokens with no stop
     lengths = jnp.clip(jnp.where(finished, best_len - 1, best_len), 0, max_new)

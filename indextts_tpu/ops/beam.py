@@ -15,7 +15,7 @@ reference default) ⇒ raw cumulative log-prob scoring.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +107,16 @@ def init_beam_state(batch: int, num_beams: int, max_len: int) -> BeamState:
     )
 
 
+def length_denom(generated_len: jnp.ndarray, length_penalty: float) -> jnp.ndarray:
+    """HF's hypothesis-score denominator `generated_len ** length_penalty`
+    (BeamHypotheses.add with generated_len = cur_len - decoder_prompt_len).
+    Static fast-path for the reference default length_penalty=0 → 1.0."""
+    if length_penalty == 0.0:
+        return jnp.float32(1.0)
+    return jnp.power(jnp.maximum(generated_len, 0).astype(jnp.float32),
+                     jnp.float32(length_penalty))
+
+
 def beam_step(
     rng: jax.Array,
     flat: jnp.ndarray,       # [B, nb*V] beam-score + warped log-prob totals
@@ -116,18 +126,31 @@ def beam_step(
     step: jnp.ndarray,       # current length of running sequences
     stop_token: int,
     do_sample: bool,
+    length_penalty: float = 0.0,
+    done: Optional[jnp.ndarray] = None,
 ) -> Tuple[BeamState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One beam(-sample) step over precomputed flattened candidate totals
     (the caller applies processors/warpers, HF beam_sample order).
 
     Returns (state', beam_parent [B, nb], next_token [B, nb],
     seqs' [B, nb, max_len]).  Candidates that end with `stop_token` are
-    banked into the hypothesis bank; the nb best non-stop candidates
-    continue."""
+    banked into the hypothesis bank with HF's length-penalised score
+    `sum_logprobs / generated_len**length_penalty` (generated_len =
+    `step + 1`: HF's process uses cur_len = input_ids.shape[-1] + 1, i.e.
+    the eos candidate itself counts — beam_search.py:232,292);
+    the nb best non-stop candidates continue on raw cumulative scores.
+
+    `done` [B] is HF's latched `_done`: a done batch is FROZEN — its bank
+    accepts nothing new and its running scores/sequences keep their values
+    (BeamSearchScorer.process pads and skips done batches; with
+    length_penalty > 0 a longer hypothesis could otherwise displace banked
+    ones after the stop decision, diverging from HF)."""
     B = flat.shape[0]
     nb = num_beams
     V = flat.shape[1] // nb
     cand = 2 * nb
+    if done is None:
+        done = jnp.zeros((B,), bool)
 
     if do_sample:
         # sample 2nb distinct candidates via Gumbel top-k over the flat dist
@@ -155,8 +178,12 @@ def beam_step(
     # candidate rank is >= num_beams ("is_beam_token_worse_than_top_num_
     # beams", beam_search.py in transformers 4.44); candidates here are
     # sorted desc, so rank == position
-    bankable = jnp.logical_and(is_stop, jnp.arange(cand)[None, :] < nb)
-    fin_cand_scores = jnp.where(bankable, sc, NEG_INF)
+    bankable = jnp.logical_and(
+        jnp.logical_and(is_stop, jnp.arange(cand)[None, :] < nb),
+        ~done[:, None])
+    fin_cand_scores = jnp.where(bankable,
+                                sc / length_denom(step + 1, length_penalty),
+                                NEG_INF)
     all_scores = jnp.concatenate([state.fin_scores, fin_cand_scores], axis=1)
     all_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
     all_lens = jnp.concatenate(
@@ -174,20 +201,47 @@ def beam_step(
     new_token = jnp.take_along_axis(token, keep, axis=1)
     new_seqs = jnp.take_along_axis(cand_seqs, keep[:, :, None], axis=1)
 
-    state = BeamState(new_scores, top_sc, fin_seqs, fin_lens)
+    # freeze done batches (scores, sequences, bank); parent defaults to the
+    # identity so the cache reorder is a no-op for them
+    d1 = done[:, None]
+    state = BeamState(
+        jnp.where(d1, state.scores, new_scores),
+        jnp.where(d1, state.fin_scores, top_sc),
+        jnp.where(d1[:, :, None], state.fin_seqs, fin_seqs),
+        jnp.where(d1, state.fin_lens, fin_lens),
+    )
+    new_parent = jnp.where(d1, jnp.arange(nb)[None, :], new_parent)
+    new_seqs = jnp.where(d1[:, :, None], seqs, new_seqs)
     return state, new_parent, new_token, new_seqs
 
 
-def finalize(state: BeamState, seqs: jnp.ndarray,
-             step: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Best hypothesis per batch: the bank if any finished, else the best
-    running beam.  Returns (sequences [B, max_len], lengths [B])."""
+def finalize(state: BeamState, seqs: jnp.ndarray, step: jnp.ndarray,
+             length_penalty: float = 0.0,
+             done: Optional[jnp.ndarray] = None,
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Best hypothesis per batch, HF BeamSearchScorer.finalize semantics:
+    for batches whose early-stop condition has NOT fired, the running beams
+    join the bank with length-penalised scores
+    `sum_logprobs / generated_len**length_penalty` and compete with the
+    banked hypotheses; for done batches the bank alone decides
+    (beam_search.py:345-360).
+
+    Returns (sequences [B, max_len], lengths [B], from_bank [B] — whether
+    the winning hypothesis carries a stop token)."""
     B, nb, L = seqs.shape
-    have_fin = state.fin_scores[:, 0] > NEG_INF / 2
-    best_fin_seq = state.fin_seqs[:, 0]
-    best_fin_len = state.fin_lens[:, 0]
-    best_run = jnp.argmax(state.scores, axis=1)
-    best_run_seq = jnp.take_along_axis(seqs, best_run[:, None, None], axis=1)[:, 0]
-    out_seq = jnp.where(have_fin[:, None], best_fin_seq, best_run_seq)
-    out_len = jnp.where(have_fin, best_fin_len, step)
-    return out_seq, out_len
+    if done is None:
+        done = jnp.zeros((B,), bool)
+    run_pen = state.scores / length_denom(step, length_penalty)   # [B, nb]
+    run_pen = jnp.where(done[:, None], NEG_INF, run_pen)
+    all_scores = jnp.concatenate([state.fin_scores, run_pen], axis=1)
+    best_ix = jnp.argmax(all_scores, axis=1)                      # [B]
+    from_bank = best_ix < nb
+    bank_ix = jnp.clip(best_ix, 0, nb - 1)
+    run_ix = jnp.clip(best_ix - nb, 0, nb - 1)
+    bank_seq = jnp.take_along_axis(state.fin_seqs, bank_ix[:, None, None],
+                                   axis=1)[:, 0]
+    run_seq = jnp.take_along_axis(seqs, run_ix[:, None, None], axis=1)[:, 0]
+    out_seq = jnp.where(from_bank[:, None], bank_seq, run_seq)
+    bank_len = jnp.take_along_axis(state.fin_lens, bank_ix[:, None], axis=1)[:, 0]
+    out_len = jnp.where(from_bank, bank_len, step)
+    return out_seq, out_len, from_bank

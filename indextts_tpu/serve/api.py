@@ -110,8 +110,9 @@ def create_app(
         top_k: int = Form(30),
         temperature: float = Form(1.0),
         repetition_penalty: float = Form(10.0),
+        length_penalty: float = Form(0.0),
         max_mel_tokens: int = Form(600),
-        max_text_tokens_per_sentence: int = Form(100),
+        max_text_tokens_per_sentence: int = Form(120),
         sentences_bucket_max_size: int = Form(4),
         seed: Optional[int] = Form(None),
         num_beams: Optional[int] = Form(None),
@@ -139,6 +140,7 @@ def create_app(
         eng = engine()
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
                    temperature=temperature, repetition_penalty=repetition_penalty,
+                   length_penalty=length_penalty,
                    max_mel_tokens=max_mel_tokens, seed=used_seed)
         if num_beams is not None:
             gen["num_beams"] = num_beams
@@ -176,8 +178,9 @@ def create_app(
         top_k: int = Form(30),
         temperature: float = Form(1.0),
         repetition_penalty: float = Form(10.0),
+        length_penalty: float = Form(0.0),
         max_mel_tokens: int = Form(600),
-        max_text_tokens_per_sentence: int = Form(100),
+        max_text_tokens_per_sentence: int = Form(120),
         seed: Optional[int] = Form(None),
         num_beams: Optional[int] = Form(None),
         cfg_scale: Optional[float] = Form(None),
@@ -201,6 +204,7 @@ def create_app(
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
                    temperature=temperature,
                    repetition_penalty=repetition_penalty,
+                   length_penalty=length_penalty,
                    max_mel_tokens=max_mel_tokens)
         if num_beams is not None:
             gen["num_beams"] = num_beams

@@ -139,6 +139,7 @@ class TTSService:
             top_k=int(req.get("top_k", 30)),
             temperature=float(req.get("temperature", 1.0)),
             repetition_penalty=float(req.get("repetition_penalty", 10.0)),
+            length_penalty=float(req.get("length_penalty", 0.0)),
             max_mel_tokens=int(req.get("max_mel_tokens", 600)),
         )
         if "num_beams" in req:

@@ -102,6 +102,97 @@ def test_beam_batched_matches_single(params):
             np.asarray(rb.codes[i][:n]), np.asarray(rs.codes[0][:n]))
 
 
+@pytest.mark.parametrize("lp", [0.0, 1.1, -0.5])
+def test_beam_step_matches_hf_scorer(lp):
+    """Drive ops/beam.beam_step + finalize and HF's BeamSearchScorer with
+    IDENTICAL per-step candidate streams; the banked hypotheses, running
+    scores, done-latch and final sequence must agree — including the
+    length_penalty semantics (score = sum_logprobs / generated_len**lp,
+    process-time banking, frozen done batches)."""
+    torch = pytest.importorskip("torch")
+    from transformers.generation.beam_search import BeamSearchScorer
+
+    from indextts_tpu.ops import beam as beam_lib
+
+    B, nb, V, steps, P = 2, 3, 23, 12, 5
+    eos = V - 1
+    rng = np.random.default_rng(int(abs(lp) * 10) + 3)
+
+    scorer = BeamSearchScorer(batch_size=B, num_beams=nb, device="cpu",
+                              length_penalty=lp, do_early_stopping=False)
+    input_ids = torch.ones((B * nb, P), dtype=torch.long)
+    hf_scores = torch.full((B, nb), -1e9)
+    hf_scores[:, 0] = 0.0
+    hf_scores = hf_scores.view(-1)
+
+    state = beam_lib.init_beam_state(B, nb, steps + 1)
+    seqs = jnp.zeros((B, nb, steps + 1), jnp.int32)
+    done = jnp.zeros((B,), bool)
+
+    for s in range(steps):
+        # shared candidate stream: per-beam log-probs, eos made competitive
+        logp = np.log(rng.dirichlet(np.ones(V), size=(B, nb))).astype(np.float32)
+        logp[:, :, eos] += 3.0  # encourage banking events
+        flat_np = logp + np.asarray(state.scores)[:, :, None]
+        flat = jnp.asarray(flat_np.reshape(B, nb * V))
+
+        # HF side: identical totals, its own top-2nb
+        nts = torch.tensor(logp).view(B * nb, V) + hf_scores[:, None]
+        nts = nts.view(B, nb * V)
+        topv, topi = torch.topk(nts, 2 * nb, dim=1)
+        out = scorer.process(
+            input_ids, topv, topi % V, topi // V,
+            pad_token_id=0, eos_token_id=[eos], decoder_prompt_len=P)
+        hf_scores = out["next_beam_scores"]
+        input_ids = torch.cat(
+            [input_ids[out["next_beam_indices"], :],
+             out["next_beam_tokens"].unsqueeze(-1)], dim=-1)
+
+        state, parent, token, seqs = beam_lib.beam_step(
+            jax.random.PRNGKey(0), flat, nb, state, seqs, jnp.int32(s),
+            eos, do_sample=False, length_penalty=lp, done=done)
+        done = jnp.logical_or(
+            done,
+            jnp.asarray([bh.is_done(float(nts[b].max()), P + s + 1, P)
+                         for b, bh in enumerate(scorer._beam_hyps)]))
+
+        np.testing.assert_array_equal(np.asarray(done),
+                                      scorer._done.numpy())
+        for b in range(B):
+            if not bool(done[b]):
+                np.testing.assert_allclose(
+                    np.asarray(state.scores[b]),
+                    hf_scores.view(B, nb)[b].numpy(), rtol=1e-5)
+        if bool(jnp.all(done)):
+            break
+
+    gl = min(s + 1, steps)  # process iterations executed
+    final = scorer.finalize(input_ids, hf_scores, None, None,
+                            max_length=P + steps + 1, pad_token_id=0,
+                            eos_token_id=[eos], decoder_prompt_len=P)
+    best_seq, best_len, from_bank = beam_lib.finalize(
+        state, seqs, jnp.int32(gl), length_penalty=lp, done=done)
+
+    # winning scores must agree (catches length-mismatch silently passing
+    # a prefix comparison)
+    denom = 1.0 if lp == 0.0 else float(gl) ** lp
+    run_pen = np.asarray(state.scores, np.float32) / denom
+    run_pen = np.where(np.asarray(done)[:, None], beam_lib.NEG_INF, run_pen)
+    ours_best = np.concatenate(
+        [np.asarray(state.fin_scores), run_pen], axis=1).max(axis=1)
+    np.testing.assert_allclose(ours_best, final["sequence_scores"].numpy(),
+                               rtol=1e-5)
+
+    hf_seqs = final["sequences"].view(B, -1)
+    for b in range(B):
+        # ours: banked hyps carry the stop at position len-1; HF appends
+        # the eos after the hypothesis tokens, so the generated prefixes
+        # must match exactly
+        n = int(best_len[b]) - (1 if bool(from_bank[b]) else 0)
+        np.testing.assert_array_equal(np.asarray(best_seq[b, :n]),
+                                      hf_seqs[b, P : P + n].numpy())
+
+
 def test_flat_scores_matches_hf_beam_sample_order():
     """Score-pipeline parity with HF 4.44 beam_sample (ADVICE r1): per-beam
     warpers on [B*nb, V] AFTER adding beam scores, processors on log-probs,
