@@ -92,6 +92,17 @@ def test_synthesize_arg_plumbing_fast(callbacks, tmp_path):
     assert kw["max_text_tokens_per_sentence"] == 100
     assert kw["top_k"] == 30 and isinstance(kw["top_k"], int)
     assert kw["max_mel_tokens"] == 600 and kw["repetition_penalty"] == 10.0
+    # slider defaults for the r3 controls
+    assert kw["num_beams"] == 3 and kw["cfg_scale"] == 1.0
+
+
+def test_synthesize_plumbs_beams_and_guidance(callbacks):
+    callbacks["synthesize"](
+        "voice.wav", "text", "fast", 100, 4, True, 0.8, 30, 1.0, 10.0, 600,
+        num_beams=1, cfg_scale=2.5)
+    eng = callbacks["state"]["tts"]
+    _, _, _, _, kw = eng.calls[-1]
+    assert kw["num_beams"] == 1 and kw["cfg_scale"] == 2.5
 
 
 def test_synthesize_arg_plumbing_normal(callbacks):

@@ -23,6 +23,8 @@ def main() -> None:
     ap.add_argument("--quant", default="int8", choices=["none", "int8", "int4"])
     ap.add_argument("--beams", type=int, default=1)
     ap.add_argument("--model_dir", default="checkpoints_test")
+    ap.add_argument("--long", action="store_true",
+                    help="16-sentence long text; also measures infer_fast")
     args = ap.parse_args()
 
     import jax
@@ -42,6 +44,10 @@ def main() -> None:
 
     prompt = "/root/reference/tests/sample_prompt.wav"
     text = "親愛的夥伴們，大家好！每一次的努力都是為了更好的未來。"
+    if args.long:
+        # multi-sentence long-text case (exercises bucketed multi-row beam
+        # decode + per-bucket batched vocoding)
+        text = text * 8
     out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False).name
     kw = dict(num_beams=args.beams)
 
@@ -53,6 +59,14 @@ def main() -> None:
     print(f"[e2e {args.quant} beams={args.beams}] infer RTF {s['rtf']:.4f} "
           f"({dt:.2f}s wall, {s['wav_seconds']:.2f}s audio, "
           f"TTFA {s.get('time_to_first_audio', -1):.2f}s)")
+    if args.long:
+        tts.infer_fast(prompt, text, out, **kw)    # warm/compile
+        t0 = time.perf_counter()
+        tts.infer_fast(prompt, text, out, **kw)
+        dt = time.perf_counter() - t0
+        s = tts.last_stats
+        print(f"[e2e {args.quant} beams={args.beams} long] infer_fast RTF "
+              f"{s['rtf']:.4f} ({dt:.2f}s wall, {s['wav_seconds']:.2f}s audio)")
 
     chunks = list(tts.infer_stream(prompt, text, **kw))  # warm shapes shared
     t0 = time.perf_counter()
