@@ -18,7 +18,7 @@ import time
 from typing import Optional
 
 try:
-    from fastapi import FastAPI, File, Form, HTTPException, UploadFile
+    from fastapi import FastAPI, File, Form, HTTPException, Request, UploadFile
     from fastapi.responses import Response
 except ImportError as e:  # pragma: no cover
     raise ImportError(
@@ -78,37 +78,68 @@ def create_app(
 
     @app.get("/models")
     def models():
-        """Checkpoint discovery (api.py:97-116)."""
+        """Checkpoint discovery, reference response shape (api.py:97-116):
+        entries are {"name", "filename", "type"}; the loaded checkpoint is
+        echoed as "current_model" (basename) plus our "current" (path)."""
         found = []
-        for root in (model_dir, os.path.join(model_dir, "..")):
+        base = os.path.join(model_dir, "gpt.pth")
+        if os.path.exists(base):
+            found.append({"name": "Default (gpt.pth)", "filename": "gpt.pth",
+                          "type": "base"})
+        seen = {base}
+        for root in (model_dir, os.path.join(model_dir, ".."),
+                     os.path.join("finetune_models", "checkpoints")):
             if not os.path.isdir(root):
                 continue
             for name in sorted(os.listdir(root)):
-                if name.endswith(".pth") or name.startswith("model_epoch_"):
-                    found.append(os.path.join(root, name))
-        return {"models": found, "current": state["gpt_path"]}
+                full = os.path.join(root, name)
+                if full in seen or not (name.endswith(".pth")
+                                        or name.startswith("model_epoch_")):
+                    continue
+                seen.add(full)
+                found.append({"name": f"Finetuned - {name}", "filename": full,
+                              "type": "finetune"})
+        cur = state["gpt_path"]
+        return {"models": found, "current": cur,
+                "current_model": os.path.basename(cur) if cur else "None"}
 
     @app.post("/model/reload")
-    def reload_model(gpt_path: str = Form(...)):
-        """Hot-swap GPT weights (api.py:118-175)."""
+    async def reload_model(request: "Request"):
+        """Hot-swap GPT weights (api.py:118-175).  Accepts the reference's
+        JSON body {"model_filename": ...} or our form/JSON {"gpt_path": ...}."""
+        ctype = request.headers.get("content-type", "")
+        if ctype.startswith("application/json"):
+            body = await request.json()
+        else:
+            body = dict(await request.form())
+        gpt_path = body.get("gpt_path") or body.get("model_filename")
+        if not gpt_path:
+            raise HTTPException(422, "need 'gpt_path' or 'model_filename'")
         resolved = gpt_path if os.path.isabs(gpt_path) else os.path.join(model_dir, gpt_path)
         if not os.path.exists(resolved):
             raise HTTPException(404, f"checkpoint not found: {resolved}")
         state["gpt_path"] = gpt_path
         state["tts"] = None  # lazily rebuilt with the new weights
-        return {"status": "reloaded", "gpt_path": gpt_path}
+        return {"status": "reloaded", "gpt_path": gpt_path,
+                "message": f"switched to {os.path.basename(gpt_path)}"}
 
     @app.post("/tts")
     async def tts(
         text: str = Form(...),
         audio_file: Optional[UploadFile] = File(None),
         audio_path: Optional[str] = Form(None),
+        # reference client field names (api.py:180-182) — full aliases
+        prompt_audio: Optional[UploadFile] = File(None),
+        prompt_audio_path: Optional[str] = Form(None),
+        infer_mode: Optional[str] = Form(None),
         mode: str = Form("fast"),
         speaker_id: Optional[str] = Form(None),
         do_sample: bool = Form(True),
         top_p: float = Form(0.8),
         top_k: int = Form(30),
-        temperature: float = Form(1.0),
+        # 0.3 is the reference's API-surface default (api.py:192), below
+        # the engine-level 1.0 (infer.py:632)
+        temperature: float = Form(0.3),
         repetition_penalty: float = Form(10.0),
         length_penalty: float = Form(0.0),
         max_mel_tokens: int = Form(600),
@@ -120,10 +151,15 @@ def create_app(
     ):
         """Synthesis (api.py:177-299).  Returns WAV bytes; the seed used is
         echoed in the X-Seed header."""
+        audio_file = audio_file if audio_file is not None else prompt_audio
+        audio_path = audio_path or prompt_audio_path
+        mode = infer_mode or mode
         if audio_file is None and not audio_path and not speaker_id:
             raise HTTPException(400, "need audio_file, audio_path or speaker_id")
         tmp = await _save_upload(audio_file)
         prompt = tmp or audio_path
+        if seed == -1:  # "pick one" (reference api.py:205-209)
+            seed = None
         used_seed = seed if seed is not None else int(time.time_ns() % (2**31))
         if pool_service is not None:
             try:
@@ -172,11 +208,13 @@ def create_app(
         text: str = Form(...),
         audio_file: Optional[UploadFile] = File(None),
         audio_path: Optional[str] = Form(None),
+        prompt_audio: Optional[UploadFile] = File(None),
+        prompt_audio_path: Optional[str] = Form(None),
         speaker_id: Optional[str] = Form(None),
         do_sample: bool = Form(True),
         top_p: float = Form(0.8),
         top_k: int = Form(30),
-        temperature: float = Form(1.0),
+        temperature: float = Form(0.3),
         repetition_penalty: float = Form(10.0),
         length_penalty: float = Form(0.0),
         max_mel_tokens: int = Form(600),
@@ -196,10 +234,14 @@ def create_app(
             raise HTTPException(
                 400, "/tts_stream is not available in --continuous mode "
                      "(it would bypass the shared decode pool); use /tts")
+        audio_file = audio_file if audio_file is not None else prompt_audio
+        audio_path = audio_path or prompt_audio_path
         if audio_file is None and not audio_path and not speaker_id:
             raise HTTPException(400, "need audio_file, audio_path or speaker_id")
         tmp = await _save_upload(audio_file)
         prompt = tmp or audio_path
+        if seed == -1:
+            seed = None
         used_seed = seed if seed is not None else int(time.time_ns() % (2**31))
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
                    temperature=temperature,

@@ -91,14 +91,32 @@ class TTSService:
             return self._tts
 
     def models(self) -> Dict[str, Any]:
+        """Checkpoint discovery, reference response shape (api.py:97-116):
+        each entry is {"name", "filename", "type"} and the currently loaded
+        checkpoint is echoed as "current_model" (basename).  "current" is
+        kept for this framework's earlier clients."""
         found = []
-        for root in (self.model_dir, os.path.join(self.model_dir, "..")):
+        base = os.path.join(self.model_dir, "gpt.pth")
+        if os.path.exists(base):
+            found.append({"name": "Default (gpt.pth)", "filename": "gpt.pth",
+                          "type": "base"})
+        roots = [self.model_dir, os.path.join(self.model_dir, ".."),
+                 os.path.join("finetune_models", "checkpoints")]
+        seen = {base}
+        for root in roots:
             if not os.path.isdir(root):
                 continue
             for name in sorted(os.listdir(root)):
-                if name.endswith(".pth") or name.startswith("model_epoch_"):
-                    found.append(os.path.join(root, name))
-        return {"models": found, "current": self.gpt_path}
+                full = os.path.join(root, name)
+                if full in seen or not (name.endswith(".pth")
+                                        or name.startswith("model_epoch_")):
+                    continue
+                seen.add(full)
+                found.append({"name": f"Finetuned - {name}", "filename": full,
+                              "type": "finetune"})
+        cur = self.gpt_path
+        return {"models": found, "current": cur,
+                "current_model": os.path.basename(cur) if cur else "None"}
 
     def reload(self, gpt_path: str) -> Dict[str, Any]:
         resolved = (gpt_path if os.path.isabs(gpt_path)
@@ -116,11 +134,16 @@ class TTSService:
         used_seed, gen dict).  Raises ValueError on a bad request."""
         if not req.get("text"):
             raise ValueError("missing 'text'")
-        prompt = req.get("audio_path")
+        # "prompt_audio_path" is the reference client field name
+        # (api.py:181); "audio_path" is this framework's
+        prompt = req.get("audio_path") or req.get("prompt_audio_path")
         speaker_id = req.get("speaker_id")
         if not prompt and not speaker_id:
             raise ValueError("need 'audio_path' or 'speaker_id'")
         seed = req.get("seed")
+        # seed -1 = "pick one" (reference api.py:205-209)
+        if seed is not None and int(seed) == -1:
+            seed = None
         used_seed = int(seed) if seed is not None else int(
             time.time_ns() % (2**31))
 
@@ -137,7 +160,9 @@ class TTSService:
             do_sample=form_bool(req.get("do_sample"), True),
             top_p=float(req.get("top_p", 0.8)),
             top_k=int(req.get("top_k", 30)),
-            temperature=float(req.get("temperature", 1.0)),
+            # the reference API surface defaults temperature to 0.3
+            # (api.py:192), lower than the engine-level 1.0 default
+            temperature=float(req.get("temperature", 0.3)),
             repetition_penalty=float(req.get("repetition_penalty", 10.0)),
             length_penalty=float(req.get("length_penalty", 0.0)),
             max_mel_tokens=int(req.get("max_mel_tokens", 600)),
@@ -157,8 +182,9 @@ class TTSService:
         out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
         out.close()
         try:
-            mode = req.get("mode", "fast")
-            mtps = int(req.get("max_text_tokens_per_sentence", 100))
+            # "infer_mode" is the reference client field name (api.py:182)
+            mode = req.get("mode") or req.get("infer_mode") or "fast"
+            mtps = int(req.get("max_text_tokens_per_sentence", 120))
             if mode == "fast" and not speaker_id:
                 eng.infer_fast(
                     prompt, text, out.name, seed=used_seed,
@@ -193,7 +219,7 @@ class TTSService:
         return used_seed, self.engine().infer_stream(
             prompt, req["text"], speaker_id=speaker_id, seed=used_seed,
             max_text_tokens_per_sentence=int(
-                req.get("max_text_tokens_per_sentence", 100)),
+                req.get("max_text_tokens_per_sentence", 120)),
             **gen)
 
     def _pool_tts(self, req: Dict[str, Any], prompt, speaker_id) -> bytes:
@@ -208,7 +234,7 @@ class TTSService:
         sr, wav = eng.pool_infer(
             self.pool(), prompt, req["text"], speaker_id=speaker_id,
             max_text_tokens_per_sentence=int(
-                req.get("max_text_tokens_per_sentence", 100)))
+                req.get("max_text_tokens_per_sentence", 120)))
         out = _tf.NamedTemporaryFile(suffix=".wav", delete=False)
         out.close()
         try:
@@ -320,7 +346,9 @@ def make_handler(service: TTSService):
 
         def _dispatch_post(self, path: str, req: Dict[str, Any]) -> None:
             if path == "/model/reload":
-                gpt_path = req.get("gpt_path")
+                # "model_filename" is the reference's request field
+                # (api.py ModelReloadRequest); "gpt_path" is ours
+                gpt_path = req.get("gpt_path") or req.get("model_filename")
                 if not gpt_path:
                     self._json(400, {"error": "missing gpt_path"})
                     return

@@ -76,12 +76,14 @@ def build_callbacks(cfg_path: str, model_dir: str,
 
     def synthesize(prompt, text, mode, max_tokens, bucket_size, do_sample,
                    top_p, top_k, temperature, repetition_penalty,
-                   max_mel_tokens, num_beams=3, cfg_scale=1.0, progress=None):
+                   max_mel_tokens, num_beams=3, cfg_scale=1.0,
+                   length_penalty=0.0, progress=None):
         tts = state["tts"]
         tts.gr_progress = progress
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=int(top_k),
                    temperature=temperature,
                    repetition_penalty=repetition_penalty,
+                   length_penalty=float(length_penalty),
                    max_mel_tokens=int(max_mel_tokens),
                    num_beams=int(num_beams), cfg_scale=float(cfg_scale))
         out_path = os.path.join(out_dir, "webui_gen.wav")
@@ -130,12 +132,14 @@ def create_demo(cfg_path: str, model_dir: str,
                 num_beams = gr.Slider(1, 8, 3, step=1, label="num_beams")
                 cfg_scale = gr.Slider(1.0, 5.0, 1.0, step=0.1,
                                        label="cfg_scale (guidance; sampling mode)")
+                length_penalty = gr.Slider(-2.0, 2.0, 0.0, step=0.1,
+                                            label="length_penalty (beams)")
             btn = gr.Button("Synthesize", variant="primary")
             audio_out = gr.Audio(label="Output")
             btn.click(synthesize_ui,
                       [prompt, text, mode, max_tokens, bucket_size, do_sample,
                        top_p, top_k, temperature, repetition_penalty,
-                       max_mel_tokens, num_beams, cfg_scale],
+                       max_mel_tokens, num_beams, cfg_scale, length_penalty],
                       audio_out)
             with gr.Accordion("Sentence split preview", open=False):
                 preview_btn = gr.Button("Preview split")

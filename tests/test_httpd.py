@@ -35,6 +35,8 @@ def server(tmp_path_factory):
         "gpt_checkpoint": "model_epoch_0",  # exercises /models discovery
     })
     cfg.save(str(d / "config.yaml"))
+    # a discoverable (never loaded) checkpoint for the /models contract test
+    (d / "other_model.pth").write_bytes(b"")
     import shutil
 
     shutil.copy("/root/reference/vocab.txt", d / "vocab.txt")
@@ -83,6 +85,32 @@ def test_health_and_models(server):
     assert code == 200 and body["status"] == "ok"
     code, body = _get(server + "/models")
     assert code == 200 and "models" in body
+    # reference response shape (api.py:97-116): dict entries + current_model
+    assert "current_model" in body
+    for entry in body["models"]:
+        assert set(entry) == {"name", "filename", "type"}
+    assert any(e["filename"].endswith("other_model.pth")
+               and e["type"] == "finetune" for e in body["models"])
+
+
+def test_reference_client_field_names(server):
+    """A client written against the reference API (api.py:177-199) works
+    unchanged: prompt_audio_path / infer_mode / seed=-1."""
+    code, headers, data = _post(server + "/tts", {
+        "text": "你好。",
+        "prompt_audio_path": "/root/reference/tests/sample_prompt.wav",
+        "infer_mode": "normal",
+        "max_mel_tokens": 8, "do_sample": False, "repetition_penalty": 1.0,
+        "num_beams": 1, "seed": -1,
+    })
+    assert code == 200, data
+    assert data[:4] == b"RIFF" and len(data) > 100
+    assert int(headers["X-Seed"]) >= 0  # -1 was replaced by a drawn seed
+
+
+def test_reload_reference_field_name(server):
+    code, _, _ = _post(server + "/model/reload", {"model_filename": "nope.pth"})
+    assert code == 404  # alias parsed (404 = lookup ran, not 400 missing-field)
 
 
 def test_tts_over_socket(server):
