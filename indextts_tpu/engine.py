@@ -340,8 +340,16 @@ class IndexTTS:
         pad = width - prep.text_tokens.shape[1]
         tokens = np.pad(prep.text_tokens, ((0, 0), (pad, 0)))
         mask = np.pad(prep.attn_text, ((0, 0), (pad, 0)))
-        # reference decode default: num_beams=3 (infer.py:633)
-        num_beams = int(generation.get("num_beams", 3))
+        # reference decode default: num_beams=3 (infer.py:633).  Guidance is
+        # a sampling-mode feature: when cfg_scale is requested (call or
+        # config) WITHOUT an explicit num_beams, switch to sampling so the
+        # guidance actually applies — otherwise the default beam path
+        # silently ignored the CLI/API/WebUI cfg_scale knob (r3 review)
+        cfg_scale = float(generation.get("cfg_scale", self.cfg_scale))
+        if cfg_scale != 1.0 and "num_beams" not in generation:
+            num_beams = 1
+        else:
+            num_beams = int(generation.get("num_beams", 3))
         kwargs = dict(
             # generation budget capped by the model's mel position table —
             # codes past it cannot be re-forwarded for the vocoder
@@ -361,7 +369,6 @@ class IndexTTS:
         # default max_mel_tokens=600 vs 791 XLA+fp8kv).  The kernel streams
         # the cache in chunks with an online softmax, so any cache length
         # compiles in constant VMEM.
-        cfg_scale = float(generation.get("cfg_scale", self.cfg_scale))
         # guidance doubles decode rows (R=2), which disables the B==1 fused
         # trunk inside inference_speech — don't strip the fp8 KV tier then
         use_fused = bool(generation.get(

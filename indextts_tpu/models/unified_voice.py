@@ -583,7 +583,7 @@ def inference_speech_beam(
     identical across a request row's nb beams, so it is prefilled and
     stored ONCE per request ([L, B, H, Pc, d]) while only the generated
     suffix lives per beam ([L, B*nb, H, Sc, d]) — see
-    gpt2.decode_step_split.  The per-step beam-parent cache reorder
+    gpt2.decode_step_lineage.  The per-step beam-parent cache reorder
     (HF _reorder_cache, gpt/model.py:207-218) therefore touches only the
     suffix array; identity permutations skip the gather entirely."""
     from indextts_tpu.ops import beam as beam_lib

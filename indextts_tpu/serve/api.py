@@ -115,13 +115,20 @@ def create_app(
         gpt_path = body.get("gpt_path") or body.get("model_filename")
         if not gpt_path:
             raise HTTPException(422, "need 'gpt_path' or 'model_filename'")
-        resolved = gpt_path if os.path.isabs(gpt_path) else os.path.join(model_dir, gpt_path)
-        if not os.path.exists(resolved):
-            raise HTTPException(404, f"checkpoint not found: {resolved}")
-        state["gpt_path"] = gpt_path
+        # reference resolution order (api.py:126-133): model_dir-relative
+        # first, then the path as given — so every "filename" advertised by
+        # /models resolves back here
+        candidates = ([gpt_path] if os.path.isabs(gpt_path)
+                      else [os.path.join(model_dir, gpt_path), gpt_path])
+        resolved = next((p for p in candidates if os.path.exists(p)), None)
+        if resolved is None:
+            raise HTTPException(404, f"checkpoint not found: {candidates[0]}")
+        # absolute: IndexTTS joins relative gpt_paths with model_dir again
+        resolved = os.path.abspath(resolved)
+        state["gpt_path"] = resolved
         state["tts"] = None  # lazily rebuilt with the new weights
-        return {"status": "reloaded", "gpt_path": gpt_path,
-                "message": f"switched to {os.path.basename(gpt_path)}"}
+        return {"status": "reloaded", "gpt_path": resolved,
+                "message": f"switched to {os.path.basename(resolved)}"}
 
     @app.post("/tts")
     async def tts(

@@ -119,14 +119,20 @@ class TTSService:
                 "current_model": os.path.basename(cur) if cur else "None"}
 
     def reload(self, gpt_path: str) -> Dict[str, Any]:
-        resolved = (gpt_path if os.path.isabs(gpt_path)
-                    else os.path.join(self.model_dir, gpt_path))
-        if not os.path.exists(resolved):
-            raise FileNotFoundError(resolved)
+        # reference resolution order (api.py:126-133): model_dir-relative
+        # first, then the path as given — so every "filename" advertised by
+        # /models (model_dir-, cwd- or parent-relative) resolves back here
+        candidates = ([gpt_path] if os.path.isabs(gpt_path)
+                      else [os.path.join(self.model_dir, gpt_path), gpt_path])
+        resolved = next((p for p in candidates if os.path.exists(p)), None)
+        if resolved is None:
+            raise FileNotFoundError(candidates[0])
+        # absolute: IndexTTS joins relative gpt_paths with model_dir again
+        resolved = os.path.abspath(resolved)
         with self._lock:
-            self.gpt_path = gpt_path
+            self.gpt_path = resolved
             self._tts = None  # lazily rebuilt with the new weights
-        return {"status": "reloaded", "gpt_path": gpt_path}
+        return {"status": "reloaded", "gpt_path": resolved}
 
     @staticmethod
     def parse_request(req: Dict[str, Any]):

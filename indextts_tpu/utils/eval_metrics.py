@@ -20,9 +20,13 @@ import jax.numpy as jnp
 
 def speaker_embedding(bigvgan_params: Dict[str, Any], wav: np.ndarray,
                       sample_rate: int = 24000, n_mels: int = 100) -> np.ndarray:
-    """wav [T] float32 → ECAPA speaker embedding [D]."""
+    """wav [T] float32 (or [C, T] — mixed to mono) → ECAPA embedding [D]."""
     from indextts_tpu.models import ecapa
     from indextts_tpu.ops.mel import mel_spectrogram
+
+    wav = np.asarray(wav, np.float32)
+    if wav.ndim == 2:  # (C, T) from audio.read_wav / (1, T) prompts
+        wav = wav.mean(axis=0)
 
     spk_params = bigvgan_params.get("speaker_encoder", bigvgan_params)
     # derive sizes from the params themselves

@@ -179,16 +179,49 @@ class _BuiltinNormalizer:
             return (dig(a) + "到" + dig(b)) if int(a) <= int(b) else m.group(0)
         text = re.sub(r"(?<![\d.-])(\d{4})\s*[-~～—]\s*(\d{4})(?![\d.-])",
                       fyrange, text)
-        # phone-like hyphenated digit groups read digit-wise: 135-4567-8900
+        # phone-like hyphenated digit groups read digit-wise.  Requires ≥2
+        # separators (135-4567-8900) or an area-code form (0571-88888888):
+        # a SINGLE-hyphen pair like 100-500 is a value range in prose, and
+        # the old 1-hyphen match consumed "100-500%" before the range rules
+        # could run, orphaning the %
         text = re.sub(
-            r"(?<!\d)(\d{3,4}(?:-\d{3,4}){1,3})(?!\d)",
+            r"(?<!\d)(\d{3,4}(?:-\d{3,4}){2,3})(?!\d)",
             lambda m: dig(m.group(1).replace("-", "")), text)
+        text = re.sub(
+            r"(?<!\d)(0\d{2,3}-\d{7,8})(?!\d)",
+            lambda m: dig(m.group(1).replace("-", "")), text)
+        # units glued to numbers (tn's measure tagger, common cases) —
+        # shared by the range rules below and the plain-unit rule later
+        units = [("km/h", "公里每小時"), ("m/s", "米每秒"), ("km", "公里"),
+                 ("kg", "公斤"), ("cm", "釐米"), ("mm", "毫米"), ("ml", "毫升"),
+                 ("kw", "千瓦"), ("°c", "攝氏度"), ("℃", "攝氏度"),
+                 ("g", "克"), ("m", "米"), ("l", "升"), ("h", "小時"),
+                 ("s", "秒")]
+        unit_pat = r"km/h|m/s|km|kg|cm|mm|ml|kw|°[Cc]|℃|[gmlhs]"
+        def unit_word(u):
+            u = u.lower()
+            for key, word in units:
+                if u == key:
+                    return word
+            return None
         # percent ranges: 3-5% → 百分之三到百分之五 (before the plain
         # percent rule, which would otherwise leave the range's first half)
         text = re.sub(
             r"(?<![\d.-])(\d+(?:\.\d+)?)\s*[-~～—]\s*(\d+(?:\.\d+)?)\s*%",
             lambda m: "百分之" + num(m.group(1)) + "到百分之" + num(m.group(2)),
             text)
+        # unit ranges: 3-5km → 三到五公里 (before the plain range rule,
+        # which would strip the digits the unit rule keys on)
+        def frange_unit(m):
+            a, b, u = m.group(1), m.group(2), m.group(3)
+            word = unit_word(u)
+            if word is not None and float(a) <= float(b):
+                return num(a) + "到" + num(b) + word
+            return m.group(0)
+        text = re.sub(
+            r"(?<![\d.-])(\d+(?:\.\d+)?)\s*[-~～—]\s*(\d+(?:\.\d+)?)\s*"
+            r"(" + unit_pat + r")(?![a-zA-Z])",
+            frange_unit, text)
         # value ranges: 3-5個 → 三到五個 (ascending pairs only; anything
         # else reads as separate numbers through the fallback)
         def frange(m):
@@ -208,24 +241,20 @@ class _BuiltinNormalizer:
         # counts with a trailing +: 點贊3000+ → 點贊三千多
         text = re.sub(r"(\d+(?:,\d{3})*)\s*\+",
                       lambda m: num(m.group(1).replace(",", "")) + "多", text)
-        # units glued to numbers (tn's measure tagger, common cases)
-        units = [("km/h", "公里每小時"), ("m/s", "米每秒"), ("km", "公里"),
-                 ("kg", "公斤"), ("cm", "釐米"), ("mm", "毫米"), ("ml", "毫升"),
-                 ("kw", "千瓦"), ("°c", "攝氏度"), ("℃", "攝氏度"),
-                 ("g", "克"), ("m", "米"), ("l", "升"), ("h", "小時"),
-                 ("s", "秒")]
+        # plain number+unit (the units/unit_word table is hoisted above the
+        # range rules, which share it)
         def funit(m):
-            sign, n, u = m.group(1), m.group(2), m.group(3).lower()
-            for key, word in units:
-                if u == key:
-                    body = num(n.replace(",", "")) + word
-                    if sign:
-                        # temperatures read 零下, other quantities 負
-                        return ("零下" if "攝氏" in word else "負") + body
-                    return body
+            sign, n = m.group(1), m.group(2)
+            word = unit_word(m.group(3))
+            if word is not None:
+                body = num(n.replace(",", "")) + word
+                if sign:
+                    # temperatures read 零下, other quantities 負
+                    return ("零下" if "攝氏" in word else "負") + body
+                return body
             return m.group(0)
         text = re.sub(r"(-?)(\d+(?:,\d{3})*(?:\.\d+)?)\s*"
-                      r"(km/h|m/s|km|kg|cm|mm|ml|kw|°[Cc]|℃|[gmlhs])(?![a-zA-Z])",
+                      r"(" + unit_pat + r")(?![a-zA-Z])",
                       funit, text)
         # bare negative numbers: -5 → 負五 (ranges/phones/units consumed
         # their hyphens above; a digit-adjacent hyphen is never a sign here)
@@ -254,6 +283,56 @@ class _BuiltinNormalizer:
                 return f"{self._en_int(h)} oh {self._en_int(int(mi))}"
             return f"{self._en_int(h)} {self._en_int(int(mi))}"
         text = re.sub(r"(?<![\d:])(\d{1,2}):(\d{2})(?![\d:])", ftime, text)
+        # measure units glued to numbers (tn's en measure tagger analogue).
+        # Case-sensitive single letters so "5G" (network) and "1960s"
+        # (decade) are left alone; bare "s" is excluded for the same reason.
+        en_units = [("km/h", "kilometer per hour", "kilometers per hour"),
+                    ("m/s", "meter per second", "meters per second"),
+                    ("km", "kilometer", "kilometers"),
+                    ("kg", "kilogram", "kilograms"),
+                    ("cm", "centimeter", "centimeters"),
+                    ("mm", "millimeter", "millimeters"),
+                    ("ml", "milliliter", "milliliters"),
+                    ("kw", "kilowatt", "kilowatts"),
+                    ("kW", "kilowatt", "kilowatts"),
+                    ("°C", "degree Celsius", "degrees Celsius"),
+                    ("°c", "degree Celsius", "degrees Celsius"),
+                    ("℃", "degree Celsius", "degrees Celsius"),
+                    ("g", "gram", "grams"),
+                    ("m", "meter", "meters"),
+                    ("l", "liter", "liters"),
+                    ("h", "hour", "hours")]
+        en_unit_pat = r"km/h|m/s|km|kg|cm|mm|ml|kw|kW|°[Cc]|℃|[gmlh]"
+        def en_unit_word(u, plural):
+            for key, sing, plur in en_units:
+                if u == key:
+                    return plur if plural else sing
+            return None
+        # unit ranges first (3-5km → three to five kilometers), then plain
+        # number+unit; both before the generic range/number rules, which
+        # would strip the digits the unit match keys on
+        def funit_range(m):
+            a, b, u = m.group(1), m.group(2), m.group(3)
+            word = en_unit_word(u, True)
+            if word is not None and float(a) <= float(b):
+                return (f"{self._en_number(a)} to "
+                        f"{self._en_number(b)} {word}")
+            return m.group(0)
+        text = re.sub(
+            r"(?<![\d.-])(\d+(?:\.\d+)?)\s*[-~～—]\s*(\d+(?:\.\d+)?)\s*"
+            r"(" + en_unit_pat + r")(?![a-zA-Z])",
+            funit_range, text)
+        def funit(m):
+            sign, n, u = m.group(1), m.group(2).replace(",", ""), m.group(3)
+            word = en_unit_word(u, float(n) != 1)
+            if word is None:
+                return m.group(0)
+            out = f"{self._en_number(n)} {word}"
+            return ("minus " + out) if sign else out
+        text = re.sub(
+            r"(-?)(\d+(?:,\d{3})*(?:\.\d+)?)\s*"
+            r"(" + en_unit_pat + r")(?![a-zA-Z])",
+            funit, text)
         # value ranges: pages 3-5 → pages three to five (ascending only;
         # after times so 9:00-10:30 can't bleed across the colon groups)
         def frange(m):
@@ -278,6 +357,17 @@ class _BuiltinNormalizer:
             unit = "dollar" if raw == "1" else "dollars"
             return f"{self._en_number(raw)} {unit}"
         text = re.sub(r"\$\s*(\d+(?:,\d{3})*(?:\.\d+)?)", fmoney, text)
+        # decades: 1960s → nineteen sixties, 2020s → twenty twenties
+        decades = {"20": "twenties", "30": "thirties", "40": "forties",
+                   "50": "fifties", "60": "sixties", "70": "seventies",
+                   "80": "eighties", "90": "nineties"}
+        text = re.sub(
+            r"\b(1[1-9]|20)([2-9]0)s\b",
+            lambda m: f"{self._en_int(int(m.group(1)))} {decades[m.group(2)]}",
+            text)
+        # split residual digit-letter glue ("5G" → "5 G" → "five G") so the
+        # number fallback can't weld words ("fiveG")
+        text = re.sub(r"(\d)(?=[A-Za-z])", r"\1 ", text)
         return text
 
     def normalize(self, text: str) -> str:

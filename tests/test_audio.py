@@ -56,3 +56,29 @@ def test_load_prompt_audio():
     assert audio.shape[0] == 1
     assert audio.dtype == np.float32
     assert audio.shape[1] > 24000  # at least a second of prompt
+
+
+def test_speaker_similarity_accepts_channel_shapes():
+    """speaker_embedding/_similarity take [T], (1, T) and (C, T) audio —
+    the shapes read_wav and load_prompt_audio actually produce (the
+    eval_quality main path feeds these directly)."""
+    import jax
+
+    from indextts_tpu.config import BigVGANConfig
+    from indextts_tpu.models import bigvgan as bigvgan_model
+    from indextts_tpu.utils.eval_metrics import speaker_embedding, speaker_similarity
+
+    cfg = BigVGANConfig(upsample_rates=[2], upsample_kernel_sizes=[4],
+                        upsample_initial_channel=16,
+                        resblock_kernel_sizes=[3],
+                        resblock_dilation_sizes=[[1]],
+                        speaker_embedding_dim=8, gpt_dim=64,
+                        use_fused_kernel=False)
+    params = jax.tree.map(lambda x: np.asarray(x, np.float32),
+                          bigvgan_model.init_params(jax.random.PRNGKey(0), cfg))
+    wav = np.random.default_rng(0).standard_normal(8000).astype(np.float32) * 0.1
+    e1 = speaker_embedding(params, wav)
+    e2 = speaker_embedding(params, wav[None])          # (1, T) prompt shape
+    np.testing.assert_allclose(e1, e2, rtol=1e-6)
+    stereo = np.stack([wav, wav])                       # (C, T) read_wav shape
+    assert abs(speaker_similarity(params, wav, stereo) - 1.0) < 1e-4

@@ -355,3 +355,50 @@ def test_max_mel_tokens_over_model_cap_warns(engine):
             **kw))
     msgs = [str(w.message) for w in rec]
     assert any("position table" in m for m in msgs), msgs
+
+
+def test_cfg_scale_without_explicit_beams_takes_sampling_branch(engine):
+    """cfg_scale is a sampling-mode feature; requesting it without an
+    explicit num_beams must switch off the default 3-beam path (which
+    ignores guidance) instead of silently no-opping (r3 review)."""
+    import warnings
+
+    from indextts_tpu.models import unified_voice as uv
+
+    calls = {}
+    orig_sampling = uv.inference_speech
+    orig_beam = uv.inference_speech_beam
+
+    def spy_sampling(*a, **kw):
+        calls["sampling_cfg"] = kw.get("cfg_scale")
+        return orig_sampling(*a, **kw)
+
+    def spy_beam(*a, **kw):
+        calls["beam"] = True
+        return orig_beam(*a, **kw)
+
+    uv.inference_speech = spy_sampling
+    uv.inference_speech_beam = spy_beam
+    try:
+        ids = np.asarray(
+            engine.tokenizer.convert_tokens_to_ids(
+                engine.tokenizer.tokenize("你好。")), np.int32)
+        cond = engine._conditioning(
+            engine._prompt_mel(SAMPLE), None)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # the beam-ignores-guidance
+            # RuntimeWarning must NOT fire on this path
+            engine._decode_bucket(cond, [ids], jax.random.PRNGKey(0),
+                                  {"cfg_scale": 2.0, "max_mel_tokens": 8})
+        assert calls.get("sampling_cfg") == 2.0 and "beam" not in calls
+        # explicit num_beams wins (and warns about ignored guidance)
+        calls.clear()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            engine._decode_bucket(cond, [ids], jax.random.PRNGKey(0),
+                                  {"cfg_scale": 2.0, "num_beams": 2,
+                                   "max_mel_tokens": 8})
+        assert calls.get("beam")
+    finally:
+        uv.inference_speech = orig_sampling
+        uv.inference_speech_beam = orig_beam

@@ -263,3 +263,20 @@ def test_tts_multipart_upload(server):
         assert r.headers["X-Seed"] == "7"
         data = r.read()
     assert data[:4] == b"RIFF" and len(data) > 100
+
+
+def test_models_reload_roundtrip(server):
+    """The reference-client flow — GET /models, POST /model/reload with an
+    advertised "filename" — must resolve for every entry (the filename is
+    model_dir/cwd/parent-relative; reload tries model_dir first, then the
+    path as given, reference api.py:126-133).  Runs LAST in this module:
+    reload drops the fixture's engine instance."""
+    code, body = _get(server + "/models")
+    assert code == 200 and body["models"]
+    entry = body["models"][0]
+    code, _, data = _post(server + "/model/reload",
+                          {"model_filename": entry["filename"]})
+    assert code == 200, data
+    resp = json.loads(data)
+    import os
+    assert os.path.isabs(resp["gpt_path"]) and os.path.exists(resp["gpt_path"])

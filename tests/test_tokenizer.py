@@ -199,6 +199,12 @@ def test_builtin_normalizer_battery():
         "比分是3:2": "比分是三比二",
         "房間號是0571": "房間號是零五七一",
         "編號007的特工": "編號零零七的特工",
+        # rule-ordering regressions (r3 review): a 3-4 digit single-hyphen
+        # pair is a range (not a phone number), % and units survive ranges
+        "增長了100-500%": "增長了百分之一百到百分之五百",
+        "跑了3-5km": "跑了三到五公里",
+        "大約100-200人": "大約一百到二百人",
+        "撥打0571-88888888": "撥打零五七一八八八八八八八八",
     }
     for src, want in golden.items():
         assert n.normalize(src) == want, src
@@ -216,6 +222,12 @@ def test_builtin_normalizer_battery():
         "It was -5 degrees outside": "It was minus five degrees outside",
         "Add 1/2 cup of sugar": "Add one half cup of sugar",
         "Agent 007 reporting": "Agent zero zero seven reporting",
+        # en measure units, unit ranges, decades, digit-letter glue
+        "run 5km at 10km/h": "run five kilometers at ten kilometers per hour",
+        "It was -5°C": "It was minus five degrees Celsius",
+        "carry 10-20kg": "carry ten to twenty kilograms",
+        "music of the 1960s": "music of the nineteen sixties",
+        "my 5G phone": "my five G phone",
     }
     for src, want in golden_en.items():
         assert n.normalize(src) == want, src

@@ -108,6 +108,8 @@ def main(argv=None) -> None:
         with tempfile.TemporaryDirectory() as d:
             out = os.path.join(d, "synth.wav")
             eng.infer(clip, text, out, verbose=False)
+            # read_wav already returns float32 in [-1, 1] shaped (C, T);
+            # speaker_similarity mixes multi-channel input to mono itself
             synth, sr = audio_io.read_wav(out)
             prompt = audio_io.load_prompt_audio(clip, sr)
             if bigvgan_fp32 is None:
@@ -115,8 +117,7 @@ def main(argv=None) -> None:
 
                 bigvgan_fp32 = jax.tree.map(
                     lambda x: np.asarray(x, np.float32), eng.bigvgan_params)
-            sims.append(speaker_similarity(
-                bigvgan_fp32, prompt, synth.astype(np.float32) / 32767.0, sr))
+            sims.append(speaker_similarity(bigvgan_fp32, prompt, synth, sr))
             if args.asr_cmd:
                 hyp = _asr_transcribe(args.asr_cmd, out)
                 wers.append(wer(text, hyp))
