@@ -376,11 +376,10 @@ class DecodeResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new", "do_sample", "top_k", "cache_dtype",
-                     "temperature", "top_p", "repetition_penalty",
-                     "typical_sampling", "typical_mass", "use_fused_trunk",
-                     "kv_dtype", "cfg_scale"),
+                     "typical_sampling", "use_fused_trunk",
+                     "kv_dtype", "guided"),
 )
-def inference_speech(
+def _inference_speech_impl(
     params: Dict[str, Any],
     cfg: GPTConfig,
     cond_latent: jnp.ndarray,   # [B or 1, 32, D]
@@ -399,24 +398,16 @@ def inference_speech(
     use_fused_trunk: bool = False,
     kv_dtype=None,
     cfg_scale: float = 1.0,
+    guided: bool = False,
 ) -> DecodeResult:
-    """Autoregressive mel-code generation (replaces HF generate,
-    gpt/model.py:669-720) as one jitted program: prefill + while_loop decode
-    with on-device sampling and early exit when every row has stopped.
-
-    cfg_scale > 1.0 enables classifier-free guidance: a second set of rows
-    decodes with ZERO conditioning latents (exactly what `cfg_dropout_ratio`
-    training drops to, train.py:228-231) and every step samples from
-    `uncond + cfg_scale * (cond - uncond)`.  The reference trains for CFG
-    but its inference never implements the documented `cfg_scale` knob
-    (config.yaml:270 — dead upstream); here it is a first-class decode mode
-    costing one extra cache row per request."""
+    """Jitted body of `inference_speech` (the public wrapper below keeps
+    float sampling knobs TRACED so slider/API changes reuse the compiled
+    program; only `guided` — which doubles the row count — is static)."""
     size = trunk_size(cfg)
     B, Ltot = text_tokens.shape
     cond_len = cond_latent.shape[1]
     if cond_latent.shape[0] == 1 and B > 1:
         cond_latent = jnp.broadcast_to(cond_latent, (B,) + cond_latent.shape[1:])
-    guided = cfg_scale != 1.0
     R = 2 * B if guided else B  # physical trunk rows
     if guided:
         # rows [B, 2B): same text, zeroed conditioning (the trained null)
@@ -542,6 +533,56 @@ def inference_speech(
 
 
 # ---------------------------------------------------------------------------
+def inference_speech(
+    params: Dict[str, Any],
+    cfg: GPTConfig,
+    cond_latent: jnp.ndarray,   # [B or 1, 32, D]
+    text_tokens: jnp.ndarray,   # [B, L+2] from prepare_text_prompt
+    text_mask: jnp.ndarray,     # [B, L+2]
+    rng: jax.Array,
+    max_new: int = 600,
+    temperature: float = 1.0,
+    top_k: int = 30,
+    top_p: float = 0.8,
+    repetition_penalty: float = 10.0,
+    do_sample: bool = True,
+    typical_sampling: bool = False,
+    typical_mass: float = 0.9,
+    cache_dtype=jnp.bfloat16,
+    use_fused_trunk: bool = False,
+    kv_dtype=None,
+    cfg_scale: float = 1.0,
+) -> DecodeResult:
+    """Autoregressive mel-code generation (replaces HF generate,
+    gpt/model.py:669-720) as one jitted program: prefill + while_loop decode
+    with on-device sampling and early exit when every row has stopped.
+
+    Float sampling knobs (temperature/top_p/repetition_penalty/typical_mass/
+    cfg_scale) are TRACED scalars: changing a value reuses the compiled
+    decode program — over the remote-compile tunnel a recompile costs ~5
+    minutes, so a WebUI slider must never be a static key (r3 review).
+    Only `guided` (cfg_scale != 1.0, which doubles the physical row count)
+    specializes the program.
+
+    cfg_scale > 1.0 enables classifier-free guidance: a second set of rows
+    decodes with ZERO conditioning latents (exactly what `cfg_dropout_ratio`
+    training drops to, train.py:228-231) and every step samples from
+    `uncond + cfg_scale * (cond - uncond)`.  The reference trains for CFG
+    but its inference never implements the documented `cfg_scale` knob
+    (config.yaml:270 — dead upstream); here it is a first-class decode mode
+    costing one extra cache row per request."""
+    return _inference_speech_impl(
+        params, cfg, cond_latent, text_tokens, text_mask, rng,
+        max_new=max_new, temperature=jnp.float32(temperature), top_k=top_k,
+        top_p=jnp.float32(top_p),
+        repetition_penalty=jnp.float32(repetition_penalty),
+        do_sample=do_sample, typical_sampling=typical_sampling,
+        typical_mass=jnp.float32(typical_mass), cache_dtype=cache_dtype,
+        use_fused_trunk=use_fused_trunk, kv_dtype=kv_dtype,
+        cfg_scale=jnp.float32(cfg_scale),
+        guided=float(cfg_scale) != 1.0)
+
+
 # beam decode (reference default: generate(num_beams=3, do_sample=True),
 # infer.py:628-635 → HF beam_sample)
 # ---------------------------------------------------------------------------
@@ -549,9 +590,7 @@ def inference_speech(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new", "num_beams", "do_sample", "top_k",
-                     "cache_dtype", "temperature", "top_p",
-                     "repetition_penalty", "typical_sampling", "typical_mass",
-                     "reorder", "kv_dtype", "length_penalty"),
+                     "cache_dtype", "typical_sampling", "reorder", "kv_dtype"),
 )
 def inference_speech_beam(
     params: Dict[str, Any],
@@ -639,18 +678,6 @@ def inference_speech_beam(
     # beam i's ancestry — replaces every physical cache permutation
     anc0 = jnp.zeros((B, nb, suffix_len), jnp.int32)
 
-    def batch_done(state, step):
-        """HF early_stopping=False heuristic (beam_search.py:968-985): a
-        batch is done when its bank is full AND the worst banked
-        (length-penalised) score beats the best candidate's attainable
-        score best/((step+1)**lp) — HF's cur_len counts the candidate
-        token itself (beam_search.py:232).  Verified exact vs HF for the
-        reference default length_penalty=0."""
-        bank_full = state.fin_scores[:, -1] > beam_lib.NEG_INF / 2
-        attainable = (jnp.max(state.scores, axis=1)
-                      / beam_lib.length_denom(step + 1, length_penalty))
-        return jnp.logical_and(bank_full, state.fin_scores[:, -1] >= attainable)
-
     def select(rng_i, logits, state, seqs, presence, cache, anc, done, step,
                has_cache=True):
         flat = beam_lib.flat_scores(
@@ -659,11 +686,14 @@ def inference_speech_beam(
             repetition_penalty=repetition_penalty,
             typical_sampling=typical_sampling, typical_mass=typical_mass,
             do_sample=do_sample)
-        state, parent, token, seqs = beam_lib.beam_step(
+        state, parent, token, seqs, best_cand = beam_lib.beam_step(
             rng_i, flat, nb, state, seqs, step, cfg.stop_mel_token, do_sample,
             length_penalty=length_penalty, done=done)
-        # latch HF's _done AFTER the step's banking (beam_search.py:300-306)
-        done = jnp.logical_or(done, batch_done(state, step))
+        # latch HF's _done AFTER the step's banking (beam_search.py:300-306);
+        # the heuristic keys on this step's best candidate INCLUDING banked
+        # eos candidates (beam_lib.batch_done, oracle-tested vs HF is_done)
+        done = jnp.logical_or(
+            done, beam_lib.batch_done(state, step, best_cand, length_penalty))
         # reorder per-beam tensors by parent (absolute rows)
         rows = (jnp.arange(B)[:, None] * nb + parent).reshape(-1)   # [B*nb]
         identity = jnp.all(rows == jnp.arange(B * nb))

@@ -58,25 +58,25 @@ def flat_scores(
     sc = lp + beam_scores.reshape(-1)[:, None]
     if do_sample:
         min_keep = 2
-        if temperature != 1.0:
-            sc = sc / temperature
+        # temperature/top_p may be traced scalars (value changes don't
+        # recompile the decode program); /1.0 and the top_p=1.0 threshold
+        # (→ plain top-k cutoff) are exact no-ops
+        sc = sc / temperature
         if 0 < top_k < V:
             # hot path: after the top-k filter only kk values survive, so the
             # nucleus threshold can be found on the kk-shortlist — no
             # full-vocab argsort per decode step
             kk = max(top_k, min_keep)
             shortlist, _ = jax.lax.top_k(sc, kk)           # [B*nb, kk] desc
-            thresh = shortlist[:, -1:]
-            if top_p < 1.0:
-                probs = jax.nn.softmax(shortlist, axis=-1)
-                cum = jnp.cumsum(probs, axis=-1)
-                keep = jnp.logical_or(cum - probs <= top_p,
-                                      jnp.arange(kk)[None, :] < min_keep)
-                last = jnp.sum(keep.astype(jnp.int32), axis=-1,
-                               keepdims=True) - 1
-                thresh = jnp.take_along_axis(shortlist, last, axis=-1)
+            probs = jax.nn.softmax(shortlist, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = jnp.logical_or(cum - probs <= top_p,
+                                  jnp.arange(kk)[None, :] < min_keep)
+            last = jnp.sum(keep.astype(jnp.int32), axis=-1,
+                           keepdims=True) - 1
+            thresh = jnp.take_along_axis(shortlist, last, axis=-1)
             sc = jnp.where(sc < thresh, NEG_INF, sc)
-        elif top_p < 1.0:
+        else:
             order = jnp.argsort(-sc, axis=-1)
             ssc = jnp.take_along_axis(sc, order, axis=-1)
             probs = jax.nn.softmax(ssc, axis=-1)
@@ -110,11 +110,11 @@ def init_beam_state(batch: int, num_beams: int, max_len: int) -> BeamState:
 def length_denom(generated_len: jnp.ndarray, length_penalty: float) -> jnp.ndarray:
     """HF's hypothesis-score denominator `generated_len ** length_penalty`
     (BeamHypotheses.add with generated_len = cur_len - decoder_prompt_len).
-    Static fast-path for the reference default length_penalty=0 → 1.0."""
-    if length_penalty == 0.0:
-        return jnp.float32(1.0)
-    return jnp.power(jnp.maximum(generated_len, 0).astype(jnp.float32),
-                     jnp.float32(length_penalty))
+    `length_penalty` may be traced (slider changes reuse the compiled
+    program); lp=0 → exactly 1.0 (callers always pass generated_len ≥ 1)."""
+    lp = jnp.asarray(length_penalty, jnp.float32)
+    gl = jnp.maximum(generated_len, 1).astype(jnp.float32)
+    return jnp.where(lp == 0.0, jnp.float32(1.0), jnp.power(gl, lp))
 
 
 def beam_step(
@@ -128,12 +128,18 @@ def beam_step(
     do_sample: bool,
     length_penalty: float = 0.0,
     done: Optional[jnp.ndarray] = None,
-) -> Tuple[BeamState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[BeamState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One beam(-sample) step over precomputed flattened candidate totals
     (the caller applies processors/warpers, HF beam_sample order).
 
     Returns (state', beam_parent [B, nb], next_token [B, nb],
-    seqs' [B, nb, max_len]).  Candidates that end with `stop_token` are
+    seqs' [B, nb, max_len], best_cand [B]).  `best_cand` is the step's
+    maximum candidate total over all 2·nb candidates INCLUDING banked eos
+    candidates — HF's `next_scores[batch_idx].max()`, the value its
+    done-heuristic keys on (BeamSearchScorer.process → is_done); the kept
+    running beams' max is ≤ this whenever the top candidate was an eos,
+    which matters for length_penalty ≠ 0 (r3 review).
+    Candidates that end with `stop_token` are
     banked into the hypothesis bank with HF's length-penalised score
     `sum_logprobs / generated_len**length_penalty` (generated_len =
     `step + 1`: HF's process uses cur_len = input_ids.shape[-1] + 1, i.e.
@@ -212,7 +218,22 @@ def beam_step(
     )
     new_parent = jnp.where(d1, jnp.arange(nb)[None, :], new_parent)
     new_seqs = jnp.where(d1[:, :, None], seqs, new_seqs)
-    return state, new_parent, new_token, new_seqs
+    return state, new_parent, new_token, new_seqs, sc[:, 0]
+
+
+def batch_done(state: BeamState, step: jnp.ndarray, best_cand: jnp.ndarray,
+               length_penalty: float = 0.0) -> jnp.ndarray:
+    """HF early_stopping=False done-heuristic (BeamHypotheses.is_done): a
+    batch is done when its bank is full AND the worst banked
+    (length-penalised) score beats the best THIS-step candidate's
+    attainable score `best_cand / (step+1)**lp` — best_cand is beam_step's
+    max over all 2·nb candidates (HF `next_scores.max()`), and HF's
+    cur_len counts the candidate token itself (beam_search.py:232).
+    Call AFTER the step's banking, then latch with logical_or
+    (beam_search.py:300-306)."""
+    bank_full = state.fin_scores[:, -1] > NEG_INF / 2
+    attainable = best_cand / length_denom(step + 1, length_penalty)
+    return jnp.logical_and(bank_full, state.fin_scores[:, -1] >= attainable)
 
 
 def finalize(state: BeamState, seqs: jnp.ndarray, step: jnp.ndarray,

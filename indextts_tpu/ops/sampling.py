@@ -44,9 +44,10 @@ def init_penalty_presence(vocab_size: int, batch: int,
 
 def apply_repetition_penalty(logits: jnp.ndarray, presence: jnp.ndarray,
                              penalty: float) -> jnp.ndarray:
-    """logits [B, V], presence [B, V] bool."""
-    if penalty == 1.0:
-        return logits
+    """logits [B, V], presence [B, V] bool.  `penalty` may be traced —
+    sampling params are NOT static in the decode programs, so a WebUI
+    slider change reuses the compiled program (penalty 1.0 reduces to the
+    identity exactly)."""
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(presence, penalized, logits)
 
@@ -99,8 +100,9 @@ def sample_token(
     logits = logits.astype(jnp.float32)
     if not do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if temperature != 1.0:
-        logits = logits / temperature
+    # temperature/top_p may be traced scalars (value changes don't
+    # recompile); dividing by 1.0 and masking at top_p=1.0 are exact no-ops
+    logits = logits / temperature
     V = logits.shape[-1]
     # top_k <= 0 disables the k-filter (HF semantics): nucleus filtering then
     # needs the full distribution, so fall back to a full sort rather than
@@ -113,9 +115,8 @@ def sample_token(
         order = jnp.argsort(-logits, axis=-1)
         shortlist = jnp.take_along_axis(logits, order, axis=-1)
         idx = jnp.take_along_axis(idx, order, axis=-1)
-    if top_p < 1.0:
-        keep = _top_p_mask(shortlist, top_p)
-        shortlist = jnp.where(keep, shortlist, NEG_INF)
+    keep = _top_p_mask(shortlist, top_p)
+    shortlist = jnp.where(keep, shortlist, NEG_INF)
     choice = jax.random.categorical(rng, shortlist, axis=-1)  # [B]
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 

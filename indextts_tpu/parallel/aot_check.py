@@ -98,10 +98,12 @@ def flagship_tp_decode_aot(tp_mesh: Mesh, max_new: int = 600,
     tokens = jax.ShapeDtypeStruct((1, text_len), jnp.int32, sharding=rep)
     mask = jax.ShapeDtypeStruct((1, text_len), jnp.int32, sharding=rep)
     with tp_mesh:
-        lowered = uv.inference_speech.lower(
+        # the public inference_speech is a plain wrapper (float knobs are
+        # traced); AOT-lower the jitted impl directly
+        lowered = uv._inference_speech_impl.lower(
             sharded_params, cfg, cond, tokens, mask, jax.random.PRNGKey(1),
             max_new=max_new, do_sample=False, repetition_penalty=1.0,
-            cache_dtype=jnp.float32)
+            cache_dtype=jnp.float32, guided=False)
         compiled = lowered.compile()
     return compiled.as_text()
 

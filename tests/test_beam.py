@@ -148,16 +148,19 @@ def test_beam_step_matches_hf_scorer(lp):
             [input_ids[out["next_beam_indices"], :],
              out["next_beam_tokens"].unsqueeze(-1)], dim=-1)
 
-        state, parent, token, seqs = beam_lib.beam_step(
+        state, parent, token, seqs, best_cand = beam_lib.beam_step(
             jax.random.PRNGKey(0), flat, nb, state, seqs, jnp.int32(s),
             eos, do_sample=False, length_penalty=lp, done=done)
+        # the PRODUCTION done-heuristic (not HF's is_done) must latch in
+        # lockstep with scorer._done — it keys on the step's best candidate
+        # incl. banked eos candidates (r3 review)
         done = jnp.logical_or(
-            done,
-            jnp.asarray([bh.is_done(float(nts[b].max()), P + s + 1, P)
-                         for b, bh in enumerate(scorer._beam_hyps)]))
+            done, beam_lib.batch_done(state, jnp.int32(s), best_cand, lp))
 
         np.testing.assert_array_equal(np.asarray(done),
                                       scorer._done.numpy())
+        np.testing.assert_allclose(np.asarray(best_cand),
+                                   nts.max(dim=1).values.numpy(), rtol=1e-6)
         for b in range(B):
             if not bool(done[b]):
                 np.testing.assert_allclose(

@@ -244,3 +244,36 @@ def test_fp8_kv_cache_decode():
     # of divergent positions from fp8 quantisation noise
     agree = float(np.mean(a[:n] == b[:n])) if n else 1.0
     assert agree >= 0.75, (agree, a[:n], b[:n])
+
+
+def test_float_sampling_knobs_do_not_recompile(params):
+    """temperature/top_p/repetition_penalty/typical_mass/cfg_scale/
+    length_penalty are TRACED: changing a value must reuse the compiled
+    decode program (a recompile costs ~5 min over the remote-compile
+    tunnel; a WebUI slider can never be a static key — r3 review)."""
+    rng = np.random.default_rng(5)
+    cond = jnp.asarray(rng.standard_normal((1, 32, 64)), jnp.float32)
+    toks = jnp.asarray(rng.integers(2, 40, (1, 6)), jnp.int32)
+    mask = jnp.ones((1, 6), jnp.int32)
+
+    base = uv._inference_speech_impl._cache_size()
+    for t, p, r in [(1.0, 0.8, 10.0), (0.3, 0.95, 2.5), (1.7, 0.5, 1.0)]:
+        uv.inference_speech(params, CFG, cond, toks, mask,
+                            jax.random.PRNGKey(0), max_new=8,
+                            temperature=t, top_p=p, repetition_penalty=r,
+                            cache_dtype=jnp.float32)
+    assert uv._inference_speech_impl._cache_size() == base + 1
+    # guidance values share one program too (only on/off is static)
+    for s in (1.5, 2.0, 3.3):
+        uv.inference_speech(params, CFG, cond, toks, mask,
+                            jax.random.PRNGKey(0), max_new=8, cfg_scale=s,
+                            cache_dtype=jnp.float32)
+    assert uv._inference_speech_impl._cache_size() == base + 2
+
+    base_beam = uv.inference_speech_beam._cache_size()
+    for lp, t in [(0.0, 1.0), (1.1, 0.7), (-0.5, 1.3)]:
+        uv.inference_speech_beam(params, CFG, cond, toks, mask,
+                                 jax.random.PRNGKey(0), max_new=8,
+                                 num_beams=2, length_penalty=lp,
+                                 temperature=t, cache_dtype=jnp.float32)
+    assert uv.inference_speech_beam._cache_size() == base_beam + 1
