@@ -81,8 +81,19 @@ class FinetuneDataset:
                         if os.path.isdir(os.path.join(data_path, d))]
 
         cache_path = os.path.join(data_path, f"{split}_index.pkl")
-        cache_key = (tuple(speakers), min_duration, max_duration,
-                     min_text_length, max_text_length)
+        # manifest identity (mtime, size) is part of the key: re-running
+        # extraction rewrites the jsonl files, and a stale cache would
+        # silently keep the old sample list — or worse, in lazy mode the
+        # cached byte offsets would slice mid-line into the new file
+        # (r3 review).  `lazy` is keyed too: the modes build different
+        # Sample records.
+        manifest_stat = tuple(
+            (spk, int(os.path.getmtime(mp) * 1e6), os.path.getsize(mp))
+            for spk in speakers
+            for mp in (os.path.join(data_path, spk, f"metadata_{split}.jsonl"),)
+            if os.path.exists(mp))
+        cache_key = (tuple(speakers), manifest_stat, lazy, min_duration,
+                     max_duration, min_text_length, max_text_length)
         if use_index_cache and os.path.exists(cache_path):
             try:
                 with open(cache_path, "rb") as f:
@@ -313,7 +324,13 @@ class DataLoader:
                 order = rng.permutation(n)
         else:
             order = np.arange(n)
-        # deterministic host sharding (replaces DistributedSampler)
+        # deterministic host sharding (replaces DistributedSampler).  Every
+        # shard must see the SAME number of samples — a ragged tail would
+        # give hosts different batch counts and hang the training
+        # collectives on the last step (reference drop_last=True serves the
+        # same purpose, train_ddp.py:297)
+        if self.num_shards > 1:
+            order = order[: len(order) - len(order) % self.num_shards]
         return order[self.shard_index :: self.num_shards]
 
     def __len__(self) -> int:
@@ -325,6 +342,19 @@ class DataLoader:
         rng = np.random.default_rng(self.seed * 7919 + self.epoch)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         n_batches = len(self)
+        # consumers may stop early (max_steps_per_epoch); without a stop
+        # signal the producer would block forever on q.put, leaking a
+        # thread + ~prefetch collated batches per epoch (r3 review)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             for b in range(n_batches):
@@ -340,16 +370,26 @@ class DataLoader:
                     pad_t = -(-max(len(it["text_ids"]) for it in items) // pm) * pm
                     pad_c = -(-max(len(it["mel_codes"]) for it in items) // pm) * pm
                     pad_m = -(-max(it["cond_mel"].shape[-1] for it in items) // pm) * pm
-                q.put(collate(items, pad_t, pad_c, pad_m))
-            q.put(None)
+                if not put(collate(items, pad_t, pad_c, pad_m)):
+                    return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                return
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+            try:  # unblock a producer mid-put
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)
 
 
 def load_finetune_datasets(config, bpe_path: str,

@@ -37,6 +37,7 @@ Exactness under padding:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from concurrent.futures import ThreadPoolExecutor
@@ -165,8 +166,14 @@ class CodecExtractor:
         buf = np.zeros((B + pad_rows, Lw), np.float32)
         for i, w in enumerate(wavs):
             w = np.asarray(w, np.float32).reshape(-1)
-            # per-clip reflect pad (center=True semantics), then zero tail
-            padded = np.pad(w, (n_fft // 2, n_fft // 2), mode="reflect")
+            # per-clip reflect pad (center=True semantics), then zero tail.
+            # A bucket-saturating clip whose length is not hop-aligned pads
+            # to up to hop-1 samples past Lw (frames == Fb only bounds
+            # T <= Fb*hop - 1); clamp to the row — the clipped samples are
+            # reflect-pad tail inside the LAST frame's window only, the
+            # same tail-approximation class as bucketed-vs-exact codes
+            # (PARITY "Known deviations"; --exact is bit-exact)
+            padded = np.pad(w, (n_fft // 2, n_fft // 2), mode="reflect")[:Lw]
             buf[i, : padded.shape[0]] = padded
 
         mels = self._mel_fn(jnp.asarray(buf))                       # [Bs,100,Fb]
@@ -262,6 +269,7 @@ def extract_audio_list(
     per_speaker: Dict[str, List[Dict]] = {}
     latents: Dict[str, List[np.ndarray]] = {}
     mel_paths: Dict[str, List[str]] = {}
+    used_stems: Dict[Tuple[str, str], str] = {}
     pending = None  # one-deep pipeline: overlap upload with compute+fetch
     batches = list(_iter_batches(entries, extractor, sr, num_workers, exact))
     for bi in range(len(batches) + 1):
@@ -290,6 +298,15 @@ def extract_audio_list(
         for (audio_path, text), wav, feat in zip(batch_entries, wavs, feats):
             speaker = speaker_of(audio_path, list_path)
             stem = os.path.splitext(os.path.basename(audio_path))[0]
+            # two clips of one speaker can share a basename (same filename
+            # under different parents); disambiguate instead of silently
+            # overwriting the first clip's arrays while the manifest keeps
+            # both records (r3 review)
+            key = (speaker, stem)
+            if key in used_stems and used_stems[key] != audio_path:
+                stem = f"{stem}-{hashlib.sha1(audio_path.encode()).hexdigest()[:8]}"
+                key = (speaker, stem)
+            used_stems[key] = audio_path
             spk_dir = os.path.join(output_dir, speaker)
             os.makedirs(os.path.join(spk_dir, "codes"), exist_ok=True)
             os.makedirs(os.path.join(spk_dir, "mels"), exist_ok=True)

@@ -111,9 +111,15 @@ class Trainer:
             text_length_weights=self.tc.text_length_weights,
             num_shards=jax.process_count(), shard_index=jax.process_index(),
             fixed_widths=fixed)
+        # validation is process-sharded too: with an unsharded loader every
+        # host would feed the SAME rows as its "local shard" (duplicated
+        # global batch) and the per-sample result spans non-addressable
+        # devices (r3 review)
         self.valid_loader = DataLoader(
             self.valid_ds, min(self.tc.valid_batch_size, max(1, len(self.valid_ds))),
-            seed=self.tc.seed, shuffle=False, drop_last=False)
+            seed=self.tc.seed, shuffle=False, drop_last=False,
+            num_shards=jax.process_count(), shard_index=jax.process_index(),
+            fixed_widths=fixed)
 
         steps_per_epoch = min(len(self.loader), self.tc.max_steps_per_epoch)
         # schedules tick per optimizer *update*, not per micro-step
@@ -125,6 +131,7 @@ class Trainer:
         self.base_params = trainer.replicate(self.base_params, self.mesh)
         self.start_epoch = 0
         self.best_val = float("inf")
+        self.patience_left = self.tc.early_stopping_patience
         self.steps_per_epoch = steps_per_epoch
 
     # -- checkpointing ----------------------------------------------------
@@ -132,7 +139,10 @@ class Trainer:
     def save_checkpoint(self, epoch: int, val_loss: float) -> None:
         if not self.is_main:
             return
-        # (a) resume checkpoint: adapters + opt state (train.py:779-793)
+        # (a) resume checkpoint: adapters + opt state (train.py:779-793).
+        # best_val/patience_left are the RUNNING early-stop state, updated
+        # before this call — resuming from the latest epoch's own val_loss
+        # would corrupt early stopping (r3 review)
         resume_dir = os.path.join(self.out_dir, f"checkpoint_epoch_{epoch}")
         ckpt_io.save_pytree(resume_dir, {
             "lora_params": jax.device_get(self.state.lora_params),
@@ -140,6 +150,8 @@ class Trainer:
             "step": int(self.state.step),
             "epoch": epoch,
             "val_loss": val_loss,
+            "best_val": float(self.best_val),
+            "patience_left": int(self.patience_left),
         })
         # (b) merged inference checkpoint (train.py:795-844)
         save_dtype = jnp.bfloat16 if self.tc.save_dtype == "bf16" else (
@@ -169,16 +181,25 @@ class Trainer:
             "lora_params": jax.device_get(self.state.lora_params),
             "opt_state": jax.device_get(self.state.opt_state),
             "step": 0, "epoch": 0, "val_loss": 0.0,
+            "best_val": 0.0, "patience_left": 0,
         }
-        ckpt = ckpt_io.load_pytree(
-            os.path.join(self.out_dir, f"checkpoint_epoch_{latest}"), like)
+        try:
+            ckpt = ckpt_io.load_pytree(
+                os.path.join(self.out_dir, f"checkpoint_epoch_{latest}"), like)
+        except Exception:
+            # pre-r3 checkpoints lack best_val/patience_left
+            del like["best_val"], like["patience_left"]
+            ckpt = ckpt_io.load_pytree(
+                os.path.join(self.out_dir, f"checkpoint_epoch_{latest}"), like)
         self.state = trainer.TrainState(
             trainer.replicate(ckpt["lora_params"], self.mesh),
             trainer.replicate(ckpt["opt_state"], self.mesh),
             jnp.int32(ckpt["step"]))
         self.start_epoch = int(ckpt["epoch"]) + 1
-        self.best_val = float(ckpt["val_loss"])
-        print(f"[resume] from epoch {latest}")
+        self.best_val = float(ckpt.get("best_val", ckpt["val_loss"]))
+        if "patience_left" in ckpt:
+            self.patience_left = int(ckpt["patience_left"])
+        print(f"[resume] from epoch {latest} (best_val={self.best_val:.4f})")
 
     # -- loops ------------------------------------------------------------
 
@@ -202,13 +223,16 @@ class Trainer:
         multiple) but the duplicated rows are dropped from the mean — no
         drop_last bias and no double-counting (VERDICT r1 weak #7)."""
         losses: List[float] = []
-        n_dev = jax.device_count()
+        nproc = jax.process_count()
+        # multi-host: the LOCAL batch must tile the local devices (the
+        # global array is assembled from per-process shards)
+        n_pad = jax.local_device_count() if nproc > 1 else jax.device_count()
         with self.mesh:
             for batch in self.valid_loader:
                 B = batch["text_ids"].shape[0]
                 real = B
-                if B % n_dev:
-                    reps = -(-B // n_dev) * n_dev
+                if B % n_pad:
+                    reps = -(-B // n_pad) * n_pad
                     idx = np.arange(reps) % B
                     batch = {k: (v[idx] if isinstance(v, np.ndarray) else v)
                              for k, v in batch.items()}
@@ -216,12 +240,35 @@ class Trainer:
                     self.state.lora_params, self.base_params,
                     self._device_batch(batch), self.cfg.gpt, self.tc.lora,
                     self.tc.text_weight)
-                losses.extend(np.asarray(per_sample)[:real].tolist())
+                if nproc > 1:
+                    # np.asarray on the global array would raise (it spans
+                    # non-addressable devices); this host's shards hold its
+                    # own input rows, in global-index order
+                    shards = sorted(per_sample.addressable_shards,
+                                    key=lambda s: s.index[0].start or 0)
+                    local = np.concatenate([np.asarray(s.data) for s in shards])
+                    losses.extend(local[:real].tolist())
+                else:
+                    losses.extend(np.asarray(per_sample)[:real].tolist())
+        if nproc > 1:
+            # identical global mean on every host (drives early-stopping)
+            from jax.experimental import multihost_utils
+
+            part = np.asarray([float(np.sum(losses)), float(len(losses))],
+                              np.float64)
+            tot, cnt = np.asarray(multihost_utils.process_allgather(part)
+                                  ).reshape(-1, 2).sum(axis=0)
+            return float(tot / cnt) if cnt else float("inf")
         return float(np.mean(losses)) if losses else float("inf")
 
     def train(self) -> None:
-        patience_left = self.tc.early_stopping_patience
         rng = jax.random.PRNGKey(self.tc.seed + 1)
+        # host-side step counter: int(self.state.step) would BLOCK on the
+        # just-dispatched step every iteration — a full tunnel round-trip
+        # per step that defeats async dispatch (r3 review).  It may run a
+        # hair ahead of the device counter on non-finite skips; it is used
+        # only for rng folding and the TB x-axis.
+        host_step = int(self.state.step)
         with self.mesh:
             for epoch in range(self.start_epoch, self.tc.epochs):
                 self.loader.set_epoch(epoch)
@@ -232,13 +279,16 @@ class Trainer:
                         break
                     self.state, metrics = trainer.train_step(
                         self.state, self.base_params, self._device_batch(batch),
-                        jax.random.fold_in(rng, int(self.state.step)),
+                        jax.random.fold_in(rng, host_step),
                         self.cfg.gpt, self.tc.lora, self.optimizer,
                         self.tc.text_weight, self.tc.cfg_dropout_ratio)
-                    metrics_buf.append(jax.device_get(metrics))
+                    host_step += 1
+                    # keep device references; fetch once per epoch (and at
+                    # the sampled TB points) instead of syncing every step
+                    metrics_buf.append(metrics)
                     if self.writer and step % 10 == 0:
-                        g = int(self.state.step)
-                        m = metrics_buf[-1]
+                        m = jax.device_get(metrics_buf[-1])
+                        g = host_step
                         self.writer.add_scalar("loss/total", float(m["loss"]), g)
                         self.writer.add_scalar("loss/text", float(m["loss_text"]), g)
                         self.writer.add_scalar("loss/mel", float(m["loss_mel"]), g)
@@ -248,7 +298,7 @@ class Trainer:
                 if not metrics_buf:
                     print("[warn] empty epoch — no training data")
                     break
-                mm = _mean_metrics(metrics_buf)
+                mm = _mean_metrics(jax.device_get(metrics_buf))
                 val_loss = self.validate()
                 dt = time.perf_counter() - t_epoch
                 print(f"[epoch {epoch}] loss={mm['loss']:.4f} mel={mm['loss_mel']:.4f} "
@@ -257,15 +307,17 @@ class Trainer:
                       f"{len(metrics_buf) / dt:.2f} steps/s)")
                 if self.writer:
                     self.writer.add_scalar("val/loss", val_loss, epoch)
-                self.save_checkpoint(epoch, val_loss)
+                # update the early-stop state BEFORE checkpointing so the
+                # resume checkpoint records the running best (r3 review)
                 if val_loss < self.best_val:
                     self.best_val = val_loss
-                    patience_left = self.tc.early_stopping_patience
+                    self.patience_left = self.tc.early_stopping_patience
                 else:
-                    patience_left -= 1
-                    if patience_left < 0:
-                        print(f"[early-stop] no val improvement (best {self.best_val:.4f})")
-                        break
+                    self.patience_left -= 1
+                self.save_checkpoint(epoch, val_loss)
+                if self.patience_left < 0:
+                    print(f"[early-stop] no val improvement (best {self.best_val:.4f})")
+                    break
 
 
 def main(argv=None) -> None:

@@ -124,14 +124,23 @@ def train_step(state: TrainState, base_params, batch: Batch, rng,
         state.lora_params, base_params, batch, rng, cfg, lora_cfg,
         text_weight, cfg_dropout_ratio)
     # non-finite guard (replaces NaN skip / DDP lockstep fix,
-    # train.py:899-902, train_ddp.py:381-386)
+    # train.py:899-902, train_ddp.py:381-386).  A TRUE skip: zeroed grads
+    # alone would still move params through AdamW's stale momentum and
+    # weight decay and advance the schedule — so the whole (params,
+    # opt_state, step) update is discarded on a non-finite loss, exactly
+    # the reference's `continue` (r3 review).
     finite = jnp.isfinite(loss)
     grads = jax.tree.map(lambda x: jnp.where(finite, x, 0.0), grads)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.lora_params)
     lora_params = optax.apply_updates(state.lora_params, updates)
+    keep = lambda new, old: jax.tree.map(
+        lambda a, b: jnp.where(finite, a, b), new, old)
+    lora_params = keep(lora_params, state.lora_params)
+    opt_state = keep(opt_state, state.opt_state)
+    step = jnp.where(finite, state.step + 1, state.step)
     metrics["grad_norm"] = optax.global_norm(grads)
     metrics["skipped"] = (~finite).astype(jnp.float32)
-    return TrainState(lora_params, opt_state, state.step + 1), metrics
+    return TrainState(lora_params, opt_state, step), metrics
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "lora_cfg", "text_weight"))

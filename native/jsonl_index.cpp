@@ -60,10 +60,38 @@ int64_t count_text_codepoints(const char* line, size_t len) {
     if (p >= end) return -1;
     ++p;
     int64_t count = 0;
+    // 4 hex digits -> value, or -1
+    auto hex4 = [](const char* q, const char* end) -> int {
+        if (q + 4 > end) return -1;
+        int v = 0;
+        for (int k = 0; k < 4; ++k) {
+            char h = q[k];
+            v <<= 4;
+            if (h >= '0' && h <= '9') v |= h - '0';
+            else if (h >= 'a' && h <= 'f') v |= h - 'a' + 10;
+            else if (h >= 'A' && h <= 'F') v |= h - 'A' + 10;
+            else return -1;
+        }
+        return v;
+    };
     while (p < end && *p != '"') {
         unsigned char c = static_cast<unsigned char>(*p);
-        if (c == '\\') {  // escape: count as one codepoint, skip escaped char
-            p += 2;
+        if (c == '\\') {
+            // \uXXXX is ONE codepoint (json.dumps default ensure_ascii=True
+            // writes all CJK this way); a \uD800-\uDBFF + \uDC00-\uDFFF
+            // surrogate pair is also one — matching Python len() after
+            // json.loads, the contract with the pure-Python fallback
+            if (p + 1 < end && p[1] == 'u') {
+                int v = hex4(p + 2, end);
+                p += (v >= 0) ? 6 : 2;
+                if (v >= 0xD800 && v <= 0xDBFF && p + 6 <= end &&
+                    p[0] == '\\' && p[1] == 'u') {
+                    int w = hex4(p + 2, end);
+                    if (w >= 0xDC00 && w <= 0xDFFF) p += 6;
+                }
+            } else {
+                p += 2;  // simple escape: \" \\ \n ...
+            }
             ++count;
             continue;
         }

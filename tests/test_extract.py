@@ -160,3 +160,54 @@ def test_extraction_feeds_training_loaders(audio_tree, tmp_path):
     assert b.mel_ref.shape == (2, 32, 100)
     assert b.wav.shape == (2, 1, 8 * 1024)
     assert np.isfinite(b.latent).all() and np.isfinite(b.wav).all()
+
+
+def test_bucket_saturating_unaligned_clip(tmp_path):
+    """A clip whose frame count exactly fills its bucket WITHOUT being
+    hop-aligned used to overflow the dispatch buffer (broadcast ValueError,
+    r3 review): frames == Fb only bounds T <= Fb*hop - 1, but the reflect
+    pad adds n_fft, up to hop-1 past the (Fb-1)*hop + n_fft row."""
+    from indextts_tpu.data.extract import CodecExtractor, frames_for
+
+    ex = CodecExtractor(TINY, model_dir="/nonexistent", batch_size=2)
+    hop = TINY.dataset.mel.hop_length
+    T = 255 * hop + hop // 2  # frames = 256 == smallest bucket, T % hop != 0
+    assert frames_for(T, hop) == 256
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(T).astype(np.float32) * 0.1,
+            rng.standard_normal(T // 2).astype(np.float32) * 0.1]
+    feats = ex.extract_batch(wavs, extract_condition=False)
+    assert feats[0]["mel"].shape == (100, 256)
+    assert feats[1]["mel"].shape[1] == frames_for(T // 2, hop)
+
+
+def test_same_stem_clips_do_not_overwrite(tmp_path):
+    """Two clips of one speaker sharing a basename must get distinct
+    codes/mels files (the manifest keeps both records — silently sharing
+    one array pairs a clip's codes with another's text, r3 review)."""
+    from indextts_tpu.data.extract import extract_audio_list
+    from indextts_tpu.utils.audio import write_wav
+
+    rng = np.random.default_rng(1)
+    lines = []
+    for sub in ("a", "b"):
+        d = tmp_path / sub / "spk_y"
+        d.mkdir(parents=True)
+        wav = (rng.standard_normal(24000) * 3000).astype(np.int16)
+        write_wav(str(d / "take.wav"), wav, 24000)
+        lines.append(f"{d / 'take.wav'}\t{sub}句測試。")
+    lp = tmp_path / "spk_y.list"
+    lp.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    out = str(tmp_path / "proc")
+    extract_audio_list(str(lp), out, TINY, model_dir="/nonexistent",
+                       valid_ratio=0.0, extract_condition=False)
+    recs = []
+    for split in ("train", "valid"):  # >1 clips always reserves 1 for valid
+        mp = os.path.join(out, "spk_y", f"metadata_{split}.jsonl")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                recs += [json.loads(l) for l in f if l.strip()]
+    assert len(recs) == 2
+    assert recs[0]["codes"] != recs[1]["codes"]
+    for r in recs:
+        assert os.path.exists(os.path.join(out, "spk_y", r["codes"]))

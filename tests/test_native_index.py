@@ -81,3 +81,21 @@ def test_lazy_dataset_mode(tmp_path):
     assert item["mel_codes"].shape == (10,)
     assert item["cond_mel"].shape[0] == 100
     assert len(item["text_ids"]) > 0
+
+
+def test_native_counts_unicode_escapes(tmp_path):
+    """json.dumps default ensure_ascii=True writes CJK as \\uXXXX escapes;
+    the native counter must read them as ONE codepoint each (and surrogate
+    PAIRS as one), matching Python len() after json.loads (r3 review)."""
+    path = tmp_path / "metadata_train.jsonl"
+    texts = ["你好世界", "mixed 你好 ok", "astral 𝄞 clef", "🎵🎵"]
+    with open(path, "w", encoding="utf-8") as f:
+        for i, t in enumerate(texts):
+            f.write(json.dumps({"audio": f"{i}.wav", "text": t,
+                                 "duration": 1.5, "codes": "c.npy",
+                                 "mels": "m.npy"}) + "\n")  # ensure_ascii=True
+    mi_n = index_manifest(str(path), prefer_native=True)
+    mi_p = index_manifest(str(path), prefer_native=False)
+    expect = [len(t) for t in texts]
+    assert list(mi_n.text_lens) == expect
+    assert list(mi_p.text_lens) == expect

@@ -1,6 +1,7 @@
 """Data pipeline + trainer integration on synthetic processed_data."""
 
 import json
+import time
 import os
 
 import numpy as np
@@ -235,3 +236,79 @@ def test_eval_step(data_dir, tokenizer):
     lora = lora_lib.init_lora_params(jax.random.PRNGKey(1), CFG, lora_cfg)
     m = trainer.eval_step(lora, base, batch, CFG, lora_cfg, 0.1)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_nonfinite_loss_is_a_true_skip(data_dir, tokenizer):
+    """A non-finite loss must leave params, optimizer state AND step
+    untouched (the reference `continue`s, train.py:899-902) — zeroed grads
+    alone would still move params through AdamW momentum + weight decay
+    (r3 review)."""
+    ds = FinetuneDataset(data_dir, "train", tokenizer)
+    loader = DataLoader(ds, batch_size=4, seed=0, pad_multiple=8)
+    raw = next(iter(loader))
+    batch = trainer.Batch(
+        text_ids=raw["text_ids"] % 40, text_lengths=raw["text_lengths"],
+        mel_codes=raw["mel_codes"], codes_lengths=raw["codes_lengths"],
+        cond_mel=raw["cond_mel"], cond_lengths=raw["cond_lengths"])
+    base = uv.init_params(jax.random.PRNGKey(0), CFG)
+    tc = TrainConfig(gradient_accumulation_steps=1)
+    opt = trainer.make_optimizer(tc, total_steps=20)
+    state = trainer.init_train_state(jax.random.PRNGKey(1), CFG, tc.lora, opt)
+    # two normal steps build nonzero AdamW moments
+    for i in range(2):
+        state, _ = trainer.train_step(state, base, batch,
+                                      jax.random.PRNGKey(i), CFG, tc.lora,
+                                      opt, 0.1, 0.0)
+    # poison the batch → non-finite loss
+    bad = trainer.Batch(
+        text_ids=batch.text_ids, text_lengths=batch.text_lengths,
+        mel_codes=batch.mel_codes, codes_lengths=batch.codes_lengths,
+        cond_mel=np.full_like(batch.cond_mel, np.nan),
+        cond_lengths=batch.cond_lengths)
+    before = jax.device_get(state)
+    state, metrics = trainer.train_step(state, base, bad,
+                                        jax.random.PRNGKey(9), CFG, tc.lora,
+                                        opt, 0.1, 0.0)
+    after = jax.device_get(state)
+    assert float(metrics["skipped"]) == 1.0
+    assert int(after.step) == int(before.step)
+    for a, b in zip(jax.tree.leaves(after.lora_params),
+                    jax.tree.leaves(before.lora_params)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(after.opt_state),
+                    jax.tree.leaves(before.opt_state)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_loader_shards_have_equal_batch_counts(data_dir, tokenizer):
+    """Ragged tails must be dropped so every host shard yields the SAME
+    number of batches — unequal counts would hang the training collectives
+    on the last step (r3 review)."""
+    ds = FinetuneDataset(data_dir, "train", tokenizer)
+    n = len(ds)
+    assert n >= 3
+    counts = []
+    for shard in range(2):
+        loader = DataLoader(ds, batch_size=1, seed=0, shuffle=False,
+                            num_shards=2, shard_index=shard)
+        counts.append(sum(1 for _ in loader))
+    assert counts[0] == counts[1] == n // 2
+
+
+def test_loader_early_stop_shuts_down_producer(data_dir, tokenizer):
+    """Breaking out of the batch loop (max_steps_per_epoch) must not leak
+    a producer thread blocked on the queue (r3 review)."""
+    import threading
+
+    ds = FinetuneDataset(data_dir, "train", tokenizer)
+    loader = DataLoader(ds, batch_size=1, seed=0, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # consumer stops after one batch
+    # the producers must exit promptly once their consumer closes
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
