@@ -20,6 +20,13 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from indextts_tpu.ops.sampling import NEG_INF as FILTER_NEG
+
+# Beam-score sentinel: dead-beam init and stop-candidate ranking use HF's
+# -1e9 (beam_search_scores init, utils/generation).  Token-FILTER masking
+# uses the more negative FILTER_NEG (= float32 min, HF warpers' -inf
+# analogue) so a masked token can never outrank a dead beam's real
+# candidate (-1e9 + logprob): the two sentinel roles stay distinguishable.
 NEG_INF = -1e9
 
 
@@ -75,7 +82,7 @@ def flat_scores(
             last = jnp.sum(keep.astype(jnp.int32), axis=-1,
                            keepdims=True) - 1
             thresh = jnp.take_along_axis(shortlist, last, axis=-1)
-            sc = jnp.where(sc < thresh, NEG_INF, sc)
+            sc = jnp.where(sc < thresh, FILTER_NEG, sc)
         else:
             order = jnp.argsort(-sc, axis=-1)
             ssc = jnp.take_along_axis(sc, order, axis=-1)
@@ -85,7 +92,7 @@ def flat_scores(
                 cum - probs > top_p, jnp.arange(V)[None, :] >= min_keep)
             remove = jnp.take_along_axis(
                 remove_sorted, jnp.argsort(order, axis=-1), axis=-1)
-            sc = jnp.where(remove, NEG_INF, sc)
+            sc = jnp.where(remove, FILTER_NEG, sc)
     return sc.reshape(B, num_beams * V)
 
 

@@ -108,7 +108,8 @@ def safe_log(x: jnp.ndarray, clip_val: float = 1e-7) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sample_rate", "n_fft", "hop_length", "win_length", "n_mels"),
+    static_argnames=("sample_rate", "n_fft", "hop_length", "win_length",
+                     "n_mels", "mel_fmin", "mel_fmax"),
 )
 def mel_spectrogram(
     audio: jnp.ndarray,
@@ -117,6 +118,8 @@ def mel_spectrogram(
     hop_length: int = 256,
     win_length: int = 1024,
     n_mels: int = 100,
+    mel_fmin: float = 0.0,
+    mel_fmax: float | None = None,
 ) -> jnp.ndarray:
     """Log-mel features for conditioning/extraction: (..., T) -> (..., n_mels, F).
 
@@ -124,7 +127,8 @@ def mel_spectrogram(
     (reference: indextts/utils/feature_extractors.py:62-68).
     """
     spec = spectrogram(audio, n_fft, hop_length, win_length, power=1.0)
-    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels))
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels,
+                                    mel_fmin, mel_fmax))
     mel = jnp.einsum("...ft,fm->...mt", spec, fb)
     return safe_log(mel)
 
@@ -178,4 +182,6 @@ class MelSpectrogramFeatures:
             hop_length=self.hop_length,
             win_length=self.win_length,
             n_mels=self.n_mels,
+            mel_fmin=self.mel_fmin,
+            mel_fmax=self.mel_fmax,
         )

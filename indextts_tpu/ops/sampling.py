@@ -111,10 +111,8 @@ def sample_token(
     if k < V:
         shortlist, idx = jax.lax.top_k(logits, k)  # [B, k] descending
     else:
-        idx = jnp.broadcast_to(jnp.arange(V)[None, :], logits.shape)
-        order = jnp.argsort(-logits, axis=-1)
-        shortlist = jnp.take_along_axis(logits, order, axis=-1)
-        idx = jnp.take_along_axis(idx, order, axis=-1)
+        idx = jnp.argsort(-logits, axis=-1)  # the sort order IS the ids
+        shortlist = jnp.take_along_axis(logits, idx, axis=-1)
     keep = _top_p_mask(shortlist, top_p)
     shortlist = jnp.where(keep, shortlist, NEG_INF)
     choice = jax.random.categorical(rng, shortlist, axis=-1)  # [B]

@@ -44,16 +44,34 @@ def gpt_param_specs(axis: str = "model") -> Dict[str, Any]:
     }
 
 
+def _is_quantized_leaf(p) -> bool:
+    return isinstance(p, dict) and ("q" in p or "q4" in p)
+
+
 def shard_gpt_params(params: Dict[str, Any], mesh: Mesh,
                      axis: str = "model") -> Dict[str, Any]:
     """Place trunk params with tensor-parallel shardings; XLA propagates the
-    shardings through the scan and inserts collectives."""
+    shardings through the scan and inserts collectives.
+
+    Weight-only-quantized trunks (ops/quantization: ``{"q"|"q4", "s"}``
+    dicts in place of fp tensors) are supported: the integer tensor keeps
+    the fp weight's spec (same rank — int4's packed K/2 still sits on the
+    K dim), and the per-output-channel scales shard with the output dim
+    for column-parallel weights but replicate for row-parallel ones (their
+    broadcast K-dim of 1 — or 2·G int4 groups — is not divisible)."""
     specs = gpt_param_specs(axis)
 
     def place(p, spec):
+        if _is_quantized_leaf(p):
+            qkey = "q" if "q" in p else "q4"
+            s_spec = spec if (len(spec) and spec[-1] == axis) else P()
+            return {
+                qkey: jax.device_put(p[qkey], NamedSharding(mesh, spec)),
+                "s": jax.device_put(p["s"], NamedSharding(mesh, s_spec)),
+            }
         return jax.device_put(p, NamedSharding(mesh, spec))
 
-    return jax.tree.map(place, params, specs)
+    return jax.tree.map(place, params, specs, is_leaf=_is_quantized_leaf)
 
 
 def shard_uv_params(params: Dict[str, Any], mesh: Mesh,

@@ -123,7 +123,10 @@ def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
         full_mask=state.full_mask.at[slots].set(row_mask, **drop),
         presence=state.presence.at[slots].set(presence, **drop),
         codes=state.codes.at[slots].set(codes_rows, **drop),
-        active=state.active.at[slots].set(tok != cfg.stop_mel_token, **drop),
+        # a first-token stop OR a <=1 budget deactivates on device (the
+        # sampled token is still recorded; _finish truncates to max_new)
+        active=state.active.at[slots].set(
+            jnp.logical_and(tok != cfg.stop_mel_token, budgets > 1), **drop),
         budget=state.budget.at[slots].set(budgets, **drop),
     )
 
@@ -237,7 +240,12 @@ class ContinuousBatcher:
             repetition_penalty=repetition_penalty, do_sample=do_sample)
         self.cache_dtype = cache_dtype
         self.kv_dtype = kv_dtype
-        self.rng_base = jax.random.PRNGKey(seed)
+        # independent fold domains: decode steps fold an unbounded absolute
+        # step index, admissions fold a burst counter — a fixed offset
+        # (the old admit_count + 2^20) collides once step_count crosses 2^20
+        # (hours into a long-lived pool), so each site gets its own key
+        self.rng_step, self.rng_admit = jax.random.split(
+            jax.random.PRNGKey(seed))
         self.step_count = 0
         self.steps_per_tick = max(1, steps_per_tick)
         self.adaptive_ticks = adaptive_ticks
@@ -268,10 +276,20 @@ class ContinuousBatcher:
                done_cb=None, cond=None) -> int:
         """Queue a request.  `cond` optionally overrides the pool's shared
         conditioning for this request ([1, 32, D] — e.g. a different
-        speaker's latents), so one pool can serve mixed speakers."""
-        req = _Request(self._next_id, np.asarray(text_ids, np.int32),
-                       min(max_new or self.max_new, self.max_new),
-                       done_cb=done_cb,
+        speaker's latents), so one pool can serve mixed speakers.
+
+        Raises ValueError for prompts wider than the pool's max_text_width
+        (synchronously, before the request enters the queue)."""
+        text_ids = np.asarray(text_ids, np.int32)
+        if text_ids.shape[-1] > self.max_text_width:
+            raise ValueError(
+                f"prompt of {text_ids.shape[-1]} text tokens exceeds the "
+                f"pool's max_text_width={self.max_text_width}")
+        # max_new=0 is a real budget (finish after the admission sample),
+        # not a request for the pool default — only None means default
+        budget = self.max_new if max_new is None else max(0, min(max_new,
+                                                                 self.max_new))
+        req = _Request(self._next_id, text_ids, budget, done_cb=done_cb,
                        cond=None if cond is None else np.asarray(cond))
         self._next_id += 1
         self._queue.append(req)
@@ -284,7 +302,7 @@ class ContinuousBatcher:
         if take == 0:
             return
         slots = free[:take]
-        reqs = [self._queue.pop(0) for _ in range(take)]
+        reqs = self._queue[:take]
         prep = uv.prepare_text_prompt(
             [r.text_ids for r in reqs],
             self.cfg.start_text_token, self.cfg.stop_text_token)
@@ -294,10 +312,13 @@ class ContinuousBatcher:
         while Bb < take:
             Bb *= 2
         prep_w = prep.text_tokens.shape[1]
+        # submit() validates width, so this cannot fire; raise BEFORE the
+        # queue is mutated so a violation never drops co-admitted requests
         if prep_w > self.max_text_width + 2:
             raise ValueError(
                 f"prompt of {prep_w - 2} text tokens exceeds the pool's "
                 f"max_text_width={self.max_text_width}")
+        del self._queue[:take]
         width = min(max(32, -(-prep_w // 32) * 32), self.max_text_width + 2)
         pad = width - prep_w
         tokens = np.pad(prep.text_tokens, ((0, 0), (pad, 0)))
@@ -329,7 +350,7 @@ class ContinuousBatcher:
         # the tunnel and stalled every live slot)
         self.state = _admit_insert_kernel(
             self.params, self.cfg, self.state, cond_arg, jnp.asarray(tokens),
-            jnp.asarray(mask), self.rng_base, self._admit_count + (1 << 20),
+            jnp.asarray(mask), self.rng_admit, self._admit_count,
             jnp.asarray(slots_arr), jnp.asarray(budgets),
             self.cache_dtype, **self.sampling_kwargs)
         self._admit_count += 1
@@ -404,7 +425,7 @@ class ContinuousBatcher:
             return 0
         steps = self._tick_steps()
         self.state, report = _step_kernel(
-            self.params, self.cfg, self.state, self.rng_base, self.step_count,
+            self.params, self.cfg, self.state, self.rng_step, self.step_count,
             self.cache_dtype, steps=steps,
             **self.sampling_kwargs)
         self.step_count += steps

@@ -267,3 +267,31 @@ def test_beam_typical_sampling_runs(params):
                 do_sample=True, repetition_penalty=2.0, top_k=10, top_p=0.9,
                 typical_sampling=True, typical_mass=0.8)
     assert r.codes.shape == (1, 10)
+
+
+def test_filtered_tokens_never_outrank_dead_beam_candidates():
+    """Sentinel separation in flat_scores: top-k/top-p-FILTERED tokens get
+    FILTER_NEG (float32 min), while a dead beam's real candidates sit at
+    ~NEG_INF (-1e9) + logprob — so a live beam's masked token can never be
+    selected over a dead beam's genuine continuation (HF keeps the two
+    roles distinct via -inf warpers vs -1e9 beam init)."""
+    from indextts_tpu.ops import beam as beam_lib
+
+    rng = np.random.default_rng(7)
+    nb, V = 3, 32
+    logits = jnp.asarray(rng.standard_normal((nb, V)).astype(np.float32))
+    presence = jnp.zeros((nb, V), bool)
+    # beam 2 is dead (HF dead-beam init); beams 0/1 live
+    beam_scores = jnp.asarray([[0.0, -0.3, beam_lib.NEG_INF]], jnp.float32)
+    flat = np.asarray(beam_lib.flat_scores(
+        logits, presence, beam_scores, nb, temperature=1.0, top_k=4,
+        top_p=0.9, repetition_penalty=1.0, do_sample=True)).reshape(nb, V)
+    live_filtered = flat[:2][flat[:2] < beam_lib.NEG_INF]   # masked tokens
+    dead = flat[2]
+    assert live_filtered.size > 0                            # filter fired
+    assert dead.max() > beam_lib.NEG_INF * 2                 # real candidate
+    # every dead-beam candidate (even its own filtered ones excluded)
+    # outranks every live-beam FILTERED token
+    assert dead.max() > live_filtered.max()
+    # filtered tokens are at the distinct, far-lower sentinel
+    assert (live_filtered < beam_lib.NEG_INF * 1e6).all()

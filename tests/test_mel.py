@@ -76,3 +76,18 @@ def test_same_padding_mode():
     feats = MelSpectrogramFeatures(padding="same")
     mel = np.asarray(feats(x))
     assert mel.shape[1] == 100
+
+
+def test_mel_fmin_fmax_honored_on_center_path():
+    """Constructor mel_fmin/mel_fmax must reach the filterbank on the
+    default padding='center' path (they already did on 'same')."""
+    x = np.random.default_rng(3).standard_normal((1, 8192)).astype(np.float32)
+    full = np.asarray(MelSpectrogramFeatures()(x))
+    band = np.asarray(MelSpectrogramFeatures(mel_fmin=300.0, mel_fmax=8000.0)(x))
+    assert full.shape == band.shape
+    assert not np.allclose(full, band)
+    # and the band-limited filterbank itself respects the range
+    fb = mel_filterbank(24000, 1024, 100, 300.0, 8000.0)
+    freqs = np.linspace(0.0, 12000.0, 513)
+    assert fb[freqs < 290.0].sum() == 0.0
+    assert fb[freqs > 8100.0].sum() == 0.0

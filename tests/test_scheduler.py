@@ -124,3 +124,39 @@ def test_pool_multistep_tick_matches(setup):
         outs.append([res[i] for i in ids])
     for a, b_ in zip(*outs):
         np.testing.assert_array_equal(a, b_)
+
+
+def test_submit_oversized_prompt_rejected_queue_intact(setup):
+    """An oversized prompt must fail at submit() — synchronously, without
+    poisoning requests already queued (the old path raised inside _admit
+    AFTER popping the whole admission burst, silently dropping them)."""
+    params, cond, rng = setup
+    batcher = ContinuousBatcher(
+        params, CFG, cond, num_slots=2, max_text_width=16, max_new=8,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32)
+    ok_id = batcher.submit(rng.integers(2, 40, (9,)))
+    with pytest.raises(ValueError, match="max_text_width"):
+        batcher.submit(rng.integers(2, 40, (17,)))
+    results = batcher.run()
+    assert set(results) == {ok_id}
+    assert len(results[ok_id]) > 0
+
+
+def test_zero_and_explicit_budget(setup):
+    """max_new=0 is a real budget (empty output, slot freed immediately),
+    not a falsy trigger for the pool default; max_new=1 yields exactly one
+    token and never runs a post-budget decode step."""
+    params, cond, rng = setup
+    batcher = ContinuousBatcher(
+        params, CFG, cond, num_slots=2, max_text_width=16, max_new=12,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32)
+    zid = batcher.submit(rng.integers(2, 40, (5,)), max_new=0)
+    oid = batcher.submit(rng.integers(2, 40, (7,)), max_new=1)
+    nid = batcher.submit(rng.integers(2, 40, (6,)))
+    results = batcher.run()
+    assert set(results) == {zid, oid, nid}
+    assert len(results[zid]) == 0
+    assert len(results[oid]) <= 1
+    # the default-budget request matches the dedicated single decode
+    # (i.e. zero-budget neighbours don't perturb the pool)
+    assert len(results[nid]) <= 12
