@@ -57,6 +57,11 @@ def main() -> None:
     jax.block_until_ready(params_q)
     params_q4 = jax.jit(lambda p: quant.quantize_gpt_params(p, bits=4))(params)
     jax.block_until_ready(params_q4)
+    # batched int4 layout: shared-scale pack, nativized to jnp.int4 inside
+    # the decode program (quantization.quantize_int4_shared)
+    params_q4s = jax.jit(lambda p: quant.quantize_gpt_params(
+        p, bits=4, int4_layout="shared"))(params)
+    jax.block_until_ready(params_q4s)
 
     text_len = 60
     max_new = args.max_new
@@ -135,11 +140,12 @@ def main() -> None:
         best = max(best, measure(params_q, "int8-weights", B))
         best = max(best, measure(params_q, "int8+fp8kv", B, kv=FP8))
         if B > 1:
-            best = max(best, measure(params_q4, "int4+fp8kv", B, kv=FP8))
+            best = max(best, measure(params_q4s, "int4shared+fp8kv", B, kv=FP8))
         if B == 1 and jax.default_backend() == "tpu":
             best = max(best, measure(params_q, "int8-fused-trunk", B, fused=True))
             best = max(best, measure(params_q4, "int4-fused-trunk", B, fused=True))
             measure_beam(params_q, "int8-beam+fp8kv", kv=FP8)
+            measure_beam(params_q4s, "int4s-beam+fp8kv", kv=FP8)
     tok_per_sec = best
     gpt_rtf = 23.4 / max(tok_per_sec, 1e-9)  # codes/sec of audio ÷ decode rate
     print(f"[bench] best config implies GPT-stage RTF={gpt_rtf:.4f} "

@@ -234,7 +234,20 @@ class IndexTTS:
             from indextts_tpu.ops import quantization as quant_ops
 
             bits = 4 if self.quant_weight_dtype == "int4" else 8
-            self.gpt_params = quant_ops.quantize_gpt_params(self.gpt_params, bits=bits)
+            master = self.gpt_params
+            self.gpt_params = quant_ops.quantize_gpt_params(master, bits=bits)
+            if bits == 4:
+                # int4 ships in TWO layouts: per-(group,half) scales for the
+                # fused B=1 Pallas trunk (self.gpt_params) and shared-scale
+                # packed for batched XLA decode, which nativizes it to
+                # jnp.int4 in-program (quantization.quantize_int4_shared) —
+                # measured the batched step at 1.93 ms vs 2.23 int8 at B=8
+                self.gpt_params_batched = quant_ops.quantize_gpt_params(
+                    master, bits=4, int4_layout="shared")
+            else:
+                self.gpt_params_batched = self.gpt_params
+        else:
+            self.gpt_params_batched = self.gpt_params
 
         bv_path = os.path.join(model_dir, self.cfg.bigvgan_checkpoint)
         if os.path.exists(bv_path):
@@ -382,7 +395,7 @@ class IndexTTS:
                     "ignores it (set num_beams=1 to use guidance)",
                     RuntimeWarning)
             result = uv.inference_speech_beam(
-                self.gpt_params, self.cfg.gpt, cond_latent,
+                self.gpt_params_batched, self.cfg.gpt, cond_latent,
                 jnp.asarray(tokens), jnp.asarray(mask), rng,
                 num_beams=num_beams,
                 length_penalty=float(generation.get("length_penalty", 0.0)),
@@ -397,7 +410,8 @@ class IndexTTS:
                 # fused path keeps bf16 KV unless the caller forces it
                 kwargs["kv_dtype"] = None
             result = uv.inference_speech(
-                self.gpt_params, self.cfg.gpt, cond_latent,
+                self.gpt_params if use_fused else self.gpt_params_batched,
+                self.cfg.gpt, cond_latent,
                 jnp.asarray(tokens), jnp.asarray(mask), rng,
                 use_fused_trunk=use_fused, **kwargs)
         return np.asarray(result.codes), np.asarray(result.lengths)
@@ -417,7 +431,7 @@ class IndexTTS:
         text_p = np.zeros((1, twidth), dtype=np.int32)
         text_p[0, :text_len] = text_tokens[:text_len]
         lat = uv.latent_forward(
-            self.gpt_params, self.cfg.gpt, cond_latent,
+            self.gpt_params_batched, self.cfg.gpt, cond_latent,
             jnp.asarray(text_p), jnp.asarray([text_len]),
             jnp.asarray(codes_p), jnp.asarray([code_len]))
         return lat[0]  # [width, D], valid prefix = code_len
@@ -445,7 +459,7 @@ class IndexTTS:
         if cond_latent.shape[0] == 1 and B > 1:
             cond_latent = jnp.broadcast_to(cond_latent, (B,) + cond_latent.shape[1:])
         return uv.latent_forward(
-            self.gpt_params, self.cfg.gpt, cond_latent,
+            self.gpt_params_batched, self.cfg.gpt, cond_latent,
             jnp.asarray(text_p), jnp.asarray(tlens),
             jnp.asarray(codes_p), jnp.asarray(lens.astype(np.int32)))
 
@@ -818,7 +832,8 @@ class IndexTTS:
         kwargs.setdefault("kv_dtype", self.kv_cache_dtype)
         # default generation budget = the model's mel position-table size
         kwargs.setdefault("max_new", min(600, self.cfg.gpt.max_mel_tokens))
-        return ContinuousBatcher(self.gpt_params, self.cfg.gpt, cond_latent,
+        return ContinuousBatcher(self.gpt_params_batched, self.cfg.gpt,
+                                 cond_latent,
                                  **kwargs)
 
     def _emit(self, wav: np.ndarray, output_path: Optional[str], sr: int):

@@ -134,7 +134,27 @@ def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
     [K,N] weights keeps HBM traffic at the quantised width and avoids a
     full-weight-matrix multiply (the decode loop is weight-bandwidth-bound).
     The int4 path contracts each (group, nibble-half) slice of x against
-    the matching unpacked half — 2G small dots, still reading K/2 bytes."""
+    the matching unpacked half — 2G small dots, still reading K/2 bytes.
+
+    Shared-scale int4 variants (ops/quantization.quantize_int4_shared):
+    {"q4n": jnp.int4 [K,N]} is the in-program NATIVE form — one dot over a
+    sub-byte operand (XLA's int4→bf16 convert is cheap; the per-step manual
+    unpack above is what made packed int4 lose to int8 at batch);
+    {"q4s": int8 [K/2,N]} is its transfer-safe shipped form, unpacked here
+    once per program (decode loops nativize at the top instead, see
+    quantization.nativize_int4)."""
+    if isinstance(w, dict) and "q4n" in w:
+        y = jnp.einsum("btk,kn->btn", x, w["q4n"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
+    if isinstance(w, dict) and "q4s" in w:
+        from indextts_tpu.ops.quantization import unpack_int4
+
+        lo, hi = unpack_int4(w["q4s"])
+        wn = jnp.concatenate([lo, hi], axis=-2)
+        y = jnp.einsum("btk,kn->btn", x, wn.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
     if isinstance(w, dict) and "q4" in w:
         from indextts_tpu.ops.quantization import unpack_int4
 

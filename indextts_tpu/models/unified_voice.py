@@ -32,7 +32,7 @@ import numpy as np
 from indextts_tpu.config import GPTConfig
 from indextts_tpu.models import conformer, gpt2, perceiver
 from indextts_tpu.models.gpt2 import GPT2Size, KVCache, layer_norm
-from indextts_tpu.ops import sampling
+from indextts_tpu.ops import quantization, sampling
 
 
 def trunk_size(cfg: GPTConfig) -> GPT2Size:
@@ -141,9 +141,22 @@ def get_conditioning(params: Dict[str, Any], cfg: GPTConfig,
 
 
 def _head_mm(h: jnp.ndarray, kernel) -> jnp.ndarray:
-    """Head matmul; kernel may be int8-quantised {"q","s"} or nibble-packed
-    int4 {"q4","s"} (ops/quantization).  Per-output-channel scales fold into
-    the output (see gpt2._mm)."""
+    """Head matmul; kernel may be int8-quantised {"q","s"}, nibble-packed
+    int4 {"q4","s"}, or shared-scale int4 {"q4s"/"q4n","s"} (ops/
+    quantization).  Per-output-channel scales fold into the output (see
+    gpt2._mm)."""
+    if isinstance(kernel, dict) and "q4n" in kernel:
+        y = jnp.einsum("...k,kn->...n", h, kernel["q4n"].astype(h.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * kernel["s"].astype(jnp.float32)).astype(h.dtype)
+    if isinstance(kernel, dict) and "q4s" in kernel:
+        from indextts_tpu.ops.quantization import unpack_int4
+
+        lo, hi = unpack_int4(kernel["q4s"])
+        wn = jnp.concatenate([lo, hi], axis=-2)
+        y = jnp.einsum("...k,kn->...n", h, wn.astype(h.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * kernel["s"].astype(jnp.float32)).astype(h.dtype)
     if isinstance(kernel, dict) and "q4" in kernel:
         from indextts_tpu.ops.quantization import unpack_int4
 
@@ -403,6 +416,9 @@ def _inference_speech_impl(
     """Jitted body of `inference_speech` (the public wrapper below keeps
     float sampling knobs TRACED so slider/API changes reuse the compiled
     program; only `guided` — which doubles the row count — is static)."""
+    # shared-scale int4 params nativize ONCE per program (hoisted above the
+    # while_loop); every decode step then reads sub-byte native-int4 weights
+    params = quantization.nativize_int4(params)
     size = trunk_size(cfg)
     B, Ltot = text_tokens.shape
     cond_len = cond_latent.shape[1]
@@ -627,6 +643,9 @@ def inference_speech_beam(
     suffix array; identity permutations skip the gather entirely."""
     from indextts_tpu.ops import beam as beam_lib
 
+    # one-time in-program conversion of shared-scale int4 leaves to native
+    # jnp.int4 (see quantization.nativize_int4)
+    params = quantization.nativize_int4(params)
     size = trunk_size(cfg)
     B, Ltot = text_tokens.shape
     nb = num_beams

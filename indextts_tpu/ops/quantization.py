@@ -78,6 +78,48 @@ def quantize_int4_packed(w: jnp.ndarray, k_axis: int = -2,
     return {"q4": q4, "s": s.astype(jnp.float32)}
 
 
+def quantize_int4_shared(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Pack `w` [.., K, N] to {"q4s": int8 [.., K/2, N], "s": [.., 1, N]}.
+
+    ONE per-output-channel scale over the full K (vs `quantize_int4_packed`'s
+    per-(group, half) scales): rows [0, K/2) go to low nibbles, [K/2, K) to
+    high, both sharing the scale — so the in-program nativization
+    (`nativize_int4`) reassembles a single [K, N] native-int4 operand and
+    the matmul is ONE dot.  This is the batched-decode layout: measured on
+    v5e at B=8/T=288, native-int4 steps run 1.93 ms vs 2.23 int8 vs 2.44 for
+    the manual per-step shift-unpack (which cancels int4's bandwidth win);
+    splitting the dot per scale row (per-half scales) measured 2.68 ms, so
+    the batched tier trades the finer grid for the single-dot form.  The
+    fused B=1 Pallas kernel keeps the finer `quantize_int4_packed` layout."""
+    K = w.shape[-2]
+    assert K % 2 == 0, K
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -8, 7).astype(jnp.int8)
+    lo = q[..., : K // 2, :]
+    hi = q[..., K // 2 :, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return {"q4s": packed, "s": scale.astype(jnp.float32)}
+
+
+def nativize_int4(tree):
+    """Convert every {"q4s", "s"} leaf-dict to {"q4n": jnp.int4 [.., K, N],
+    "s"} — call at the TOP of a jitted decode program, so the conversion
+    happens once (hoisted out of the decode loop) and every step reads the
+    sub-byte native layout with XLA's cheap int4→bf16 convert instead of
+    re-running the shift-unpack.  Native int4 arrays cannot cross the host
+    boundary on the axon backend (device_put layout recursion), which is why
+    params are SHIPPED as int8-packed bytes and nativized in-program."""
+    if isinstance(tree, dict):
+        if "q4s" in tree:
+            lo, hi = unpack_int4(tree["q4s"])
+            return {"q4n": jnp.concatenate([lo, hi], axis=-2).astype(jnp.int4),
+                    "s": tree["s"]}
+        return {k: nativize_int4(v) for k, v in tree.items()}
+    return tree
+
+
 def unpack_int4(q4: jnp.ndarray) -> jnp.ndarray:
     """[.., K/2, N] packed → (lo, hi) int8 halves in [-8, 7] (no reorder)."""
     q32 = q4.astype(jnp.int32)
@@ -87,6 +129,12 @@ def unpack_int4(q4: jnp.ndarray) -> jnp.ndarray:
 
 
 def dequantize(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    if "q4n" in qw:
+        return (qw["q4n"].astype(jnp.float32) * qw["s"]).astype(dtype)
+    if "q4s" in qw:
+        lo, hi = unpack_int4(qw["q4s"])
+        w = jnp.concatenate([lo, hi], axis=-2)
+        return (w.astype(jnp.float32) * qw["s"]).astype(dtype)
     if "q4" in qw:
         lo, hi = unpack_int4(qw["q4"])
         Kh, N = qw["q4"].shape[-2], qw["q4"].shape[-1]
@@ -101,11 +149,17 @@ def dequantize(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def quantize_gpt_params(params: Dict[str, Any], bits: int = 8,
-                        dtype=jnp.bfloat16) -> Dict[str, Any]:
+                        dtype=jnp.bfloat16,
+                        int4_layout: str = "fused") -> Dict[str, Any]:
     """Quantise the trunk + head matrices (the reference quantises `gpt`,
     `text_head`, `mel_head` Linears, infer.py:324-330).  Trunk weights are
     stacked [L, K, N] → int8 scale [L, 1, N] / int4 scale [L, 2G, N];
-    heads [K, N] → [1, N] / [2, N]."""
+    heads [K, N] → [1, N] / [2, N].
+
+    ``int4_layout`` (bits=4 only): "fused" = per-(group, half) scales +
+    MLP-chunk grouping, the layout the B=1 Pallas decode kernel streams;
+    "shared" = one scale per output channel (`quantize_int4_shared`), the
+    layout batched XLA decode nativizes to jnp.int4 in-program."""
     out = jax.tree.map(lambda x: x, params)
     blocks = out["gpt"]["blocks"]
     attn = dict(blocks["attn"])
@@ -113,7 +167,9 @@ def quantize_gpt_params(params: Dict[str, Any], bits: int = 8,
     for group, leaf in (("attn", "qkv_w"), ("attn", "proj_w"),
                         ("mlp", "fc_w"), ("mlp", "proj_w")):
         tgt = attn if group == "attn" else mlp
-        if bits == 4:
+        if bits == 4 and int4_layout == "shared":
+            tgt[leaf] = quantize_int4_shared(tgt[leaf])
+        elif bits == 4:
             g = MLP_PROJ_GROUPS if (group, leaf) == ("mlp", "proj_w") else 1
             tgt[leaf] = quantize_int4_packed(tgt[leaf], k_axis=1, groups=g)
         else:
@@ -123,7 +179,9 @@ def quantize_gpt_params(params: Dict[str, Any], bits: int = 8,
     for head in ("text_head", "mel_head"):
         if head in out:
             k = out[head]["kernel"]
-            if bits == 4:
+            if bits == 4 and int4_layout == "shared":
+                qk = quantize_int4_shared(k)
+            elif bits == 4:
                 qk = quantize_int4_packed(k, k_axis=0, groups=1)
             else:
                 qk = quantize_int(k, bits, reduce_axes=(0,))

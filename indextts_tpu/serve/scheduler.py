@@ -40,7 +40,7 @@ from indextts_tpu.config import GPTConfig
 from indextts_tpu.models import gpt2
 from indextts_tpu.models import unified_voice as uv
 from indextts_tpu.models.gpt2 import KVCache
-from indextts_tpu.ops import sampling
+from indextts_tpu.ops import quantization, sampling
 
 
 class PoolState(NamedTuple):
@@ -184,6 +184,10 @@ def _step_kernel(params, cfg: GPTConfig, state: PoolState, rng_base, step_idx,
     [S, max_new + 2] = (active, n_gen, codes-row) per slot.  Multi-step
     ticks amortise the per-call dispatch + fetch latency of high-latency
     links (the axon tunnel costs ~5 ms/dispatch and ~30 ms/fetch)."""
+    # shared-scale int4 weights nativize once per tick, outside the scan
+    # (ops/quantization.nativize_int4) — each step then reads native int4
+    params = quantization.nativize_int4(params)
+
     def body(st, i):
         return _step_core(params, cfg, st, jax.random.fold_in(rng_base, i),
                           cache_dtype, temperature, top_k, top_p,

@@ -93,6 +93,61 @@ def test_int4_packed_mm_matches_dequant():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_int4_shared_roundtrip():
+    """Shared-scale pack → dequantize reproduces the per-channel int4 grid
+    (one scale over full K): error ≤ half a grid step everywhere."""
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((3, 256, 64)).astype(np.float32))
+    qw = q.quantize_int4_shared(w)
+    assert qw["q4s"].shape == (3, 128, 64) and qw["q4s"].dtype == jnp.int8
+    assert qw["s"].shape == (3, 1, 64)
+    back = np.asarray(q.dequantize(qw, jnp.float32))
+    step = np.abs(np.asarray(w)).max(axis=1, keepdims=True) / 7.0
+    assert (np.abs(np.asarray(w) - back) <= step / 2 + 1e-6).all()
+
+
+def test_int4_shared_mm_and_nativize_match_dequant():
+    """gpt2._mm on q4s == plain matmul on the dequantised weights, and the
+    nativized jnp.int4 form produces the IDENTICAL result (same grid)."""
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32) * 0.05)
+    qw = q.quantize_int4_shared(w)
+    x = jnp.asarray(rng.standard_normal((2, 3, 256)).astype(np.float32))
+    want = jnp.einsum("btk,kn->btn", x, q.dequantize(qw, jnp.float32))
+    got = gpt2._mm(x, qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    qn = jax.jit(q.nativize_int4)(qw)
+    assert qn["q4n"].dtype == jnp.int4 and qn["q4n"].shape == (256, 64)
+    got_n = jax.jit(lambda x, w: gpt2._mm(x, w))(x, qn)
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_int4_shared_decode_runs():
+    """inference_speech with the shared-scale batched layout (exercises the
+    in-program nativize at the top of the decode program)."""
+    import tests.test_unified_voice as tu
+    from indextts_tpu.models import unified_voice as uv
+
+    params = uv.init_params(jax.random.PRNGKey(0), tu.CFG)
+    qparams = q.quantize_gpt_params(params, bits=4, dtype=jnp.float32,
+                                    int4_layout="shared")
+    blk = qparams["gpt"]["blocks"]
+    assert "q4s" in blk["attn"]["qkv_w"]
+    assert blk["mlp"]["proj_w"]["s"].shape[1] == 1
+    assert "q4s" in qparams["mel_head"]["kernel"]
+    rng = np.random.default_rng(9)
+    cond = jnp.asarray(rng.standard_normal((2, 32, tu.CFG.model_dim)), jnp.float32)
+    t = [rng.integers(2, 40, (5,)), rng.integers(2, 40, (7,))]
+    prep = uv.prepare_text_prompt(t, tu.CFG.start_text_token, tu.CFG.stop_text_token)
+    r = uv.inference_speech(qparams, tu.CFG, cond, jnp.asarray(prep.text_tokens),
+                            jnp.asarray(prep.attn_text), jax.random.PRNGKey(0),
+                            max_new=8, do_sample=False, repetition_penalty=1.0,
+                            cache_dtype=jnp.float32)
+    assert r.codes.shape == (2, 8)
+
+
 def test_int4_packed_trunk_forward_close():
     import tests.test_unified_voice as tu
     from indextts_tpu.models import unified_voice as uv

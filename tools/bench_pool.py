@@ -23,6 +23,9 @@ def main() -> None:
     ap.add_argument("--reqs", type=int, default=32)
     ap.add_argument("--steps-per-tick", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bits", type=int, default=8, choices=[4, 8],
+                    help="weight tier: 8 = int8; 4 = shared-scale int4 "
+                         "(nativized to jnp.int4 inside each tick)")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +46,9 @@ def main() -> None:
     cfg = GPTConfig()
     params = jax.jit(lambda k: uv.init_params(k, cfg, dtype=jnp.bfloat16))(
         jax.random.PRNGKey(0))
-    params = jax.jit(lambda p: quant.quantize_gpt_params(p, bits=8))(params)
+    params = jax.jit(lambda p: quant.quantize_gpt_params(
+        p, bits=args.bits,
+        int4_layout="shared" if args.bits == 4 else "fused"))(params)
     jax.block_until_ready(params)
     rng = np.random.default_rng(args.seed)
     cond = jnp.asarray(
