@@ -231,6 +231,9 @@ class InferenceConfig:
     gpt: str = "bf16"
     vocoder: str = "bf16"
     cfg_scale: float = 1.0
+    # KV-cache storage: "auto" = fp8 when weight quantization is on,
+    # bf16 otherwise; "fp8" / "bf16" force a tier (engine.py)
+    kv_cache: str = "auto"
     quantization: QuantizationConfig = field(default_factory=QuantizationConfig)
 
     @classmethod

@@ -155,38 +155,65 @@ class IndexTTS:
         self.model_dir = model_dir
         self.model_version = self.cfg.version
 
-        # precision precedence: runtime args > config_inference.yaml >
-        # config.yaml [inference] > legacy is_fp16 (infer.py:213-306)
-        if precision_config is None:
-            inf_path = os.path.join(model_dir, "config_inference.yaml")
-            if os.path.exists(inf_path):
-                import yaml
+        # precision precedence, PER KEY: runtime args > config_inference.yaml
+        # > config.yaml [inference] > legacy is_fp16 (infer.py:213-306).
+        # Per-key matters: a runtime {"gpt": "int8"} must not silently reset
+        # the vocoder to fp32 when config.yaml says bf16 (r3 finding: the
+        # fp32 vocoder was ~35% of the beam-path e2e wall)
+        file_cfg: Dict[str, Any] = {}
+        inf_path = os.path.join(model_dir, "config_inference.yaml")
+        if os.path.exists(inf_path):
+            import yaml
 
-                with open(inf_path) as f:
-                    d = yaml.safe_load(f) or {}
-                precision_config = d.get("inference")
-            if precision_config is None:
-                precision_config = {
-                    "gpt": self.cfg.inference.gpt,
-                    "vocoder": self.cfg.inference.vocoder,
-                }
-        gpt_prec = str(precision_config.get("gpt", "bf16" if is_fp16 else "fp32"))
-        voc_prec = str(precision_config.get("vocoder", "bf16" if is_fp16 else "fp32"))
-        quant = precision_config.get("quantization", {}) or {}
+            with open(inf_path) as f:
+                d = yaml.safe_load(f) or {}
+            file_cfg = d.get("inference") or {}
+        import dataclasses as _dc
+
+        base = {
+            "gpt": self.cfg.inference.gpt,
+            "vocoder": self.cfg.inference.vocoder,
+            "cfg_scale": self.cfg.inference.cfg_scale,
+            "kv_cache": getattr(self.cfg.inference, "kv_cache", "auto"),
+            "quantization": _dc.asdict(self.cfg.inference.quantization),
+        }
+        runtime = dict(precision_config) if precision_config else {}
+
+        def pick(key, default=None):
+            for src in (runtime, file_cfg, base):
+                if src.get(key) is not None:
+                    return src[key]
+            return default
+
+        legacy = "bf16" if is_fp16 else "fp32"
+        gpt_prec = str(pick("gpt", legacy))
+        voc_prec = str(pick("vocoder", legacy))
+        quant = pick("quantization", {}) or {}
         self.use_quantization = bool(quant.get("enabled", False)) or gpt_prec in ("int8", "int4")
-        self.quant_weight_dtype = quant.get("weight_dtype", gpt_prec if gpt_prec in ("int8", "int4") else "int8")
+        # weight dtype: an explicitly-written quantization.weight_dtype
+        # (runtime or config_inference.yaml) wins; otherwise a quant-tier
+        # gpt precision names the dtype; the base-config default comes last
+        # (it always carries "int8" and must not shadow gpt="int4")
+        explicit_wd = next(
+            (src["quantization"]["weight_dtype"]
+             for src in (runtime, file_cfg)
+             if (src.get("quantization") or {}).get("weight_dtype")),
+            None)
+        self.quant_weight_dtype = explicit_wd or (
+            gpt_prec if gpt_prec in ("int8", "int4")
+            else quant.get("weight_dtype", "int8"))
         self.gpt_dtype = _resolve_dtype(gpt_prec)
         self.vocoder_dtype = _resolve_dtype(voc_prec)
         # fp8 KV-cache tier: half the cache traffic (attention + beam
         # reorder) for logits noise below the bf16 kernel noise (measured
         # max |Δlogit| 0.027 at full size).  Auto-on with weight
         # quantization; opt out with precision_config {"kv_cache": "bf16"}.
-        kv_pref = str(precision_config.get("kv_cache", "auto"))
+        kv_pref = str(pick("kv_cache", "auto"))
         if kv_pref == "fp8" or (kv_pref == "auto" and self.use_quantization):
             self.kv_cache_dtype = jnp.float8_e4m3fn
         else:
             self.kv_cache_dtype = None
-        self.cfg_scale = float(precision_config.get("cfg_scale", self.cfg.inference.cfg_scale))
+        self.cfg_scale = float(pick("cfg_scale", 1.0))
 
         self.stop_mel_token = self.cfg.gpt.stop_mel_token
         self._rng_seed = seed if seed is not None else 0

@@ -402,3 +402,35 @@ def test_cfg_scale_without_explicit_beams_takes_sampling_branch(engine):
     finally:
         uv.inference_speech = orig_sampling
         uv.inference_speech_beam = orig_beam
+
+
+def test_precision_precedence_per_key(model_dir):
+    """Runtime precision overrides apply PER KEY: {"gpt": "int8"} must not
+    reset the vocoder to fp32 when config.yaml says bf16 (the reference's
+    precedence chain, infer.py:213-306, is per setting)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from indextts_tpu import engine as engine_mod
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts = engine_mod.IndexTTS(
+            cfg_path=os.path.join(model_dir, "config.yaml"),
+            model_dir=model_dir, precision_config={"gpt": "int8"})
+    # config.yaml carries the InferenceConfig default vocoder: bf16
+    assert tts.vocoder_dtype == jnp.bfloat16
+    assert tts.gpt_dtype == jnp.bfloat16 and tts.use_quantization
+    assert tts.quant_weight_dtype == "int8"
+    # a quant-tier gpt precision names the weight dtype even though the
+    # base config's quantization block always says int8
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts4 = engine_mod.IndexTTS(
+            cfg_path=os.path.join(model_dir, "config.yaml"),
+            model_dir=model_dir, precision_config={"gpt": "int4"})
+    assert tts4.quant_weight_dtype == "int4"
+    # int4 ships dual layouts: fused (q4) + shared-scale batched (q4s)
+    assert "q4" in tts4.gpt_params["gpt"]["blocks"]["attn"]["qkv_w"]
+    assert "q4s" in tts4.gpt_params_batched["gpt"]["blocks"]["attn"]["qkv_w"]
