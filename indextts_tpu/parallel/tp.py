@@ -45,7 +45,7 @@ def gpt_param_specs(axis: str = "model") -> Dict[str, Any]:
 
 
 def _is_quantized_leaf(p) -> bool:
-    return isinstance(p, dict) and ("q" in p or "q4" in p)
+    return isinstance(p, dict) and ("q" in p or "q4" in p or "q4s" in p)
 
 
 def shard_gpt_params(params: Dict[str, Any], mesh: Mesh,
@@ -63,7 +63,7 @@ def shard_gpt_params(params: Dict[str, Any], mesh: Mesh,
 
     def place(p, spec):
         if _is_quantized_leaf(p):
-            qkey = "q" if "q" in p else "q4"
+            qkey = next(k for k in ("q", "q4", "q4s") if k in p)
             s_spec = spec if (len(spec) and spec[-1] == axis) else P()
             return {
                 qkey: jax.device_put(p[qkey], NamedSharding(mesh, spec)),

@@ -169,21 +169,24 @@ def test_flagship_aot_tp_decode_sharding():
     assert aot_check.has_collective(hlo)
 
 
-@pytest.mark.parametrize("bits", [8, 4])
-def test_tensor_parallel_quantized_trunk(bits):
-    """Weight-only-quantised trunks ({"q"|"q4","s"} dicts) must shard under
-    the same TP specs as fp weights: the int tensor keeps the fp spec, the
-    per-output-channel scale shards with the output dim (column-parallel)
-    or replicates (row-parallel), and the jitted forward matches the
-    unsharded quantised forward."""
+@pytest.mark.parametrize("layout", ["int8", "int4", "int4shared"])
+def test_tensor_parallel_quantized_trunk(layout):
+    """Weight-only-quantised trunks ({"q"|"q4"|"q4s","s"} dicts) must shard
+    under the same TP specs as fp weights: the int tensor keeps the fp spec,
+    the per-output-channel scale shards with the output dim (column-
+    parallel) or replicates (row-parallel), and the jitted forward matches
+    the unsharded quantised forward."""
     from indextts_tpu.models import gpt2
     from indextts_tpu.ops.quantization import quantize_gpt_params
     from indextts_tpu.parallel.tp import shard_gpt_params
 
+    bits = 8 if layout == "int8" else 4
     mesh = make_mesh((("model", 2), ("data", 4)))
     size = gpt2.GPT2Size(layers=2, dim=64, heads=4)
     params = gpt2.init_gpt2_params(jax.random.PRNGKey(0), size)
-    qparams = quantize_gpt_params({"gpt": params}, bits=bits)["gpt"]
+    qparams = quantize_gpt_params(
+        {"gpt": params}, bits=bits,
+        int4_layout="shared" if layout == "int4shared" else "fused")["gpt"]
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 6, 64)).astype(np.float32))
 
@@ -193,7 +196,7 @@ def test_tensor_parallel_quantized_trunk(bits):
         out = jax.jit(lambda p, h: gpt2.forward(p, h, None, size))(sp, x)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
 
-    qkey = "q4" if bits == 4 else "q"
+    qkey = {"int8": "q", "int4": "q4", "int4shared": "q4s"}[layout]
     attn = sp["blocks"]["attn"]
     # column-parallel qkv: int tensor AND scale shard the output dim
     assert attn["qkv_w"][qkey].sharding.spec == P(None, None, "model")
