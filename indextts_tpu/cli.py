@@ -28,6 +28,11 @@ def main(argv=None) -> int:
     p.add_argument("--cfg_scale", type=float, default=None,
                    help="classifier-free guidance scale (sampling mode; "
                         "1.0 = off)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel inference over N chips (trunk "
+                        "matmuls sharded over a 'model' mesh axis; the "
+                        "analogue of the reference's multi-GPU "
+                        "parallelize(), gpt/model.py:64-79)")
     args = p.parse_args(argv)
 
     if os.path.exists(args.output_path) and not args.force:
@@ -41,7 +46,7 @@ def main(argv=None) -> int:
     from indextts_tpu.engine import IndexTTS
 
     tts = IndexTTS(cfg_path=cfg_path, model_dir=args.model_dir,
-                   is_fp16=args.fp16, seed=args.seed)
+                   is_fp16=args.fp16, seed=args.seed, tp=args.tp)
     gen = {}
     if args.num_beams is not None:
         gen["num_beams"] = args.num_beams

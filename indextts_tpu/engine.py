@@ -148,6 +148,7 @@ class IndexTTS:
         precision_config: Optional[Dict[str, Any]] = None,
         gpt_path: Optional[str] = None,
         seed: Optional[int] = None,
+        tp: int = 0,
     ):
         del device, use_cuda_kernel
         enable_compile_cache()
@@ -228,6 +229,27 @@ class IndexTTS:
         # engine permanently locked (ADVICE r2 high).
         self._infer_lock = threading.Lock()
 
+        # --- tensor-parallel inference (opt-in) ---------------------------
+        # The TPU analogue of the reference's multi-GPU inference model
+        # parallelism (HF parallelize()/get_device_map, gpt/model.py:64-79,
+        # and DeepSpeed init_inference, :415-428): trunk matmuls shard over
+        # a ("model", tp) mesh (qkv/fc column-, proj row-parallel) and XLA
+        # inserts the all-reduces over ICI.  All jitted paths — sampling
+        # decode, beam decode, latent re-forward, conditioning, vocoder —
+        # run over the mesh via GSPMD sharding propagation; the single-chip
+        # fused Pallas trunk is disabled under TP.  Validated here, before
+        # any checkpoint loads, so a bad --tp fails fast.
+        self.tp_mesh = None
+        if tp and int(tp) > 1:
+            from indextts_tpu.parallel.mesh import make_mesh
+
+            n = int(tp)
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"tp={n} requires {n} devices; only "
+                    f"{len(jax.devices())} visible")
+            self.tp_mesh = make_mesh((("model", n),))
+
         # --- load models -------------------------------------------------
         from indextts_tpu.io import checkpoint as ckpt_io
 
@@ -287,6 +309,20 @@ class IndexTTS:
         self.bigvgan_params = jax.tree.map(
             lambda x: jnp.asarray(x, self.vocoder_dtype), self.bigvgan_params)
 
+        if self.tp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from indextts_tpu.parallel.tp import shard_uv_params
+
+            self.gpt_params_batched = shard_uv_params(
+                self.gpt_params_batched, self.tp_mesh)
+            # the fused-layout tree is unused under TP (fused trunk is
+            # single-chip); point it at the sharded tree so conditioning
+            # and any explicit use share one placement
+            self.gpt_params = self.gpt_params_batched
+            rep = NamedSharding(self.tp_mesh, PartitionSpec())
+            self.bigvgan_params = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self.bigvgan_params)
+
         # --- text front-end ---------------------------------------------
         bpe_path = os.path.join(model_dir, self.cfg.dataset.bpe_model)
         self.normalizer = TextNormalizer()
@@ -328,10 +364,21 @@ class IndexTTS:
         if self.gr_progress is not None:
             self.gr_progress(value, desc=desc)
 
+    def _rep(self, x) -> jnp.ndarray:
+        """Device placement for host/default-device arrays: replicated over
+        the TP mesh when tensor parallelism is on (mixing arrays committed
+        to different device sets in one jit call is an error), identity
+        otherwise."""
+        if self.tp_mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(x, NamedSharding(self.tp_mesh, PartitionSpec()))
+
     def _prompt_mel(self, audio_prompt: str) -> jnp.ndarray:
         if self.cache_cond_mel is None or self.cache_audio_prompt != audio_prompt:
             wav = audio_io.load_prompt_audio(audio_prompt, self.cfg.dataset.sample_rate)
-            mel = self._mel_extractor(jnp.asarray(wav))  # [1, 100, T]
+            mel = self._rep(self._mel_extractor(jnp.asarray(wav)))  # [1, 100, T]
             self.cache_audio_prompt = audio_prompt
             self.cache_cond_mel = mel
         return self.cache_cond_mel
@@ -341,12 +388,14 @@ class IndexTTS:
         if speaker_id is not None:
             if speaker_id not in self.speaker_conditions:
                 raise ValueError(f"unknown speaker_id: {speaker_id}")
-            return jnp.asarray(self.speaker_conditions[speaker_id], self.gpt_dtype)
+            return self._rep(jnp.asarray(self.speaker_conditions[speaker_id],
+                                         self.gpt_dtype))
         if cond_mel is None:
             # checkpoint-level mean condition when no prompt is given
             # (reference get_conditioning fallback, gpt/model.py:511-517)
             if self.mean_condition is not None:
-                return jnp.asarray(self.mean_condition, self.gpt_dtype)
+                return self._rep(jnp.asarray(self.mean_condition,
+                                             self.gpt_dtype))
             raise ValueError(
                 "no audio prompt, no speaker_id, and the checkpoint carries "
                 "no mean_condition — cannot derive speaker conditioning")
@@ -414,7 +463,8 @@ class IndexTTS:
         use_fused = bool(generation.get(
             "use_fused_trunk",
             len(token_lists) == 1 and self.use_quantization
-            and cfg_scale == 1.0 and jax.default_backend() == "tpu"))
+            and cfg_scale == 1.0 and jax.default_backend() == "tpu"
+            and self.tp_mesh is None))  # fused Pallas trunk is single-chip
         if num_beams > 1:
             if cfg_scale != 1.0:
                 warnings.warn(
@@ -844,6 +894,13 @@ class IndexTTS:
         path: submit tokenised sentences, drain codes as they finish."""
         from indextts_tpu.serve.scheduler import ContinuousBatcher
 
+        if self.tp_mesh is not None:
+            # the pool's fused admit/step programs manage a donated
+            # device-resident state tree; they are single-chip by design
+            raise ValueError(
+                "continuous batching (--continuous) is not supported with "
+                "tensor-parallel inference (tp>1); run the pool on one chip "
+                "or use infer/infer_fast/infer_stream under TP")
         if audio_prompt is None and speaker_id is None and self.mean_condition is None:
             # pool base conditioning; per-request conds (submit(cond=...))
             # override it, so a promptless pool is fine

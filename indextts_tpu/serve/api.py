@@ -35,10 +35,14 @@ def create_app(
     speaker_info_path: Optional[str] = None,
     engine_instance: Optional[IndexTTS] = None,
     continuous: bool = False,
+    tp: int = 0,
 ) -> "FastAPI":
     app = FastAPI(title="IndexTTS-TPU")
     state = {"tts": engine_instance, "gpt_path": gpt_path}
     pool_service = None
+    if continuous and tp and tp > 1:
+        raise ValueError("--continuous and --tp are mutually exclusive "
+                         "(the decode pool is single-chip)")
     if continuous:
         # shared cross-request decode pool (serve/httpd.TTSService drives it)
         from indextts_tpu.serve.httpd import TTSService
@@ -52,7 +56,8 @@ def create_app(
         if state["tts"] is None:
             state["tts"] = IndexTTS(
                 cfg_path=cfg_path, model_dir=model_dir,
-                gpt_path=state["gpt_path"], speaker_info_path=speaker_info_path)
+                gpt_path=state["gpt_path"], speaker_info_path=speaker_info_path,
+                tp=tp)
         return state["tts"]
 
     async def _save_upload(audio_file) -> Optional[str]:
@@ -328,6 +333,8 @@ def main(argv=None) -> None:
                    help="precompile common decode shapes before serving")
     p.add_argument("--continuous", action="store_true",
                    help="cross-request continuous-batching decode pool")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel inference over N chips")
     args = p.parse_args(argv)
 
     import uvicorn
@@ -336,12 +343,12 @@ def main(argv=None) -> None:
     if args.warmup:
         eng = IndexTTS(cfg_path=args.config, model_dir=args.model_dir,
                        gpt_path=args.gpt_path,
-                       speaker_info_path=args.speaker_info)
+                       speaker_info_path=args.speaker_info, tp=args.tp)
         eng.warmup(batch_sizes=(1, 4), num_beams=1)
         eng.warmup(batch_sizes=(1, 4), num_beams=3)
     app = create_app(args.config, args.model_dir, args.gpt_path,
                      args.speaker_info, engine_instance=eng,
-                     continuous=args.continuous)
+                     continuous=args.continuous, tp=args.tp)
     uvicorn.run(app, host=args.host, port=args.port)
 
 

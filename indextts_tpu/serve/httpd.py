@@ -49,11 +49,16 @@ class TTSService:
                  speaker_info_path: Optional[str] = None,
                  engine_instance: Optional[IndexTTS] = None,
                  continuous: bool = False,
-                 pool_kwargs: Optional[Dict[str, Any]] = None):
+                 pool_kwargs: Optional[Dict[str, Any]] = None,
+                 tp: int = 0):
+        if continuous and tp and tp > 1:
+            raise ValueError("--continuous and --tp are mutually exclusive "
+                             "(the decode pool is single-chip)")
         self.cfg_path = cfg_path
         self.model_dir = model_dir
         self.gpt_path = gpt_path
         self.speaker_info_path = speaker_info_path
+        self.tp = tp
         self._tts = engine_instance
         self._lock = threading.RLock()
         self.continuous = continuous
@@ -87,7 +92,7 @@ class TTSService:
                 self._tts = IndexTTS(
                     cfg_path=self.cfg_path, model_dir=self.model_dir,
                     gpt_path=self.gpt_path,
-                    speaker_info_path=self.speaker_info_path)
+                    speaker_info_path=self.speaker_info_path, tp=self.tp)
             return self._tts
 
     def models(self) -> Dict[str, Any]:
@@ -429,9 +434,11 @@ def main(argv=None) -> None:
     p.add_argument("--port", type=int, default=7859)
     p.add_argument("--continuous", action="store_true",
                    help="cross-request continuous-batching decode pool")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel inference over N chips")
     args = p.parse_args(argv)
     httpd = serve(args.config, args.model_dir, args.host, args.port,
-                  continuous=args.continuous)
+                  continuous=args.continuous, tp=args.tp)
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

@@ -434,3 +434,61 @@ def test_precision_precedence_per_key(model_dir):
     # int4 ships dual layouts: fused (q4) + shared-scale batched (q4s)
     assert "q4" in tts4.gpt_params["gpt"]["blocks"]["attn"]["qkv_w"]
     assert "q4s" in tts4.gpt_params_batched["gpt"]["blocks"]["attn"]["qkv_w"]
+
+
+def test_engine_tensor_parallel_infer_matches_single(model_dir, engine, tmp_path):
+    """Engine-level tensor-parallel inference (tp=2 over the virtual mesh)
+    must synthesize the same audio as the single-device engine — the served
+    counterpart of test_multichip.py::test_tensor_parallel_decode and the
+    analogue of the reference's multi-GPU parallelize() inference
+    (gpt/model.py:64-79), here as sharded matmuls instead of serialized
+    layer placement."""
+    import warnings
+
+    from indextts_tpu import engine as engine_mod
+    from indextts_tpu.utils.audio import read_wav
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts_tp = engine_mod.IndexTTS(
+            cfg_path=os.path.join(model_dir, "config.yaml"),
+            model_dir=model_dir, is_fp16=False,
+            precision_config={"gpt": "fp32", "vocoder": "fp32"}, tp=2)
+    assert tts_tp.tp_mesh is not None
+    # trunk sharded over the model axis, vocoder replicated on the mesh
+    qkv = tts_tp.gpt_params_batched["gpt"]["blocks"]["attn"]["qkv_w"]
+    assert "model" in str(qkv.sharding.spec)
+    gen = dict(max_mel_tokens=8, do_sample=False, repetition_penalty=1.0,
+               num_beams=1)
+    ref_path = str(tmp_path / "ref.wav")
+    tp_path = str(tmp_path / "tp.wav")
+    engine.infer(SAMPLE, "你好。", ref_path, seed=11, **gen)
+    tts_tp.infer(SAMPLE, "你好。", tp_path, seed=11, **gen)
+    ref_wav, sr_ref = read_wav(ref_path)
+    tp_wav, sr_tp = read_wav(tp_path)
+    assert sr_ref == sr_tp
+    assert ref_wav.shape == tp_wav.shape
+    # greedy fp32 decode is code-exact under TP (test_multichip decode
+    # parity); the replicated fp32 vocoder leaves at most rounding-level
+    # int16 differences
+    np.testing.assert_allclose(tp_wav.astype(np.float32),
+                               ref_wav.astype(np.float32), atol=2.0)
+
+
+def test_engine_tp_rejects_pool_and_bad_device_count(model_dir):
+    import warnings
+
+    from indextts_tpu import engine as engine_mod
+
+    with pytest.raises(ValueError, match="tp=64 requires"):
+        engine_mod.IndexTTS(
+            cfg_path=os.path.join(model_dir, "config.yaml"),
+            model_dir=model_dir, tp=64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tts_tp = engine_mod.IndexTTS(
+            cfg_path=os.path.join(model_dir, "config.yaml"),
+            model_dir=model_dir, is_fp16=False,
+            precision_config={"gpt": "fp32", "vocoder": "fp32"}, tp=2)
+    with pytest.raises(ValueError, match="not supported with"):
+        tts_tp.create_batcher()
