@@ -16,14 +16,31 @@ program built on gpt2.decode_step_rows (per-row cache positions).
 Host↔device discipline (the round-1 weakness was host work serialising
 the pool on the link's dispatch latency):
   * per tick the host issues exactly ONE jitted call (`_step_kernel`) and
-    ONE tiny flags fetch — and the fetch is a tick LATE, so the device
-    never waits on the host;
+    ONE packed fetch — and the fetch is a tick LATE, so the device never
+    waits on the host;
   * everything else lives on device: generated tokens accumulate in a
     codes buffer [S, max_new] fetched once per finished request; `active`
     self-deactivates on device (stop token or per-slot token budget); the
     RNG folds inside the kernel from a host step counter;
   * admissions are batched — all free slots prefill + first-sample in ONE
     jitted call at a common bucketed width.
+
+Staged refill (zero-dead-step continuous batching): with `staging_rows`
+K > 0 the pool additionally carries K staging rows — prefilled, first-
+sampled requests parked NEXT TO the live slots.  The step kernel itself
+swaps the oldest staged request into a slot on the very step the slot
+deactivates, evacuating the finished request's codes to an outbox row in
+that tick's report.  Without staging, a finished slot sits dead for the
+rest of its tick plus a full report-lag tick (~1.5 ticks ≈ 24 steps at
+steps_per_tick=16) before the host can refill it; with staging the dead
+time is zero steps.  Refills use drop-mode scatters (index = S when no
+refill fires), never `lax.cond`, so the untaken path costs only the
+staged row's ~10 MB gather (~1-2% of a step) and no conditional buffer
+copies.  The host reconciles entirely through per-request sequence
+numbers carried in the report (slot occupancy) and the outbox
+(evacuations), so admission↔refill races are impossible by construction:
+direct slot admission happens only while the staged FIFO is empty, which
+proves no in-flight refill can touch a slot the host believes free.
 """
 
 from __future__ import annotations
@@ -42,6 +59,11 @@ from indextts_tpu.models import unified_voice as uv
 from indextts_tpu.models.gpt2 import KVCache
 from indextts_tpu.ops import quantization, sampling
 
+# report/outbox row tags: seq >= 0 is a live request id; _EMPTY_SEQ marks a
+# never-occupied slot; _PAD_SEQ marks an unused outbox row
+_EMPTY_SEQ = -1
+_PAD_SEQ = -2
+
 
 class PoolState(NamedTuple):
     cache: KVCache              # [L, S, H, cache_len, hd]
@@ -53,29 +75,30 @@ class PoolState(NamedTuple):
     codes: jnp.ndarray          # [S, max_new] generated tokens (device-side)
     active: jnp.ndarray         # [S] bool, self-deactivating
     budget: jnp.ndarray         # [S] per-slot max_new
+    slot_seq: jnp.ndarray       # [S] request seq occupying each slot (-1 none)
+    # --- staging rows (K may be 0: staged refill disabled) ----------------
+    stage_cache: KVCache        # [L, K, H, stage_len, hd] prefilled prefixes
+    stage_ready: jnp.ndarray    # [K] bool, consumable by the step kernel
+    stage_seq: jnp.ndarray      # [K] request seq (kernel consumes min first)
+    stage_prev_tok: jnp.ndarray  # [K] first sampled token
+    stage_base: jnp.ndarray     # [K] prefill length
+    stage_mask: jnp.ndarray     # [K, stage_len]
+    stage_presence: jnp.ndarray  # [K, V]
+    stage_budget: jnp.ndarray   # [K]
+    stage_active: jnp.ndarray   # [K] bool (first token not stop, budget > 1)
 
 
 # --- jitted kernels (module level: params passed explicitly so weights are
 # traced arguments, not compile-time constants) -----------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "cache_dtype", "temperature", "top_k", "top_p",
-                     "repetition_penalty", "do_sample"),
-    donate_argnames=("state",))
-def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
-                         text_tokens, text_mask, rng_base, admit_idx, slots,
-                         budgets, cache_dtype, temperature, top_k, top_p,
-                         repetition_penalty, do_sample) -> PoolState:
-    """Batched prefill of B requests + first-token sampling + scatter-insert
-    into the pool — ONE dispatch per admission burst (the former
-    _admit_kernel + per-slot _insert_kernel split cost 1+B dispatches at
-    ~5 ms each on the tunnel, stalling every live slot).
 
-    `slots` [B] are destination rows; padded rows carry slot == S and are
-    dropped by the scatter (mode="drop").  A first-token stop deactivates
-    the slot ON DEVICE (active=False), so admission needs no host fetch at
-    all — the empty result surfaces through the normal lagged report."""
+def _prefill_first_sample(params, cfg: GPTConfig, cond, text_tokens,
+                          text_mask, rng_base, admit_idx, cache_dtype,
+                          temperature, top_k, top_p, repetition_penalty,
+                          do_sample):
+    """Shared prefill + first-token sample for admissions and staging:
+    [cond | text | start_mel] prefix → (burst KV cache, prefix mask, first
+    token, presence table).  P (the prefill length) is static."""
     size = uv.trunk_size(cfg)
     B = text_tokens.shape[0]
     if cond.shape[0] == 1 and B > 1:
@@ -103,8 +126,32 @@ def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
         jnp.zeros((B,), bool), stop_token=cfg.stop_mel_token,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, do_sample=do_sample)
+    return cache, pmask, tok, presence
 
-    P = emb.shape[1]
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "cache_dtype", "temperature", "top_k", "top_p",
+                     "repetition_penalty", "do_sample"),
+    donate_argnames=("state",))
+def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
+                         text_tokens, text_mask, rng_base, admit_idx, slots,
+                         budgets, seqs, cache_dtype, temperature, top_k,
+                         top_p, repetition_penalty, do_sample) -> PoolState:
+    """Batched prefill of B requests + first-token sampling + scatter-insert
+    into the pool — ONE dispatch per admission burst (the former
+    _admit_kernel + per-slot _insert_kernel split cost 1+B dispatches at
+    ~5 ms each on the tunnel, stalling every live slot).
+
+    `slots` [B] are destination rows; padded rows carry slot == S and are
+    dropped by the scatter (mode="drop").  A first-token stop deactivates
+    the slot ON DEVICE (active=False), so admission needs no host fetch at
+    all — the empty result surfaces through the normal lagged report."""
+    cache, pmask, tok, presence = _prefill_first_sample(
+        params, cfg, cond, text_tokens, text_mask, rng_base, admit_idx,
+        cache_dtype, temperature, top_k, top_p, repetition_penalty,
+        do_sample)
+    P = pmask.shape[1]
     cache_len = state.full_mask.shape[1]
     drop = dict(mode="drop")
     new_cache = KVCache(
@@ -114,8 +161,9 @@ def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
             cache.v.astype(state.cache.v.dtype), **drop),
     )
     row_mask = jnp.pad(pmask, ((0, 0), (0, cache_len - P)))
-    codes_rows = jnp.zeros((B, state.codes.shape[1]), jnp.int32).at[:, 0].set(tok)
-    return PoolState(
+    codes_rows = jnp.zeros((pmask.shape[0], state.codes.shape[1]),
+                           jnp.int32).at[:, 0].set(tok)
+    return state._replace(
         cache=new_cache,
         prev_tok=state.prev_tok.at[slots].set(tok, **drop),
         n_gen=state.n_gen.at[slots].set(1, **drop),
@@ -128,6 +176,48 @@ def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
         active=state.active.at[slots].set(
             jnp.logical_and(tok != cfg.stop_mel_token, budgets > 1), **drop),
         budget=state.budget.at[slots].set(budgets, **drop),
+        slot_seq=state.slot_seq.at[slots].set(seqs, **drop),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "cache_dtype", "temperature", "top_k", "top_p",
+                     "repetition_penalty", "do_sample"),
+    donate_argnames=("state",))
+def _stage_kernel(params, cfg: GPTConfig, state: PoolState, cond,
+                  text_tokens, text_mask, rng_base, admit_idx, rows,
+                  budgets, seqs, cache_dtype, temperature, top_k, top_p,
+                  repetition_penalty, do_sample) -> PoolState:
+    """Prefill + first-sample a burst into STAGING rows (`rows` [B]; padded
+    rows carry K and are dropped).  The step kernel swaps staged requests
+    into slots as they free — the host never touches live slots while
+    staging is in flight."""
+    cache, pmask, tok, presence = _prefill_first_sample(
+        params, cfg, cond, text_tokens, text_mask, rng_base, admit_idx,
+        cache_dtype, temperature, top_k, top_p, repetition_penalty,
+        do_sample)
+    P = pmask.shape[1]
+    stage_len = state.stage_mask.shape[1]
+    drop = dict(mode="drop")
+    new_stage_cache = KVCache(
+        state.stage_cache.k.at[:, rows, :, :P, :].set(
+            cache.k.astype(state.stage_cache.k.dtype), **drop),
+        state.stage_cache.v.at[:, rows, :, :P, :].set(
+            cache.v.astype(state.stage_cache.v.dtype), **drop),
+    )
+    row_mask = jnp.pad(pmask, ((0, 0), (0, stage_len - P)))
+    return state._replace(
+        stage_cache=new_stage_cache,
+        stage_ready=state.stage_ready.at[rows].set(True, **drop),
+        stage_seq=state.stage_seq.at[rows].set(seqs, **drop),
+        stage_prev_tok=state.stage_prev_tok.at[rows].set(tok, **drop),
+        stage_base=state.stage_base.at[rows].set(P, **drop),
+        stage_mask=state.stage_mask.at[rows].set(row_mask, **drop),
+        stage_presence=state.stage_presence.at[rows].set(presence, **drop),
+        stage_budget=state.stage_budget.at[rows].set(budgets, **drop),
+        stage_active=state.stage_active.at[rows].set(
+            jnp.logical_and(tok != cfg.stop_mel_token, budgets > 1), **drop),
     )
 
 
@@ -165,11 +255,73 @@ def _step_core(params, cfg: GPTConfig, state: PoolState, rng, cache_dtype,
     done = jnp.logical_and(active,
                            jnp.logical_or(tok == cfg.stop_mel_token,
                                           n_gen >= state.budget))
-    return PoolState(
-        cache=cache, prev_tok=tok, n_gen=n_gen, base=state.base,
-        full_mask=full_mask, presence=presence, codes=codes,
-        active=jnp.logical_and(active, ~done), budget=state.budget,
+    return state._replace(
+        cache=cache, prev_tok=tok, n_gen=n_gen, full_mask=full_mask,
+        presence=presence, codes=codes,
+        active=jnp.logical_and(active, ~done),
     )
+
+
+def _refill_one(state: PoolState, outbox: jnp.ndarray,
+                out_n: jnp.ndarray) -> Tuple[PoolState, jnp.ndarray, jnp.ndarray]:
+    """Swap the oldest READY staged request into the first free slot (at
+    most one per step — slots finish far less than once per step, and any
+    backlog clears on the following steps).  The evicted occupant's
+    (seq, n_gen, codes) goes to the outbox so the host can finish it even
+    though its slot row is overwritten.
+
+    No lax.cond: every update is a drop-mode scatter whose index goes out
+    of bounds when no refill fires, so the untaken path writes nothing and
+    costs only the staged row's gather (~1-2% of a decode step)."""
+    S = state.prev_tok.shape[0]
+    K = state.stage_ready.shape[0]
+    free = ~state.active
+    ready = state.stage_ready
+    do = jnp.logical_and(jnp.any(free), jnp.any(ready))
+    big = jnp.iinfo(jnp.int32).max
+    slot = jnp.argmax(free)                     # first free slot
+    srow = jnp.argmin(jnp.where(ready, state.stage_seq, big))  # FIFO order
+    slot_w = jnp.where(do, slot, S)             # S → scatter drops
+    srow_r = jnp.where(do, srow, 0)             # any valid row for gathers
+    drop = dict(mode="drop")
+
+    # evacuate the slot's current occupant (finished request, or _EMPTY_SEQ
+    # for a never-used slot — the host skips those)
+    out_row = jnp.concatenate([
+        jnp.stack([jnp.int32(0), state.n_gen[slot_w % S],
+                   jnp.where(do, state.slot_seq[slot_w % S], _PAD_SEQ)]),
+        state.codes[slot_w % S]])
+    out_idx = jnp.where(do, out_n, outbox.shape[0])
+    outbox = outbox.at[out_idx].set(out_row, **drop)
+    out_n = out_n + do.astype(jnp.int32)
+
+    stage_len = state.stage_mask.shape[1]
+    cache = KVCache(
+        state.cache.k.at[:, slot_w, :, :stage_len, :].set(
+            state.stage_cache.k[:, srow_r], **drop),
+        state.cache.v.at[:, slot_w, :, :stage_len, :].set(
+            state.stage_cache.v[:, srow_r], **drop),
+    )
+    fm = jnp.zeros((state.full_mask.shape[1],),
+                   jnp.int32).at[:stage_len].set(state.stage_mask[srow_r])
+    first = state.stage_prev_tok[srow_r]
+    srow_w = jnp.where(do, srow, K)
+    return state._replace(
+        cache=cache,
+        prev_tok=state.prev_tok.at[slot_w].set(first, **drop),
+        n_gen=state.n_gen.at[slot_w].set(1, **drop),
+        base=state.base.at[slot_w].set(state.stage_base[srow_r], **drop),
+        full_mask=state.full_mask.at[slot_w].set(fm, **drop),
+        presence=state.presence.at[slot_w].set(
+            state.stage_presence[srow_r], **drop),
+        codes=state.codes.at[slot_w].set(
+            jnp.zeros((state.codes.shape[1],), jnp.int32).at[0].set(first),
+            **drop),
+        active=state.active.at[slot_w].set(state.stage_active[srow_r], **drop),
+        budget=state.budget.at[slot_w].set(state.stage_budget[srow_r], **drop),
+        slot_seq=state.slot_seq.at[slot_w].set(state.stage_seq[srow_r], **drop),
+        stage_ready=state.stage_ready.at[srow_w].set(False, **drop),
+    ), outbox, out_n
 
 
 @functools.partial(
@@ -180,24 +332,39 @@ def _step_core(params, cfg: GPTConfig, state: PoolState, rng, cache_dtype,
 def _step_kernel(params, cfg: GPTConfig, state: PoolState, rng_base, step_idx,
                  cache_dtype, temperature, top_k, top_p, repetition_penalty,
                  do_sample, steps: int = 1) -> Tuple[PoolState, jnp.ndarray]:
-    """`steps` decode steps in ONE dispatch (lax.scan), then a packed report
-    [S, max_new + 2] = (active, n_gen, codes-row) per slot.  Multi-step
-    ticks amortise the per-call dispatch + fetch latency of high-latency
-    links (the axon tunnel costs ~5 ms/dispatch and ~30 ms/fetch)."""
+    """`steps` decode steps in ONE dispatch (lax.scan), each followed by an
+    in-kernel staged refill, then ONE packed int32 report:
+
+        rows [0, S)        : (active, n_gen, slot_seq, codes-row) per slot
+        rows [S, S+steps)  : outbox — (0, n_gen, seq, codes-row) per refill
+                             evacuation this tick, padding rows seq=_PAD_SEQ
+
+    Multi-step ticks amortise the per-call dispatch + fetch latency of
+    high-latency links (the axon tunnel costs ~5 ms/dispatch and
+    ~30 ms/fetch); the single packed array keeps the tick at one fetch."""
     # shared-scale int4 weights nativize once per tick, outside the scan
     # (ops/quantization.nativize_int4) — each step then reads native int4
     params = quantization.nativize_int4(params)
+    K = state.stage_ready.shape[0]
+    max_new = state.codes.shape[1]
+    n_out = steps if K else 0
+    outbox0 = jnp.full((n_out, 3 + max_new), _PAD_SEQ, jnp.int32)
 
-    def body(st, i):
-        return _step_core(params, cfg, st, jax.random.fold_in(rng_base, i),
-                          cache_dtype, temperature, top_k, top_p,
-                          repetition_penalty, do_sample), None
+    def body(carry, i):
+        st, ob, on = carry
+        st = _step_core(params, cfg, st, jax.random.fold_in(rng_base, i),
+                        cache_dtype, temperature, top_k, top_p,
+                        repetition_penalty, do_sample)
+        if K:
+            st, ob, on = _refill_one(st, ob, on)
+        return (st, ob, on), None
 
-    state, _ = jax.lax.scan(body, state, step_idx + jnp.arange(steps))
+    (state, outbox, _), _ = jax.lax.scan(
+        body, (state, outbox0, jnp.int32(0)), step_idx + jnp.arange(steps))
     report = jnp.concatenate(
         [state.active.astype(jnp.int32)[:, None], state.n_gen[:, None],
-         state.codes], axis=1)
-    return state, report
+         state.slot_seq[:, None], state.codes], axis=1)
+    return state, jnp.concatenate([report, outbox], axis=0)
 
 
 @dataclasses.dataclass
@@ -230,6 +397,7 @@ class ContinuousBatcher:
         seed: int = 0,
         steps_per_tick: int = 1,
         adaptive_ticks: bool = False,
+        staging_rows: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -238,12 +406,25 @@ class ContinuousBatcher:
         self.max_new = max_new
         self.max_text_width = max_text_width
         self.cache_len = cfg.condition_num_latent + max_text_width + 2 + 1 + max_new
+        self.stage_len = self.cache_len - max_new
         self.size = uv.trunk_size(cfg)
         self.sampling_kwargs = dict(
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, do_sample=do_sample)
         self.cache_dtype = cache_dtype
         self.kv_dtype = kv_dtype
+        # staged refill default: on (min(8, S) rows) for multi-step ticks,
+        # where the report lag costs ~1.5 ticks of dead slot-steps per
+        # finish; off for single-step ticks (lag ≈ 2 steps, not worth the
+        # staging dispatches)
+        if staging_rows is None:
+            staging_rows = min(8, num_slots) if steps_per_tick > 1 else 0
+        if adaptive_ticks and staging_rows:
+            raise ValueError(
+                "adaptive_ticks and staged refill are mutually exclusive "
+                "(adaptive tick sizing needs host-side slot occupancy, "
+                "which in-kernel refill makes stale); pass staging_rows=0")
+        self.K = int(staging_rows)
         # independent fold domains: decode steps fold an unbounded absolute
         # step index, admissions fold a burst counter — a fixed offset
         # (the old admit_count + 2^20) collides once step_count crosses 2^20
@@ -255,9 +436,9 @@ class ContinuousBatcher:
         self.adaptive_ticks = adaptive_ticks
         self._admit_count = 0
 
+        kv = kv_dtype or cache_dtype
         self.state = PoolState(
-            cache=KVCache.zeros(self.size, self.S, self.cache_len,
-                                kv_dtype or cache_dtype),
+            cache=KVCache.zeros(self.size, self.S, self.cache_len, kv),
             prev_tok=jnp.full((self.S,), cfg.stop_mel_token, jnp.int32),
             n_gen=jnp.zeros((self.S,), jnp.int32),
             base=jnp.zeros((self.S,), jnp.int32),
@@ -266,9 +447,26 @@ class ContinuousBatcher:
             codes=jnp.zeros((self.S, max_new), jnp.int32),
             active=jnp.zeros((self.S,), bool),
             budget=jnp.zeros((self.S,), jnp.int32),
+            slot_seq=jnp.full((self.S,), _EMPTY_SEQ, jnp.int32),
+            stage_cache=KVCache.zeros(self.size, self.K, self.stage_len, kv),
+            stage_ready=jnp.zeros((self.K,), bool),
+            stage_seq=jnp.full((self.K,), _EMPTY_SEQ, jnp.int32),
+            stage_prev_tok=jnp.zeros((self.K,), jnp.int32),
+            stage_base=jnp.zeros((self.K,), jnp.int32),
+            stage_mask=jnp.zeros((self.K, self.stage_len), jnp.int32),
+            stage_presence=jnp.zeros((self.K, cfg.number_mel_codes), bool),
+            stage_budget=jnp.zeros((self.K,), jnp.int32),
+            stage_active=jnp.zeros((self.K,), bool),
         )
-        self._slot_req: List[Optional[_Request]] = [None] * self.S
-        self._slot_admit_step = [0] * self.S   # step_count at admission
+        # host bookkeeping is keyed by per-request seq (assigned at
+        # admission/staging); slots are reconciled from report rows
+        self._live: Dict[int, _Request] = {}      # admitted or staged, unfinished
+        self._next_seq = 0
+        self._slot_req: List[Optional[_Request]] = [None] * self.S  # direct admits
+        self._slot_busy = [False] * self.S
+        self._slot_admit_step = [0] * self.S   # step_count at direct admission
+        self._staged_fifo: List[Tuple[int, int]] = []   # (seq, staging row)
+        self._stage_free_rows: List[int] = list(range(self.K))
         self._queue: List[_Request] = []
         self._next_id = 0
         # one-tick-lagged report handle: (step_count_at_dispatch_end, handle)
@@ -299,19 +497,14 @@ class ContinuousBatcher:
         self._queue.append(req)
         return req.req_id
 
-    def _admit(self) -> None:
-        """Fill every free slot from the queue with ONE batched prefill."""
-        free = [s for s in range(self.S) if self._slot_req[s] is None]
-        take = min(len(free), len(self._queue))
-        if take == 0:
-            return
-        slots = free[:take]
-        reqs = self._queue[:take]
+    def _prep_burst(self, reqs: List[_Request]):
+        """Pad/bucket a burst's text + conditioning.  Batch is bucketed to a
+        power of two and width to 32-multiples so admission shapes (and thus
+        compiles) stay a small fixed set."""
         prep = uv.prepare_text_prompt(
             [r.text_ids for r in reqs],
             self.cfg.start_text_token, self.cfg.stop_text_token)
-        # bucket batch AND width so admission shapes (and thus compiles)
-        # stay a small fixed set: B ∈ {1,2,4,8,...}, width in 32-multiples
+        take = len(reqs)
         Bb = 1
         while Bb < take:
             Bb *= 2
@@ -322,7 +515,6 @@ class ContinuousBatcher:
             raise ValueError(
                 f"prompt of {prep_w - 2} text tokens exceeds the pool's "
                 f"max_text_width={self.max_text_width}")
-        del self._queue[:take]
         width = min(max(32, -(-prep_w // 32) * 32), self.max_text_width + 2)
         pad = width - prep_w
         tokens = np.pad(prep.text_tokens, ((0, 0), (pad, 0)))
@@ -343,45 +535,116 @@ class ContinuousBatcher:
             cond_arg = jnp.asarray(conds, self.cond.dtype)
         else:
             cond_arg = self.cond
-        # padded rows carry slot index S → dropped by the kernel's scatter
-        slots_arr = np.full((Bb,), self.S, np.int32)
-        slots_arr[:take] = slots
         budgets = np.zeros((Bb,), np.int32)
         budgets[:take] = [r.max_new for r in reqs]
-        # NO host fetch here: a first-token stop deactivates the slot on
-        # device inside the kernel and the empty result surfaces through
-        # the lagged report (a sync fetch per admission burst cost ~30 ms on
-        # the tunnel and stalled every live slot)
-        self.state = _admit_insert_kernel(
-            self.params, self.cfg, self.state, cond_arg, jnp.asarray(tokens),
-            jnp.asarray(mask), self.rng_admit, self._admit_count,
-            jnp.asarray(slots_arr), jnp.asarray(budgets),
-            self.cache_dtype, **self.sampling_kwargs)
-        self._admit_count += 1
-        for slot, req in zip(slots, reqs):
-            self._slot_req[slot] = req
-            self._slot_admit_step[slot] = self.step_count
+        return tokens, mask, cond_arg, budgets, Bb
 
-    def _finish(self, slot: int, n_gen: int, codes_row: np.ndarray) -> None:
-        req = self._slot_req[slot]
-        assert req is not None
+    def _assign_seqs(self, n: int) -> List[int]:
+        seqs = list(range(self._next_seq, self._next_seq + n))
+        self._next_seq += n
+        return seqs
+
+    def _admit(self) -> None:
+        """Move queued requests onto the device: directly into slots the
+        host knows are free (safe only while the staged FIFO is empty — see
+        module docstring), then into free staging rows."""
+        if not self._queue:
+            return
+        if not self._staged_fifo:
+            free = [s for s in range(self.S) if not self._slot_busy[s]]
+            take = min(len(free), len(self._queue))
+            if take:
+                slots = free[:take]
+                reqs = self._queue[:take]
+                tokens, mask, cond_arg, budgets, Bb = self._prep_burst(reqs)
+                del self._queue[:take]
+                seqs = self._assign_seqs(take)
+                # padded rows carry slot index S → dropped by the scatter
+                slots_arr = np.full((Bb,), self.S, np.int32)
+                slots_arr[:take] = slots
+                seqs_arr = np.full((Bb,), _EMPTY_SEQ, np.int32)
+                seqs_arr[:take] = seqs
+                # NO host fetch here: a first-token stop deactivates the
+                # slot on device inside the kernel and the empty result
+                # surfaces through the lagged report (a sync fetch per
+                # admission burst cost ~30 ms on the tunnel and stalled
+                # every live slot)
+                self.state = _admit_insert_kernel(
+                    self.params, self.cfg, self.state, cond_arg,
+                    jnp.asarray(tokens), jnp.asarray(mask), self.rng_admit,
+                    self._admit_count, jnp.asarray(slots_arr),
+                    jnp.asarray(budgets), jnp.asarray(seqs_arr),
+                    self.cache_dtype, **self.sampling_kwargs)
+                self._admit_count += 1
+                for slot, req, seq in zip(slots, reqs, seqs):
+                    self._slot_req[slot] = req
+                    self._slot_busy[slot] = True
+                    self._slot_admit_step[slot] = self.step_count
+                    self._live[seq] = req
+        if self.K and self._queue and self._stage_free_rows:
+            take = min(len(self._stage_free_rows), len(self._queue))
+            rows = self._stage_free_rows[:take]
+            del self._stage_free_rows[:take]
+            reqs = self._queue[:take]
+            tokens, mask, cond_arg, budgets, Bb = self._prep_burst(reqs)
+            del self._queue[:take]
+            seqs = self._assign_seqs(take)
+            rows_arr = np.full((Bb,), self.K, np.int32)
+            rows_arr[:take] = rows
+            seqs_arr = np.full((Bb,), _EMPTY_SEQ, np.int32)
+            seqs_arr[:take] = seqs
+            self.state = _stage_kernel(
+                self.params, self.cfg, self.state, cond_arg,
+                jnp.asarray(tokens), jnp.asarray(mask), self.rng_admit,
+                self._admit_count, jnp.asarray(rows_arr),
+                jnp.asarray(budgets), jnp.asarray(seqs_arr),
+                self.cache_dtype, **self.sampling_kwargs)
+            self._admit_count += 1
+            for row, req, seq in zip(rows, reqs, seqs):
+                self._staged_fifo.append((seq, row))
+                self._live[seq] = req
+
+    def _finish_seq(self, seq: int, n_gen: int, codes_row: np.ndarray) -> None:
+        """Complete a request (idempotent: later report rows mentioning an
+        already-finished seq are skipped)."""
+        req = self._live.pop(seq, None)
+        if req is None:
+            return
         codes = codes_row[: min(n_gen, req.max_new)]
         if len(codes) and codes[-1] == self.cfg.stop_mel_token:
             codes = codes[:-1]
         if req.done_cb:
             req.done_cb(req.req_id, codes)
-        self._slot_req[slot] = None
 
     def _process_report(self, report: np.ndarray, at_step: int) -> None:
-        """Finish slots the report shows inactive.  The report is a
-        device-state snapshot at `at_step`; slots admitted at or after that
-        step are newer than the snapshot and must be skipped."""
-        active, n_gen = report[:, 0].astype(bool), report[:, 1]
-        for slot, req in enumerate(self._slot_req):
-            if req is None or self._slot_admit_step[slot] >= at_step:
-                continue
-            if not active[slot]:
-                self._finish(slot, int(n_gen[slot]), report[slot, 2:])
+        """Reconcile host state from a packed report (see _step_kernel).
+        Outbox evacuations first (strictly older than the end-of-tick slot
+        snapshot), then slot rows; a slot row for a request already finished
+        via the outbox is skipped by seq.  One staging row is recycled per
+        outbox evacuation — the kernel consumes staged requests strictly in
+        seq (FIFO) order, so popping the FIFO head matches."""
+        slot_rows, out_rows = report[: self.S], report[self.S:]
+        for row in out_rows:
+            seq = int(row[2])
+            if seq >= 0:
+                self._finish_seq(seq, int(row[1]), row[3:])
+        consumed = int((out_rows[:, 2] != _PAD_SEQ).sum()) if len(out_rows) else 0
+        for _ in range(consumed):
+            if self._staged_fifo:
+                _, srow = self._staged_fifo.pop(0)
+                self._stage_free_rows.append(srow)
+        active = slot_rows[:, 0].astype(bool)
+        for s in range(self.S):
+            if self._slot_admit_step[s] >= at_step:
+                continue  # host direct-admitted after this snapshot
+            if not active[s]:
+                seq = int(slot_rows[s, 2])
+                if seq >= 0:
+                    self._finish_seq(seq, int(slot_rows[s, 1]), slot_rows[s, 3:])
+                self._slot_busy[s] = False
+                self._slot_req[s] = None
+            else:
+                self._slot_busy[s] = True
 
     def _tick_steps(self) -> int:
         """Steps for this tick.  Full `steps_per_tick` normally; with
@@ -392,11 +655,13 @@ class ContinuousBatcher:
         on absolute step index, so results are invariant to how the step
         stream is partitioned into ticks.
 
-        Default OFF: worth it only when per-dispatch latency ≪ a tick's
-        compute.  On the axon tunnel (~5 ms dispatch + ~30 ms fetch) the
-        extra dispatches cost far more than the reclaimed slot-steps
-        (measured: 358 tok/s adaptive vs ~1230 fixed on the mixed-traffic
-        bench); on a directly-attached chip the trade-off flips."""
+        Default OFF (and unavailable with staged refill, which solves the
+        same dead-slot problem on device): worth it only when per-dispatch
+        latency ≪ a tick's compute.  On the axon tunnel (~5 ms dispatch +
+        ~30 ms fetch) the extra dispatches cost far more than the reclaimed
+        slot-steps (measured: 358 tok/s adaptive vs ~1230 fixed on the
+        mixed-traffic bench); on a directly-attached chip the trade-off
+        flips."""
         if not self.adaptive_ticks or not self._queue:
             return self.steps_per_tick
         live = [(s, r) for s, r in enumerate(self._slot_req) if r is not None]
@@ -412,8 +677,8 @@ class ContinuousBatcher:
 
     def step(self) -> int:
         """One scheduler tick (up to `steps_per_tick` decode steps in one
-        dispatch): admit, advance, emit (one tick late).  Returns number of
-        live slots after the tick."""
+        dispatch): admit/stage, advance (with in-kernel refills), emit (one
+        tick late).  Returns the number of unfinished requests on device."""
         # opportunistic early report processing: if the lagged report is
         # ALREADY on the host-visible side (is_ready — no stall) and work is
         # queued, process it before admitting so slots it freed refill THIS
@@ -424,7 +689,7 @@ class ContinuousBatcher:
             self._pending_report = None
             self._process_report(np.asarray(early[1]), early[0])
         self._admit()
-        if not any(r is not None for r in self._slot_req):
+        if not self._live:
             self.flush()
             return 0
         steps = self._tick_steps()
@@ -437,7 +702,7 @@ class ContinuousBatcher:
         self._pending_report = (self.step_count, report)
         if prev is not None:
             self._process_report(np.asarray(prev[1]), prev[0])
-        return sum(r is not None for r in self._slot_req)
+        return len(self._live)
 
     def flush(self) -> None:
         """Process the lagged report of the final tick."""
@@ -450,14 +715,10 @@ class ContinuousBatcher:
         """Drain the queue; returns {req_id: codes}."""
         results: Dict[int, np.ndarray] = {}
         out_cb = lambda rid, codes: results.__setitem__(rid, codes)
-        for slot in range(self.S):
-            req = self._slot_req[slot]
-            if req is not None and req.done_cb is None:
-                req.done_cb = out_cb
-        for req in self._queue:
+        for req in list(self._live.values()) + self._queue:
             if req.done_cb is None:
                 req.done_cb = out_cb
-        while self._queue or any(r is not None for r in self._slot_req):
+        while self._queue or self._live:
             self.step()
         self.flush()
         return results

@@ -160,3 +160,51 @@ def test_zero_and_explicit_budget(setup):
     # the default-budget request matches the dedicated single decode
     # (i.e. zero-budget neighbours don't perturb the pool)
     assert len(results[nid]) <= 12
+
+
+def test_pool_staged_refill_matches_single_greedy(setup):
+    """Staged refill (in-kernel slot refill from prefilled staging rows)
+    must preserve exact greedy parity with the dedicated single decode:
+    more requests than slots+staging forces multiple refill generations,
+    and decode math is row-local so admission timing cannot change codes."""
+    params, cond, rng = setup
+    texts = [rng.integers(2, 40, (n,)) for n in (9, 4, 6, 11, 5, 7, 8, 3)]
+    max_new = 16
+    batcher = ContinuousBatcher(
+        params, CFG, cond, num_slots=2, max_text_width=16, max_new=max_new,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32,
+        steps_per_tick=4, staging_rows=2)
+    assert batcher.K == 2
+    ids = [batcher.submit(t, max_new=max_new) for t in texts]
+    results = batcher.run()
+    assert set(results) == set(ids)
+    for rid, text in zip(ids, texts):
+        expected = _single_decode(params, cond, text, max_new)
+        np.testing.assert_array_equal(results[rid], expected,
+                                      err_msg=f"req {rid} mismatch")
+
+
+def test_pool_staged_zero_and_tiny_budgets(setup):
+    """Degenerate budgets flow through staging: a 0-budget request refills
+    into a slot already inactive and is evacuated by the next step's
+    refill; budget=1 emits exactly one token."""
+    params, cond, rng = setup
+    batcher = ContinuousBatcher(
+        params, CFG, cond, num_slots=1, max_text_width=16, max_new=8,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32,
+        steps_per_tick=2, staging_rows=2)
+    zid = batcher.submit(rng.integers(2, 40, (5,)), max_new=0)
+    oid = batcher.submit(rng.integers(2, 40, (7,)), max_new=1)
+    nid = batcher.submit(rng.integers(2, 40, (6,)))
+    results = batcher.run()
+    assert set(results) == {zid, oid, nid}
+    assert len(results[zid]) == 0
+    assert len(results[oid]) <= 1
+    assert len(results[nid]) <= 8
+
+
+def test_pool_adaptive_ticks_rejects_staging(setup):
+    params, cond, _ = setup
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ContinuousBatcher(params, CFG, cond, num_slots=2,
+                          adaptive_ticks=True, staging_rows=2)

@@ -12,9 +12,12 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -26,6 +29,10 @@ def main() -> None:
     ap.add_argument("--bits", type=int, default=8, choices=[4, 8],
                     help="weight tier: 8 = int8; 4 = shared-scale int4 "
                          "(nativized to jnp.int4 inside each tick)")
+    ap.add_argument("--staging", type=int, default=None,
+                    help="staging rows for in-kernel refill (default: "
+                         "scheduler auto — min(8, slots) for multi-step "
+                         "ticks; 0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +71,8 @@ def main() -> None:
         b = ContinuousBatcher(
             params, cfg, cond, num_slots=args.slots, max_text_width=128,
             max_new=200, kv_dtype=jnp.float8_e4m3fn,
-            steps_per_tick=args.steps_per_tick, seed=args.seed)
+            steps_per_tick=args.steps_per_tick, seed=args.seed,
+            staging_rows=args.staging)
         ids = [b.submit(t, max_new=m) for t, m in reqs]
         t0 = time.perf_counter()
         results = b.run()
