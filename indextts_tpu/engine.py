@@ -888,11 +888,18 @@ class IndexTTS:
         return self.cfg.dataset.sample_rate, wav
 
     def create_batcher(self, audio_prompt: Optional[str] = None,
-                       speaker_id: Optional[str] = None, **kwargs):
+                       speaker_id: Optional[str] = None, dp: int = 0,
+                       **kwargs):
         """Continuous-batching decode pool bound to this prompt's
         conditioning (serve/scheduler.py) — the high-throughput serving
-        path: submit tokenised sentences, drain codes as they finish."""
-        from indextts_tpu.serve.scheduler import ContinuousBatcher
+        path: submit tokenised sentences, drain codes as they finish.
+
+        ``dp`` > 1 returns a `PoolGroup`: one pool per chip (weights and
+        state committed per device), requests routed to the least-loaded
+        pool — data-parallel serving over the first ``dp`` local devices.
+        The reference scales serving the same way, as one process per GPU
+        behind an external balancer; here it is one object."""
+        from indextts_tpu.serve.scheduler import ContinuousBatcher, PoolGroup
 
         if self.tp_mesh is not None:
             # the pool's fused admit/step programs manage a donated
@@ -916,6 +923,20 @@ class IndexTTS:
         kwargs.setdefault("kv_dtype", self.kv_cache_dtype)
         # default generation budget = the model's mel position-table size
         kwargs.setdefault("max_new", min(600, self.cfg.gpt.max_mel_tokens))
+        # multi-step ticks amortise per-dispatch latency and enable staged
+        # refill (scheduler auto-enables staging for steps_per_tick > 1) —
+        # the measured-fastest serving configuration on real chips; on the
+        # CPU backend (tests) single-step ticks keep compiles cheap
+        kwargs.setdefault("steps_per_tick",
+                          16 if jax.default_backend() == "tpu" else 1)
+        if dp and dp > 1:
+            devices = jax.devices()
+            if dp > len(devices):
+                raise ValueError(
+                    f"dp={dp} requires {dp} devices; "
+                    f"{len(devices)} available")
+            return PoolGroup.create(self.gpt_params_batched, self.cfg.gpt,
+                                    cond_latent, devices[:dp], **kwargs)
         return ContinuousBatcher(self.gpt_params_batched, self.cfg.gpt,
                                  cond_latent,
                                  **kwargs)

@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 import tempfile
 import time
-from typing import Optional
+from typing import Any, Dict, Optional
 
 try:
     from fastapi import FastAPI, File, Form, HTTPException, Request, UploadFile
@@ -36,6 +36,7 @@ def create_app(
     engine_instance: Optional[IndexTTS] = None,
     continuous: bool = False,
     tp: int = 0,
+    pool_kwargs: Optional[Dict[str, Any]] = None,
 ) -> "FastAPI":
     app = FastAPI(title="IndexTTS-TPU")
     state = {"tts": engine_instance, "gpt_path": gpt_path}
@@ -50,7 +51,7 @@ def create_app(
         pool_service = TTSService(cfg_path, model_dir, gpt_path=gpt_path,
                                   speaker_info_path=speaker_info_path,
                                   engine_instance=engine_instance,
-                                  continuous=True)
+                                  continuous=True, pool_kwargs=pool_kwargs)
 
     def engine() -> IndexTTS:
         if state["tts"] is None:
@@ -333,6 +334,8 @@ def main(argv=None) -> None:
                    help="precompile common decode shapes before serving")
     p.add_argument("--continuous", action="store_true",
                    help="cross-request continuous-batching decode pool")
+    from indextts_tpu.serve.httpd import add_pool_args, pool_kwargs_from_args
+    add_pool_args(p)
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel inference over N chips")
     args = p.parse_args(argv)
@@ -348,7 +351,8 @@ def main(argv=None) -> None:
         eng.warmup(batch_sizes=(1, 4), num_beams=3)
     app = create_app(args.config, args.model_dir, args.gpt_path,
                      args.speaker_info, engine_instance=eng,
-                     continuous=args.continuous, tp=args.tp)
+                     continuous=args.continuous, tp=args.tp,
+                     pool_kwargs=pool_kwargs_from_args(args))
     uvicorn.run(app, host=args.host, port=args.port)
 
 

@@ -415,6 +415,31 @@ def make_handler(service: TTSService):
     return Handler
 
 
+def add_pool_args(p) -> None:
+    """`--pool-*` decode-pool tuning flags, shared by both server CLIs."""
+    p.add_argument("--pool-slots", type=int, default=None,
+                   help="decode-pool slots (--continuous; default 8)")
+    p.add_argument("--pool-steps-per-tick", type=int, default=None,
+                   help="decode steps per pool dispatch (--continuous; "
+                        "default: 16 on TPU, 1 on CPU)")
+    p.add_argument("--pool-staging", type=int, default=None,
+                   help="staging rows for in-kernel slot refill "
+                        "(--continuous; default: min(8, slots) when "
+                        "steps-per-tick > 1, else 0)")
+    p.add_argument("--pool-dp", type=int, default=None,
+                   help="data-parallel pools: one decode pool per chip "
+                        "over the first N local devices (--continuous)")
+
+
+def pool_kwargs_from_args(args) -> Optional[Dict[str, Any]]:
+    kw = {k: v for k, v in [
+        ("num_slots", args.pool_slots),
+        ("steps_per_tick", args.pool_steps_per_tick),
+        ("staging_rows", args.pool_staging),
+        ("dp", args.pool_dp)] if v is not None}
+    return kw or None
+
+
 def serve(cfg_path: str = "checkpoints/config.yaml",
           model_dir: str = "checkpoints", host: str = "0.0.0.0",
           port: int = 7859, **kwargs) -> ThreadingHTTPServer:
@@ -434,11 +459,13 @@ def main(argv=None) -> None:
     p.add_argument("--port", type=int, default=7859)
     p.add_argument("--continuous", action="store_true",
                    help="cross-request continuous-batching decode pool")
+    add_pool_args(p)
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel inference over N chips")
     args = p.parse_args(argv)
     httpd = serve(args.config, args.model_dir, args.host, args.port,
-                  continuous=args.continuous, tp=args.tp)
+                  continuous=args.continuous, tp=args.tp,
+                  pool_kwargs=pool_kwargs_from_args(args))
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

@@ -398,7 +398,16 @@ class ContinuousBatcher:
         steps_per_tick: int = 1,
         adaptive_ticks: bool = False,
         staging_rows: Optional[int] = None,
+        device=None,
     ):
+        # `device` pins this pool to one chip (weights, state, and every
+        # kernel dispatch): committed operands make every jitted call place
+        # on that chip, so N pools on N chips run concurrently from one
+        # host thread (see PoolGroup).  None = the process default device.
+        self.device = device
+        if device is not None:
+            params = jax.device_put(params, device)
+            cond_latent = jax.device_put(cond_latent, device)
         self.params = params
         self.cfg = cfg
         self.cond = cond_latent
@@ -458,6 +467,8 @@ class ContinuousBatcher:
             stage_budget=jnp.zeros((self.K,), jnp.int32),
             stage_active=jnp.zeros((self.K,), bool),
         )
+        if device is not None:
+            self.state = jax.device_put(self.state, device)
         # host bookkeeping is keyed by per-request seq (assigned at
         # admission/staging); slots are reconciled from report rows
         self._live: Dict[int, _Request] = {}      # admitted or staged, unfinished
@@ -722,3 +733,84 @@ class ContinuousBatcher:
             self.step()
         self.flush()
         return results
+
+
+class PoolGroup:
+    """Data-parallel serving: one `ContinuousBatcher` per chip.
+
+    The single-pool scheduler is deliberately single-chip (donated
+    device-resident state); scale-out is data parallelism over pools —
+    the reference's analogue is one engine process per GPU behind an
+    external balancer (README.md deployment section), here it is one
+    object.  Each pool's weights/state are committed to its own device,
+    so one host thread driving `step()` round-robin keeps every chip busy
+    concurrently: dispatches are async, and each pool's report fetch is a
+    tick late, so by the time the host reads it the device has moved on.
+
+    Requests route to the pool with the fewest outstanding requests
+    (queued + live), ties to the lowest index.  Request ids are global:
+    `submit` returns ids unique across the group and completion callbacks
+    receive them (per-pool ids never escape).
+    """
+
+    def __init__(self, batchers: List["ContinuousBatcher"]):
+        if not batchers:
+            raise ValueError("PoolGroup needs at least one batcher")
+        self.batchers = list(batchers)
+        self._next_id = 0
+        # finished codes for requests submitted WITHOUT a callback, keyed
+        # by group id until run() hands them out
+        self._unclaimed: Dict[int, np.ndarray] = {}
+
+    @classmethod
+    def create(cls, params, cfg: GPTConfig, cond_latent, devices,
+               **kwargs) -> "PoolGroup":
+        """One pool per device, identical configuration."""
+        return cls([ContinuousBatcher(params, cfg, cond_latent,
+                                      device=d, **kwargs)
+                    for d in devices])
+
+    def _load(self, b: "ContinuousBatcher") -> int:
+        return len(b._queue) + len(b._live)
+
+    def submit(self, text_ids, max_new: Optional[int] = None, done_cb=None,
+               cond=None) -> int:
+        gid = self._next_id
+        self._next_id += 1
+        b = min(self.batchers, key=self._load)
+
+        # rebind the pool-local id to the group-global one before the
+        # caller's callback sees it; pool-local ids collide across pools
+        # and never escape.  Callback-less requests park in _unclaimed
+        # for run().
+        def cb(_lrid, codes, _g=gid, _cb=done_cb):
+            if _cb is not None:
+                _cb(_g, codes)
+            else:
+                self._unclaimed[_g] = codes
+
+        b.submit(text_ids, max_new=max_new, done_cb=cb, cond=cond)
+        return gid
+
+    def step(self) -> int:
+        """One tick on every pool; returns total unfinished requests."""
+        return sum(b.step() for b in self.batchers)
+
+    def flush(self) -> None:
+        for b in self.batchers:
+            b.flush()
+
+    @property
+    def _queue(self) -> List["_Request"]:
+        """Combined backlog (drive loops test truthiness — httpd.py)."""
+        return [r for b in self.batchers for r in b._queue]
+
+    def run(self) -> Dict[int, np.ndarray]:
+        """Drain all pools; returns {group request id: codes} for requests
+        submitted without a callback (callback requests already fired)."""
+        while any(b._queue or b._live for b in self.batchers):
+            self.step()
+        self.flush()
+        out = self._unclaimed
+        self._unclaimed = {}
+        return out

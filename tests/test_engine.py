@@ -492,3 +492,18 @@ def test_engine_tp_rejects_pool_and_bad_device_count(model_dir):
             precision_config={"gpt": "fp32", "vocoder": "fp32"}, tp=2)
     with pytest.raises(ValueError, match="not supported with"):
         tts_tp.create_batcher()
+
+
+def test_create_batcher_pool_defaults_and_passthrough(engine):
+    """create_batcher picks backend-aware tick defaults (1 on the CPU test
+    backend — multi-step ticks pay off only against real-link dispatch
+    latency) and forwards explicit pool kwargs to the scheduler."""
+    b = engine.create_batcher()
+    assert b.steps_per_tick == 1 and b.K == 0  # CPU defaults
+    b = engine.create_batcher(num_slots=2, steps_per_tick=4, staging_rows=2,
+                              max_text_width=32, max_new=8)
+    assert b.steps_per_tick == 4 and b.K == 2 and b.S == 2
+    # steps_per_tick > 1 auto-enables staging when not specified
+    b = engine.create_batcher(num_slots=2, steps_per_tick=4,
+                              max_text_width=32, max_new=8)
+    assert b.K == 2

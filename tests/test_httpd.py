@@ -137,9 +137,12 @@ def test_reload_unknown_checkpoint(server):
     assert code == 404
 
 
-def test_continuous_pool_serving(tmp_path_factory):
+@pytest.mark.parametrize("dp", [0, 2])
+def test_continuous_pool_serving(tmp_path_factory, dp):
     """--continuous mode: concurrent requests with different prompts share
-    one decode pool (per-request conditioning) and both get WAVs."""
+    one decode pool (per-request conditioning) and both get WAVs.  dp=2:
+    the same surface over a data-parallel PoolGroup (one pool per device
+    on the virtual CPU mesh) — requests land on different chips."""
     import shutil
     import threading as th
     import warnings
@@ -175,7 +178,8 @@ def test_continuous_pool_serving(tmp_path_factory):
     httpd = serve(str(d / "config.yaml"), str(d), host="127.0.0.1", port=0,
                   engine_instance=eng, continuous=True,
                   pool_kwargs=dict(num_slots=2, max_text_width=32, max_new=8,
-                                   do_sample=False, repetition_penalty=1.0))
+                                   do_sample=False, repetition_penalty=1.0,
+                                   **({"dp": dp} if dp else {})))
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -202,6 +206,13 @@ def test_continuous_pool_serving(tmp_path_factory):
         for name, (code, data) in outs.items():
             assert code == 200, (name, data)
             assert data[:4] == b"RIFF" and len(data) > 100, name
+        if dp:
+            from indextts_tpu.serve.scheduler import PoolGroup
+
+            pool = httpd.service._pool
+            assert isinstance(pool, PoolGroup)
+            assert len(pool.batchers) == dp
+            assert sum(b._next_seq for b in pool.batchers) >= 2
     finally:
         httpd.shutdown()
 
@@ -280,3 +291,19 @@ def test_models_reload_roundtrip(server):
     resp = json.loads(data)
     import os
     assert os.path.isabs(resp["gpt_path"]) and os.path.exists(resp["gpt_path"])
+
+
+def test_pool_cli_flags_map_to_batcher_kwargs():
+    """Both server CLIs share the --pool-* flag set; only explicitly set
+    flags reach the batcher (None -> scheduler/engine defaults apply)."""
+    import argparse
+
+    from indextts_tpu.serve.httpd import add_pool_args, pool_kwargs_from_args
+
+    p = argparse.ArgumentParser()
+    add_pool_args(p)
+    args = p.parse_args(["--pool-slots", "16", "--pool-staging", "4"])
+    assert pool_kwargs_from_args(args) == {"num_slots": 16, "staging_rows": 4}
+    assert pool_kwargs_from_args(p.parse_args([])) is None
+    args = p.parse_args(["--pool-steps-per-tick", "8"])
+    assert pool_kwargs_from_args(args) == {"steps_per_tick": 8}

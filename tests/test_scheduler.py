@@ -208,3 +208,50 @@ def test_pool_adaptive_ticks_rejects_staging(setup):
     with pytest.raises(ValueError, match="mutually exclusive"):
         ContinuousBatcher(params, CFG, cond, num_slots=2,
                           adaptive_ticks=True, staging_rows=2)
+
+
+def test_pool_group_parity_and_placement(setup):
+    """PoolGroup (data-parallel pools): requests route across per-device
+    pools, each pool's state is committed to its own device, callbacks see
+    group-global ids, and greedy output equals the dedicated single
+    decode."""
+    from indextts_tpu.serve.scheduler import PoolGroup
+
+    params, cond, rng = setup
+    devices = jax.devices()[:2]
+    assert len(devices) == 2, "conftest provides an 8-device CPU mesh"
+    group = PoolGroup.create(
+        params, CFG, cond, devices, num_slots=2, max_text_width=16,
+        max_new=12, do_sample=False, repetition_penalty=1.0,
+        cache_dtype=jnp.float32)
+    assert [next(iter(b.state.prev_tok.devices())) for b in group.batchers] \
+        == list(devices)
+    texts = [rng.integers(2, 40, (n,)) for n in (9, 4, 6, 11, 5, 7)]
+    ids = [group.submit(t, max_new=12) for t in texts]
+    assert ids == list(range(6))  # group-global ids
+    results = group.run()
+    assert set(results) == set(ids)
+    for rid, text in zip(ids, texts):
+        expected = _single_decode(params, cond, text, 12)
+        np.testing.assert_array_equal(results[rid], expected,
+                                      err_msg=f"req {rid} mismatch")
+    # both pools actually took work (least-loaded routing alternates)
+    assert all(b._next_seq > 0 for b in group.batchers)
+
+
+def test_pool_group_callback_gets_global_id(setup):
+    from indextts_tpu.serve.scheduler import PoolGroup
+
+    params, cond, rng = setup
+    group = PoolGroup.create(
+        params, CFG, cond, jax.devices()[:2], num_slots=1,
+        max_text_width=16, max_new=6, do_sample=False,
+        repetition_penalty=1.0, cache_dtype=jnp.float32)
+    seen = []
+    gids = [group.submit(rng.integers(2, 40, (5,)), max_new=6,
+                         done_cb=lambda rid, codes: seen.append(rid))
+            for _ in range(3)]
+    while group._queue or any(b._live for b in group.batchers):
+        group.step()
+    group.flush()
+    assert sorted(seen) == sorted(gids)
