@@ -887,6 +887,65 @@ class IndexTTS:
         wav = self._codes_to_wav(cond_latent, mel_ref, id_lists, codes, lens)
         return self.cfg.dataset.sample_rate, wav
 
+    def pool_infer_stream(self, batcher, audio_prompt: Optional[str],
+                          text: str, speaker_id: Optional[str] = None,
+                          max_text_tokens_per_sentence: int = 100,
+                          timeout: float = 600.0):
+        """Streaming synthesis through a shared continuous-batching pool:
+        all sentences are submitted up front (they decode concurrently,
+        interleaved with other callers' traffic), and chunks are yielded
+        IN ORDER as each sentence's codes finish — sentence i vocodes
+        while later sentences are still decoding.  Yields (sr, int16
+        chunk); time-to-first-audio is one sentence's pool decode + one
+        vocode instead of the whole text's.  Thread-safe like pool_infer;
+        the pool must be driven externally."""
+        import threading
+
+        cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
+        cond_latent = self._conditioning(cond_mel, speaker_id)
+        mel_ref = self._mel_ref(cond_mel, speaker_id)
+        tokens = self.tokenizer.tokenize(text)
+        sentences = self.tokenizer.split_sentences(
+            tokens, max_text_tokens_per_sentence)
+        id_lists = [np.asarray(self.tokenizer.convert_tokens_to_ids(s),
+                               np.int32) for s in sentences]
+        sr = self.cfg.dataset.sample_rate
+        results: Dict[int, np.ndarray] = {}
+        arrived = threading.Condition()
+
+        def cb(rid, codes):
+            with arrived:
+                results[rid] = codes
+                arrived.notify_all()
+
+        # submission is EAGER (before the first chunk is pulled): decode
+        # starts in the pool immediately, and setup errors (unreadable
+        # prompt, bad speaker) surface here, not mid-response
+        cond_np = np.asarray(cond_latent)
+        rids = [batcher.submit(ids, done_cb=cb, cond=cond_np)
+                for ids in id_lists]
+        deadline = time.perf_counter() + timeout
+
+        def chunks():
+            for si, (rid, ids) in enumerate(zip(rids, id_lists)):
+                with arrived:
+                    while rid not in results:
+                        remaining = deadline - time.perf_counter()
+                        if remaining <= 0 or not arrived.wait(remaining):
+                            raise TimeoutError(
+                                f"pool stream timed out after {timeout}s "
+                                f"(sentence {si + 1}/{len(rids)})")
+                    sent_codes = results.pop(rid)
+                n = len(sent_codes)
+                codes = np.full((1, max(1, n)), self.stop_mel_token,
+                                np.int32)
+                codes[0, :n] = sent_codes
+                wav = self._codes_to_wav(cond_latent, mel_ref, [ids], codes,
+                                         np.asarray([n], np.int64))
+                yield sr, wav.astype(np.int16)
+
+        return chunks()
+
     def create_batcher(self, audio_prompt: Optional[str] = None,
                        speaker_id: Optional[str] = None, dp: int = 0,
                        **kwargs):

@@ -243,10 +243,6 @@ def create_app(
 
         from indextts_tpu.utils.audio import wav_stream_header
 
-        if pool_service is not None:
-            raise HTTPException(
-                400, "/tts_stream is not available in --continuous mode "
-                     "(it would bypass the shared decode pool); use /tts")
         audio_file = audio_file if audio_file is not None else prompt_audio
         audio_path = audio_path or prompt_audio_path
         if audio_file is None and not audio_path and not speaker_id:
@@ -283,10 +279,20 @@ def create_app(
             # requests).  Any setup failure — including library errors from
             # an unreadable uploaded file (soundfile/librosa) — must unlink
             # the temp upload (ADVICE r2 medium).
-            chunks = engine().infer_stream(
-                prompt, text, speaker_id=speaker_id, seed=used_seed,
-                max_text_tokens_per_sentence=max_text_tokens_per_sentence,
-                **gen)
+            if pool_service is not None:
+                # continuous mode: sentences join the shared pool and
+                # chunks stream out in order as each sentence finishes
+                # (sampling params are pool-level, fixed at startup)
+                eng = pool_service.engine()
+                chunks = eng.pool_infer_stream(
+                    pool_service.pool(), prompt, text,
+                    speaker_id=speaker_id,
+                    max_text_tokens_per_sentence=max_text_tokens_per_sentence)
+            else:
+                chunks = engine().infer_stream(
+                    prompt, text, speaker_id=speaker_id, seed=used_seed,
+                    max_text_tokens_per_sentence=max_text_tokens_per_sentence,
+                    **gen)
         except ValueError as e:
             cleanup_tmp()
             raise HTTPException(400, str(e))

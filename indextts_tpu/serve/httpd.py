@@ -221,16 +221,19 @@ class TTSService:
         Validation (bad speaker_id, unreadable prompt) happens HERE, before
         any response bytes, because infer_stream analyses the prompt
         eagerly."""
-        if self.continuous:
-            raise ValueError(
-                "/tts_stream is not available in --continuous mode (it would "
-                "bypass the shared decode pool); use /tts")
         prompt, speaker_id, used_seed, gen = self.parse_request(req)
         self.last_seed = used_seed
+        mtps = int(req.get("max_text_tokens_per_sentence", 120))
+        if self.continuous:
+            # sentences join the shared pool and chunks stream out in
+            # order as each sentence's codes finish (sampling params are
+            # pool-level, fixed at startup — same contract as /tts)
+            return used_seed, self.engine().pool_infer_stream(
+                self.pool(), prompt, req["text"], speaker_id=speaker_id,
+                max_text_tokens_per_sentence=mtps)
         return used_seed, self.engine().infer_stream(
             prompt, req["text"], speaker_id=speaker_id, seed=used_seed,
-            max_text_tokens_per_sentence=int(
-                req.get("max_text_tokens_per_sentence", 120)),
+            max_text_tokens_per_sentence=mtps,
             **gen)
 
     def _pool_tts(self, req: Dict[str, Any], prompt, speaker_id) -> bytes:

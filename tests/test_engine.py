@@ -507,3 +507,39 @@ def test_create_batcher_pool_defaults_and_passthrough(engine):
     b = engine.create_batcher(num_slots=2, steps_per_tick=4,
                               max_text_width=32, max_new=8)
     assert b.K == 2
+
+
+def test_pool_infer_stream_matches_pool_infer(engine):
+    """Streaming through the pool yields per-sentence chunks whose
+    concatenation equals pool_infer's wav for the same (greedy) traffic."""
+    import threading
+    import time as _time
+
+    b = engine.create_batcher(num_slots=2, max_text_width=32, max_new=8,
+                              do_sample=False, repetition_penalty=1.0)
+    stop = threading.Event()
+
+    def drive():
+        while not stop.is_set():
+            if not b.step():
+                _time.sleep(0.002)
+
+    t = threading.Thread(target=drive, daemon=True)
+    t.start()
+    try:
+        prompt = "/root/reference/tests/sample_prompt.wav"
+        text = "你好。再見。"
+        # small per-sentence budget so the splitter cannot merge the two
+        # sentences — the stream must yield one chunk per sentence
+        sr1, wav1 = engine.pool_infer(b, prompt, text,
+                                      max_text_tokens_per_sentence=3)
+        chunks = list(engine.pool_infer_stream(
+            b, prompt, text, max_text_tokens_per_sentence=3))
+        assert len(chunks) >= 2  # one per split sentence
+        assert all(sr == sr1 for sr, _ in chunks)
+        wav2 = np.concatenate([c for _, c in chunks])
+        assert wav2.dtype == np.int16
+        np.testing.assert_allclose(wav1.astype(np.int16), wav2, atol=2)
+    finally:
+        stop.set()
+        t.join(10)

@@ -213,6 +213,13 @@ def test_continuous_pool_serving(tmp_path_factory, dp):
             assert isinstance(pool, PoolGroup)
             assert len(pool.batchers) == dp
             assert sum(b._next_seq for b in pool.batchers) >= 2
+        # /tts_stream rides the SAME shared pool in continuous mode
+        # (engine.pool_infer_stream): chunked WAV, per-sentence chunks
+        code, headers, data = _post(base + "/tts_stream", {
+            "text": "你好。再見。",
+            "audio_path": "/root/reference/tests/sample_prompt.wav"})
+        assert code == 200, data
+        assert data[:4] == b"RIFF" and len(data) > 100
     finally:
         httpd.shutdown()
 
