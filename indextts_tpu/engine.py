@@ -354,9 +354,18 @@ class IndexTTS:
             win_length=self.cfg.dataset.mel.win_length,
             n_mels=self.cfg.dataset.mel.n_mels,
         )
+        # PCM conversion happens ON DEVICE (f32 scale → clip → int16): the
+        # wav fetch is the largest e2e term on a high-latency link (~1.2 MB
+        # f32 per sentence over the tunnel) and int16 halves it.  bf16
+        # vocoder output upcasts to f32 before scaling, so the samples are
+        # identical to the former host-side np.clip(32767*wav) path (both
+        # truncate toward zero on the final cast).
         self._vocoder_fn = jax.jit(
-            lambda p, latent, mel_ref: bigvgan_model.forward(
-                p, latent, mel_ref, self.cfg.bigvgan))
+            lambda p, latent, mel_ref: jnp.clip(
+                32767.0 * bigvgan_model.forward(
+                    p, latent, mel_ref, self.cfg.bigvgan
+                ).astype(jnp.float32),
+                -32767.0, 32767.0).astype(jnp.int16))
 
     # -- helpers ----------------------------------------------------------
 
@@ -656,9 +665,8 @@ class IndexTTS:
                     self.bigvgan_params, latent[None].astype(self.vocoder_dtype),
                     mel_ref.astype(self.vocoder_dtype))
                 n_samples = code_len * self.cfg.gpt.mel_length_compression
-                wav = np.asarray(wav[0, 0], np.float32)[:n_samples]
+                chunk = np.asarray(wav[0, 0])[:n_samples]  # int16 on device
                 phase["bigvgan_time"] += time.perf_counter() - t0
-                chunk = np.clip(32767.0 * wav, -32767.0, 32767.0).astype(np.int16)
                 if first_chunk_time is None:
                     first_chunk_time = time.perf_counter() - start_time
                 total_samples += len(chunk)
@@ -785,11 +793,9 @@ class IndexTTS:
         for (bucket, _, lens), wav_host in zip(bucket_wavs, fetched):
             for i, item in enumerate(bucket):
                 n = int(lens[i]) * self.cfg.gpt.mel_length_compression
-                parts[item["idx"]] = np.clip(
-                    32767.0 * np.asarray(wav_host[i, 0], np.float32)[:n],
-                    -32767.0, 32767.0)
+                parts[item["idx"]] = np.asarray(wav_host[i, 0])[:n]
         wavs = [parts[idx] for idx in sorted(parts)]
-        wav = np.concatenate(wavs) if wavs else np.zeros(1, np.float32)
+        wav = np.concatenate(wavs) if wavs else np.zeros(1, np.int16)
         end_time = time.perf_counter()
         wav_length = len(wav) / sampling_rate
         rtf = (end_time - start_time) / max(wav_length, 1e-9)
@@ -833,15 +839,13 @@ class IndexTTS:
         wav = self._vocoder_fn(self.bigvgan_params,
                                latents.astype(self.vocoder_dtype),
                                mel_ref.astype(self.vocoder_dtype))
-        wav_host = np.asarray(wav)  # one fetch
+        wav_host = np.asarray(wav)  # one fetch (int16: PCM cast on device)
         wavs = [
-            np.clip(32767.0 * np.asarray(wav_host[i, 0], np.float32)
-                    [: max(1, min(int(lens[i]), latents.shape[1]))
-                     * self.cfg.gpt.mel_length_compression],
-                    -32767.0, 32767.0)
+            wav_host[i, 0][: max(1, min(int(lens[i]), latents.shape[1]))
+                           * self.cfg.gpt.mel_length_compression]
             for i in range(len(id_lists))
         ]
-        return np.concatenate(wavs) if wavs else np.zeros(1, np.float32)
+        return np.concatenate(wavs) if wavs else np.zeros(1, np.int16)
 
     def pool_infer(self, batcher, audio_prompt: Optional[str], text: str,
                    speaker_id: Optional[str] = None,
@@ -874,7 +878,7 @@ class IndexTTS:
         rids = [batcher.submit(ids, done_cb=cb, cond=cond_np)
                 for ids in id_lists]
         if not rids:
-            return self.cfg.dataset.sample_rate, np.zeros(1, np.float32)
+            return self.cfg.dataset.sample_rate, np.zeros(1, np.int16)
         if not done.wait(timeout):
             raise TimeoutError(f"pool synthesis timed out after {timeout}s")
         code_lists = [results[r] for r in rids]
