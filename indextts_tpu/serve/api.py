@@ -37,6 +37,7 @@ def create_app(
     continuous: bool = False,
     tp: int = 0,
     pool_kwargs: Optional[Dict[str, Any]] = None,
+    warmup_pool: bool = False,
 ) -> "FastAPI":
     app = FastAPI(title="IndexTTS-TPU")
     state = {"tts": engine_instance, "gpt_path": gpt_path}
@@ -51,7 +52,10 @@ def create_app(
         pool_service = TTSService(cfg_path, model_dir, gpt_path=gpt_path,
                                   speaker_info_path=speaker_info_path,
                                   engine_instance=engine_instance,
-                                  continuous=True, pool_kwargs=pool_kwargs)
+                                  continuous=True, pool_kwargs=pool_kwargs,
+                                  warmup_pool=warmup_pool)
+        if warmup_pool:
+            pool_service.pool()  # build + precompile before serving
 
     def engine() -> IndexTTS:
         if state["tts"] is None:
@@ -358,7 +362,8 @@ def main(argv=None) -> None:
     app = create_app(args.config, args.model_dir, args.gpt_path,
                      args.speaker_info, engine_instance=eng,
                      continuous=args.continuous, tp=args.tp,
-                     pool_kwargs=pool_kwargs_from_args(args))
+                     pool_kwargs=pool_kwargs_from_args(args),
+                     warmup_pool=args.warmup and args.continuous)
     uvicorn.run(app, host=args.host, port=args.port)
 
 

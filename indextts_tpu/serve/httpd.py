@@ -50,7 +50,8 @@ class TTSService:
                  engine_instance: Optional[IndexTTS] = None,
                  continuous: bool = False,
                  pool_kwargs: Optional[Dict[str, Any]] = None,
-                 tp: int = 0):
+                 tp: int = 0,
+                 warmup_pool: bool = False):
         if continuous and tp and tp > 1:
             raise ValueError("--continuous and --tp are mutually exclusive "
                              "(the decode pool is single-chip)")
@@ -65,11 +66,18 @@ class TTSService:
         self._pool_kwargs = pool_kwargs or {}
         self._pool = None
         self._pool_thread = None
+        self.warmup_pool = warmup_pool
 
     def pool(self):
         with self._lock:
             if self._pool is None:
-                self._pool = self.engine().create_batcher(**self._pool_kwargs)
+                pool = self.engine().create_batcher(**self._pool_kwargs)
+                if self.warmup_pool:
+                    # precompile admit/stage/step BEFORE the drive thread
+                    # starts (warmup drains inline; the first real request
+                    # otherwise eats every cold compile)
+                    pool.warmup()
+                self._pool = pool
                 self._pool_thread = threading.Thread(
                     target=self._drive_pool, daemon=True)
                 self._pool_thread.start()
@@ -463,12 +471,18 @@ def main(argv=None) -> None:
     p.add_argument("--continuous", action="store_true",
                    help="cross-request continuous-batching decode pool")
     add_pool_args(p)
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile the decode-pool programs before "
+                        "accepting traffic (--continuous)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel inference over N chips")
     args = p.parse_args(argv)
     httpd = serve(args.config, args.model_dir, args.host, args.port,
                   continuous=args.continuous, tp=args.tp,
-                  pool_kwargs=pool_kwargs_from_args(args))
+                  pool_kwargs=pool_kwargs_from_args(args),
+                  warmup_pool=args.warmup)
+    if args.continuous and args.warmup:
+        httpd.service.pool()  # build + precompile before serving
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()
 

@@ -47,7 +47,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
+from typing import (Any, Callable, Dict, List, NamedTuple, Optional,
+                    Sequence, Tuple)
 
 import jax
 import jax.numpy as jnp
@@ -734,6 +735,24 @@ class ContinuousBatcher:
         self.flush()
         return results
 
+    def warmup(self, widths: Sequence[int] = (30,)) -> None:
+        """Precompile the pool's programs before real traffic: the decode
+        step (cold ~5 min on a remote-compile link), the fused admission at
+        the full-burst and single-request batch buckets, and — when staged
+        refill is on — the staging prefill, by draining zero-budget
+        requests through the normal path.  One text width per entry in
+        `widths` (each 32-wide admission bucket compiles separately).
+        Compiles land in the persistent cache, so this is a first-deploy
+        cost only.  Call BEFORE starting an external drive loop (run()
+        drains inline)."""
+        for w in widths:
+            text = np.ones((max(1, min(w, self.max_text_width)),), np.int32)
+            # S direct admissions in one burst + K staged + 1 straggler
+            # (the straggler compiles the B=1 admission bucket)
+            for _ in range(self.S + self.K + 1):
+                self.submit(text, max_new=0)
+            self.run()
+
 
 class PoolGroup:
     """Data-parallel serving: one `ContinuousBatcher` per chip.
@@ -814,3 +833,9 @@ class PoolGroup:
         out = self._unclaimed
         self._unclaimed = {}
         return out
+
+    def warmup(self, widths: Sequence[int] = (30,)) -> None:
+        """Precompile every pool's programs (identical HLO — the compile
+        cache pays once, each device loads its own executable)."""
+        for b in self.batchers:
+            b.warmup(widths)

@@ -255,3 +255,21 @@ def test_pool_group_callback_gets_global_id(setup):
         group.step()
     group.flush()
     assert sorted(seen) == sorted(gids)
+
+
+def test_pool_warmup_then_traffic(setup):
+    """warmup() drains zero-budget requests through every program (admit
+    burst, staging, step) and leaves the pool clean: real traffic after it
+    still matches the dedicated single decode."""
+    params, cond, rng = setup
+    b = ContinuousBatcher(
+        params, CFG, cond, num_slots=2, max_text_width=16, max_new=12,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32,
+        steps_per_tick=2, staging_rows=2)
+    b.warmup(widths=(8,))
+    assert not b._queue and not b._live and not b._staged_fifo
+    text = rng.integers(2, 40, (7,))
+    rid = b.submit(text, max_new=12)
+    res = b.run()
+    np.testing.assert_array_equal(res[rid],
+                                  _single_decode(params, cond, text, 12))
