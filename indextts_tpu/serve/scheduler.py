@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 from typing import (Any, Callable, Dict, List, NamedTuple, Optional,
                     Sequence, Tuple)
 
@@ -428,7 +429,11 @@ class ContinuousBatcher:
         # finish; off for single-step ticks (lag ≈ 2 steps, not worth the
         # staging dispatches)
         if staging_rows is None:
-            staging_rows = min(8, num_slots) if steps_per_tick > 1 else 0
+            # adaptive_ticks solves the same dead-slot problem host-side
+            # and is mutually exclusive with staging — an unset default
+            # must not invalidate a previously valid configuration
+            staging_rows = (0 if adaptive_ticks else
+                            min(8, num_slots) if steps_per_tick > 1 else 0)
         if adaptive_ticks and staging_rows:
             raise ValueError(
                 "adaptive_ticks and staged refill are mutually exclusive "
@@ -481,6 +486,7 @@ class ContinuousBatcher:
         self._stage_free_rows: List[int] = list(range(self.K))
         self._queue: List[_Request] = []
         self._next_id = 0
+        self._submit_lock = threading.Lock()
         # one-tick-lagged report handle: (step_count_at_dispatch_end, handle)
         self._pending_report: Optional[Tuple[int, Any]] = None
 
@@ -503,10 +509,15 @@ class ContinuousBatcher:
         # not a request for the pool default — only None means default
         budget = self.max_new if max_new is None else max(0, min(max_new,
                                                                  self.max_new))
-        req = _Request(self._next_id, text_ids, budget, done_cb=done_cb,
-                       cond=None if cond is None else np.asarray(cond))
-        self._next_id += 1
-        self._queue.append(req)
+        # id allocation + enqueue are atomic: submit is called concurrently
+        # by HTTP handler threads (ThreadingHTTPServer / FastAPI workers);
+        # an unsynchronized read-then-increment can hand two callers the
+        # same id, crossing their audio
+        with self._submit_lock:
+            req = _Request(self._next_id, text_ids, budget, done_cb=done_cb,
+                           cond=None if cond is None else np.asarray(cond))
+            self._next_id += 1
+            self._queue.append(req)
         return req.req_id
 
     def _prep_burst(self, reqs: List[_Request]):
@@ -596,9 +607,12 @@ class ContinuousBatcher:
         if self.K and self._queue and self._stage_free_rows:
             take = min(len(self._stage_free_rows), len(self._queue))
             rows = self._stage_free_rows[:take]
-            del self._stage_free_rows[:take]
             reqs = self._queue[:take]
+            # _prep_burst may raise — consume rows/queue only after it
+            # succeeds, or staging rows leak permanently (same
+            # raise-before-mutate invariant as the direct path above)
             tokens, mask, cond_arg, budgets, Bb = self._prep_burst(reqs)
+            del self._stage_free_rows[:take]
             del self._queue[:take]
             seqs = self._assign_seqs(take)
             rows_arr = np.full((Bb,), self.K, np.int32)
@@ -657,6 +671,12 @@ class ContinuousBatcher:
                 self._slot_req[s] = None
             else:
                 self._slot_busy[s] = True
+                # refresh from the report: after an in-kernel refill the
+                # slot's occupant is a staged request, not the direct
+                # admit recorded at admission — a stale entry would pin
+                # the finished request (and its cond array) and mislead
+                # any future _slot_req reader under staging
+                self._slot_req[s] = self._live.get(int(slot_rows[s, 2]))
 
     def _tick_steps(self) -> int:
         """Steps for this tick.  Full `steps_per_tick` normally; with
@@ -735,22 +755,34 @@ class ContinuousBatcher:
         self.flush()
         return results
 
-    def warmup(self, widths: Sequence[int] = (30,)) -> None:
-        """Precompile the pool's programs before real traffic: the decode
-        step (cold ~5 min on a remote-compile link), the fused admission at
-        the full-burst and single-request batch buckets, and — when staged
-        refill is on — the staging prefill, by draining zero-budget
-        requests through the normal path.  One text width per entry in
-        `widths` (each 32-wide admission bucket compiles separately).
-        Compiles land in the persistent cache, so this is a first-deploy
-        cost only.  Call BEFORE starting an external drive loop (run()
-        drains inline)."""
+    def warmup(self, widths: Optional[Sequence[int]] = None) -> None:
+        """Precompile the pool's programs before real traffic, by draining
+        throwaway requests through the normal path: the decode step (cold
+        ~5 min on a remote-compile link), the fused admission at the
+        full-burst AND single-request batch buckets, and — with staged
+        refill — the staging prefill at its full-burst and B=1 buckets
+        (B=1 staging is the steady-state shape: one new request arriving
+        while every slot is busy).  Default widths cover EVERY 32-wide
+        admission bucket up to max_text_width; pass an explicit list to
+        warm fewer.  Intermediate batch buckets (2, 4, …) still compile
+        lazily on the first matching burst.  Compiles land in the
+        persistent cache, so this is a first-deploy cost only.  Call
+        BEFORE starting an external drive loop (run() drains inline)."""
+        if widths is None:
+            widths = range(30, self.max_text_width + 1, 32)
         for w in widths:
             text = np.ones((max(1, min(w, self.max_text_width)),), np.int32)
-            # S direct admissions in one burst + K staged + 1 straggler
-            # (the straggler compiles the B=1 admission bucket)
-            for _ in range(self.S + self.K + 1):
+            # S short-lived busy slots, then K+1 zero-budget: K stage in
+            # one burst, the straggler stages ALONE once rows recycle
+            # (compiling the B=1 staging bucket)
+            for _ in range(self.S):
+                self.submit(text, max_new=2)
+            for _ in range(self.K + 1):
                 self.submit(text, max_new=0)
+            self.run()
+            # all slots free again: a lone request compiles the B=1
+            # direct-admission bucket
+            self.submit(text, max_new=0)
             self.run()
 
 
@@ -777,6 +809,7 @@ class PoolGroup:
             raise ValueError("PoolGroup needs at least one batcher")
         self.batchers = list(batchers)
         self._next_id = 0
+        self._submit_lock = threading.Lock()
         # finished codes for requests submitted WITHOUT a callback, keyed
         # by group id until run() hands them out
         self._unclaimed: Dict[int, np.ndarray] = {}
@@ -794,21 +827,25 @@ class PoolGroup:
 
     def submit(self, text_ids, max_new: Optional[int] = None, done_cb=None,
                cond=None) -> int:
-        gid = self._next_id
-        self._next_id += 1
-        b = min(self.batchers, key=self._load)
+        # id allocation + routing + enqueue are one atomic section:
+        # concurrent handler threads must neither share a gid (crossed
+        # audio) nor pick the same "least-loaded" pool from a stale load
+        with self._submit_lock:
+            gid = self._next_id
+            self._next_id += 1
+            b = min(self.batchers, key=self._load)
 
-        # rebind the pool-local id to the group-global one before the
-        # caller's callback sees it; pool-local ids collide across pools
-        # and never escape.  Callback-less requests park in _unclaimed
-        # for run().
-        def cb(_lrid, codes, _g=gid, _cb=done_cb):
-            if _cb is not None:
-                _cb(_g, codes)
-            else:
-                self._unclaimed[_g] = codes
+            # rebind the pool-local id to the group-global one before the
+            # caller's callback sees it; pool-local ids collide across
+            # pools and never escape.  Callback-less requests park in
+            # _unclaimed for run().
+            def cb(_lrid, codes, _g=gid, _cb=done_cb):
+                if _cb is not None:
+                    _cb(_g, codes)
+                else:
+                    self._unclaimed[_g] = codes
 
-        b.submit(text_ids, max_new=max_new, done_cb=cb, cond=cond)
+            b.submit(text_ids, max_new=max_new, done_cb=cb, cond=cond)
         return gid
 
     def step(self) -> int:
@@ -834,7 +871,7 @@ class PoolGroup:
         self._unclaimed = {}
         return out
 
-    def warmup(self, widths: Sequence[int] = (30,)) -> None:
+    def warmup(self, widths: Optional[Sequence[int]] = None) -> None:
         """Precompile every pool's programs (identical HLO — the compile
         cache pays once, each device loads its own executable)."""
         for b in self.batchers:

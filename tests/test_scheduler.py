@@ -273,3 +273,12 @@ def test_pool_warmup_then_traffic(setup):
     res = b.run()
     np.testing.assert_array_equal(res[rid],
                                   _single_decode(params, cond, text, 12))
+
+
+def test_adaptive_ticks_with_default_staging_is_valid(setup):
+    """An unset staging default must defer to adaptive_ticks (previously a
+    valid configuration) instead of raising."""
+    params, cond, _ = setup
+    b = ContinuousBatcher(params, CFG, cond, num_slots=2, steps_per_tick=4,
+                          adaptive_ticks=True)
+    assert b.K == 0 and b.adaptive_ticks
