@@ -332,6 +332,11 @@ class IndexTTS:
         # --- caches / speakers -------------------------------------------
         self.cache_audio_prompt: Optional[str] = None
         self.cache_cond_mel: Optional[jnp.ndarray] = None
+        # guards the (prompt, mel) pair: pool_infer/pool_infer_stream run
+        # concurrently WITHOUT _infer_lock, and an unsynchronized
+        # check-compute-assign can pair prompt A's path with prompt B's mel
+        # (wrong-voice output that then poisons every cache hit for A)
+        self._prompt_cache_lock = threading.Lock()
         self.gr_progress = None
         self.speaker_list: List[str] = []
         if speaker_info_path and os.path.exists(speaker_info_path):
@@ -385,12 +390,16 @@ class IndexTTS:
         return jax.device_put(x, NamedSharding(self.tp_mesh, PartitionSpec()))
 
     def _prompt_mel(self, audio_prompt: str) -> jnp.ndarray:
-        if self.cache_cond_mel is None or self.cache_audio_prompt != audio_prompt:
-            wav = audio_io.load_prompt_audio(audio_prompt, self.cfg.dataset.sample_rate)
-            mel = self._rep(self._mel_extractor(jnp.asarray(wav)))  # [1, 100, T]
-            self.cache_audio_prompt = audio_prompt
-            self.cache_cond_mel = mel
-        return self.cache_cond_mel
+        with self._prompt_cache_lock:
+            if (self.cache_cond_mel is None
+                    or self.cache_audio_prompt != audio_prompt):
+                wav = audio_io.load_prompt_audio(
+                    audio_prompt, self.cfg.dataset.sample_rate)
+                mel = self._rep(self._mel_extractor(jnp.asarray(wav)))
+                self.cache_audio_prompt = audio_prompt
+                self.cache_cond_mel = mel
+                return mel  # local, not the racy attribute re-read
+            return self.cache_cond_mel
 
     def _conditioning(self, cond_mel: Optional[jnp.ndarray],
                       speaker_id: Optional[str]) -> jnp.ndarray:

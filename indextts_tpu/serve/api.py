@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional
 
 try:
     from fastapi import FastAPI, File, Form, HTTPException, Request, UploadFile
+    from fastapi.concurrency import run_in_threadpool
     from fastapi.responses import Response
 except ImportError as e:  # pragma: no cover
     raise ImportError(
@@ -77,7 +78,9 @@ def create_app(
 
     @app.get("/health")
     def health():
-        return {"status": "ok", "model_loaded": state["tts"] is not None}
+        loaded = state["tts"] is not None or (
+            pool_service is not None and pool_service._tts is not None)
+        return {"status": "ok", "model_loaded": loaded}
 
     # static browser UI (reference api.py:90-95 mounts static/index.html)
     static_dir = os.path.join(os.path.dirname(__file__), "..", "..", "static")
@@ -88,30 +91,11 @@ def create_app(
 
     @app.get("/models")
     def models():
-        """Checkpoint discovery, reference response shape (api.py:97-116):
-        entries are {"name", "filename", "type"}; the loaded checkpoint is
-        echoed as "current_model" (basename) plus our "current" (path)."""
-        found = []
-        base = os.path.join(model_dir, "gpt.pth")
-        if os.path.exists(base):
-            found.append({"name": "Default (gpt.pth)", "filename": "gpt.pth",
-                          "type": "base"})
-        seen = {base}
-        for root in (model_dir, os.path.join(model_dir, ".."),
-                     os.path.join("finetune_models", "checkpoints")):
-            if not os.path.isdir(root):
-                continue
-            for name in sorted(os.listdir(root)):
-                full = os.path.join(root, name)
-                if full in seen or not (name.endswith(".pth")
-                                        or name.startswith("model_epoch_")):
-                    continue
-                seen.add(full)
-                found.append({"name": f"Finetuned - {name}", "filename": full,
-                              "type": "finetune"})
-        cur = state["gpt_path"]
-        return {"models": found, "current": cur,
-                "current_model": os.path.basename(cur) if cur else "None"}
+        """Checkpoint discovery — shared with the stdlib server
+        (serve/httpd.discover_models) so the two surfaces can't drift."""
+        from indextts_tpu.serve.httpd import discover_models
+
+        return discover_models(model_dir, state["gpt_path"])
 
     @app.post("/model/reload")
     async def reload_model(request: "Request"):
@@ -137,6 +121,12 @@ def create_app(
         resolved = os.path.abspath(resolved)
         state["gpt_path"] = resolved
         state["tts"] = None  # lazily rebuilt with the new weights
+        if pool_service is not None:
+            # continuous mode synthesizes through pool_service's own engine
+            # and decode pool — resetting only the closure state would make
+            # reload a silent no-op there (TTSService.reload also drops the
+            # pool, whose drive thread drains and exits)
+            pool_service.reload(resolved)
         return {"status": "reloaded", "gpt_path": resolved,
                 "message": f"switched to {os.path.basename(resolved)}"}
 
@@ -180,17 +170,19 @@ def create_app(
         used_seed = seed if seed is not None else int(time.time_ns() % (2**31))
         if pool_service is not None:
             try:
-                data = pool_service.tts({
+                data, _ = await run_in_threadpool(pool_service.tts, {
                     "text": text, "audio_path": prompt,
                     "speaker_id": speaker_id,
                     "max_text_tokens_per_sentence": max_text_tokens_per_sentence,
                 })
+            except ValueError as e:
+                raise HTTPException(400, str(e))
             finally:
                 if tmp is not None:
                     os.unlink(tmp)
             return Response(content=data, media_type="audio/wav",
                             headers={"X-Seed": str(used_seed)})
-        eng = engine()
+        eng = await run_in_threadpool(engine)  # first call builds the model
         gen = dict(do_sample=do_sample, top_p=top_p, top_k=top_k,
                    temperature=temperature, repetition_penalty=repetition_penalty,
                    length_penalty=length_penalty,
@@ -199,9 +191,10 @@ def create_app(
             gen["num_beams"] = num_beams
         if cfg_scale is not None:
             gen["cfg_scale"] = cfg_scale
-        try:
-            out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
-            out.close()
+        out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+        out.close()
+
+        def synth():
             if mode == "fast" and not speaker_id:
                 eng.infer_fast(prompt, text, out.name,
                                max_text_tokens_per_sentence=max_text_tokens_per_sentence,
@@ -211,10 +204,22 @@ def create_app(
                 eng.infer(prompt, text, out.name, speaker_id=speaker_id,
                           max_text_tokens_per_sentence=max_text_tokens_per_sentence,
                           **gen)
+
+        try:
+            # blocking synthesis OFF the event loop: an `async def`
+            # endpoint is not threadpooled by FastAPI, so a long decode
+            # (or a multi-minute cold compile) run inline would freeze
+            # every concurrent request, /health included
+            await run_in_threadpool(synth)
             with open(out.name, "rb") as f:
                 data = f.read()
-            os.unlink(out.name)
+        except ValueError as e:  # unknown speaker_id, bad params → 4xx
+            raise HTTPException(400, str(e))
         finally:
+            import contextlib
+
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(out.name)
             if tmp is not None:
                 os.unlink(tmp)
         return Response(content=data, media_type="audio/wav",
@@ -283,20 +288,27 @@ def create_app(
             # requests).  Any setup failure — including library errors from
             # an unreadable uploaded file (soundfile/librosa) — must unlink
             # the temp upload (ADVICE r2 medium).
+            # the eager setup (engine build, prompt analysis, pool
+            # submission) is blocking — run it off the event loop like the
+            # chunks themselves (Starlette iterates the sync generator via
+            # its own threadpool)
             if pool_service is not None:
                 # continuous mode: sentences join the shared pool and
                 # chunks stream out in order as each sentence finishes
                 # (sampling params are pool-level, fixed at startup)
-                eng = pool_service.engine()
-                chunks = eng.pool_infer_stream(
-                    pool_service.pool(), prompt, text,
-                    speaker_id=speaker_id,
-                    max_text_tokens_per_sentence=max_text_tokens_per_sentence)
+                def setup():
+                    eng = pool_service.engine()
+                    return eng.pool_infer_stream(
+                        pool_service.pool(), prompt, text,
+                        speaker_id=speaker_id,
+                        max_text_tokens_per_sentence=max_text_tokens_per_sentence)
             else:
-                chunks = engine().infer_stream(
-                    prompt, text, speaker_id=speaker_id, seed=used_seed,
-                    max_text_tokens_per_sentence=max_text_tokens_per_sentence,
-                    **gen)
+                def setup():
+                    return engine().infer_stream(
+                        prompt, text, speaker_id=speaker_id, seed=used_seed,
+                        max_text_tokens_per_sentence=max_text_tokens_per_sentence,
+                        **gen)
+            chunks = await run_in_threadpool(setup)
         except ValueError as e:
             cleanup_tmp()
             raise HTTPException(400, str(e))

@@ -30,9 +30,38 @@ import threading
 import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 from indextts_tpu.engine import IndexTTS
+
+
+def discover_models(model_dir: str, current: Optional[str]) -> Dict[str, Any]:
+    """Checkpoint discovery, reference response shape (api.py:97-116):
+    each entry is {"name", "filename", "type"} and the currently loaded
+    checkpoint is echoed as "current_model" (basename); "current" (path)
+    is kept for this framework's earlier clients.  Shared by both server
+    surfaces so discovery/resolution rules can't drift between them."""
+    found = []
+    base = os.path.join(model_dir, "gpt.pth")
+    if os.path.exists(base):
+        found.append({"name": "Default (gpt.pth)", "filename": "gpt.pth",
+                      "type": "base"})
+    roots = [model_dir, os.path.join(model_dir, ".."),
+             os.path.join("finetune_models", "checkpoints")]
+    seen = {base}
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for name in sorted(os.listdir(root)):
+            full = os.path.join(root, name)
+            if full in seen or not (name.endswith(".pth")
+                                    or name.startswith("model_epoch_")):
+                continue
+            seen.add(full)
+            found.append({"name": f"Finetuned - {name}", "filename": full,
+                          "type": "finetune"})
+    return {"models": found, "current": current,
+            "current_model": os.path.basename(current) if current else "None"}
 
 
 class TTSService:
@@ -79,19 +108,28 @@ class TTSService:
                     pool.warmup()
                 self._pool = pool
                 self._pool_thread = threading.Thread(
-                    target=self._drive_pool, daemon=True)
+                    target=self._drive_pool, args=(pool,), daemon=True)
                 self._pool_thread.start()
             return self._pool
 
-    def _drive_pool(self) -> None:
+    def _drive_pool(self, pool) -> None:
         import time as _time
+        import traceback
 
         while True:
-            pool = self._pool
-            if pool is None:
-                return
-            live = pool.step()
-            if live == 0 and not pool._queue:
+            try:
+                live = pool.step()
+            except Exception:
+                # a transient backend error must not kill the drive thread
+                # — a dead driver turns every pool request into a silent
+                # 600 s timeout while the server keeps accepting traffic
+                traceback.print_exc()
+                _time.sleep(0.25)
+                continue
+            idle = live == 0 and not pool._queue
+            if idle:
+                if self._pool is not pool:
+                    return  # replaced by reload() and fully drained
                 _time.sleep(0.002)
 
     def engine(self) -> IndexTTS:
@@ -104,32 +142,7 @@ class TTSService:
             return self._tts
 
     def models(self) -> Dict[str, Any]:
-        """Checkpoint discovery, reference response shape (api.py:97-116):
-        each entry is {"name", "filename", "type"} and the currently loaded
-        checkpoint is echoed as "current_model" (basename).  "current" is
-        kept for this framework's earlier clients."""
-        found = []
-        base = os.path.join(self.model_dir, "gpt.pth")
-        if os.path.exists(base):
-            found.append({"name": "Default (gpt.pth)", "filename": "gpt.pth",
-                          "type": "base"})
-        roots = [self.model_dir, os.path.join(self.model_dir, ".."),
-                 os.path.join("finetune_models", "checkpoints")]
-        seen = {base}
-        for root in roots:
-            if not os.path.isdir(root):
-                continue
-            for name in sorted(os.listdir(root)):
-                full = os.path.join(root, name)
-                if full in seen or not (name.endswith(".pth")
-                                        or name.startswith("model_epoch_")):
-                    continue
-                seen.add(full)
-                found.append({"name": f"Finetuned - {name}", "filename": full,
-                              "type": "finetune"})
-        cur = self.gpt_path
-        return {"models": found, "current": cur,
-                "current_model": os.path.basename(cur) if cur else "None"}
+        return discover_models(self.model_dir, self.gpt_path)
 
     def reload(self, gpt_path: str) -> Dict[str, Any]:
         # reference resolution order (api.py:126-133): model_dir-relative
@@ -145,6 +158,13 @@ class TTSService:
         with self._lock:
             self.gpt_path = resolved
             self._tts = None  # lazily rebuilt with the new weights
+            # the decode pool holds the OLD engine's GPT params — keeping
+            # it would make reload a silent no-op for every pooled request.
+            # The old drive thread drains in-flight work, then exits
+            # (_drive_pool sees self._pool is not pool); the next request
+            # builds a fresh pool from the reloaded engine.
+            self._pool = None
+            self._pool_thread = None
         return {"status": "reloaded", "gpt_path": resolved}
 
     @staticmethod
@@ -192,10 +212,13 @@ class TTSService:
             gen["cfg_scale"] = float(req["cfg_scale"])
         return prompt, speaker_id, used_seed, gen
 
-    def tts(self, req: Dict[str, Any]) -> bytes:
+    def tts(self, req: Dict[str, Any]) -> Tuple[bytes, int]:
+        """Returns (wav bytes, seed used).  The seed is per-call — reading
+        it back through shared service state raced with concurrent
+        requests overwriting it (X-Seed carried another caller's seed)."""
         prompt, speaker_id, used_seed, gen = self.parse_request(req)
         if self.continuous:
-            return self._pool_tts(req, prompt, speaker_id)
+            return self._pool_tts(req, prompt, speaker_id), used_seed
         eng = self.engine()
         text = req["text"]
         out = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
@@ -220,7 +243,7 @@ class TTSService:
         finally:
             os.unlink(out.name)
         self.last_seed = used_seed
-        return data
+        return data, used_seed
 
     def tts_stream(self, req: Dict[str, Any]):
         """Validate the request, then return (seed, generator of
@@ -380,14 +403,19 @@ def make_handler(service: TTSService):
                     self._json(404, {"error": f"checkpoint not found: {e}"})
             elif path == "/tts":
                 try:
-                    data = service.tts(req)
+                    data, used_seed = service.tts(req)
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # unreadable prompt file, etc. —
+                    # a dropped connection (no HTTP response at all) is
+                    # strictly worse than a 500
+                    self._json(500, {"error": f"synthesis failed: {e}"})
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(data)))
-                self.send_header("X-Seed", str(service.last_seed))
+                self.send_header("X-Seed", str(used_seed))
                 self.end_headers()
                 self.wfile.write(data)
             elif path == "/tts_stream":
@@ -400,6 +428,9 @@ def make_handler(service: TTSService):
                 except ValueError as e:
                     self._json(400, {"error": str(e)})
                     return
+                except Exception as e:
+                    self._json(500, {"error": f"synthesis failed: {e}"})
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Transfer-Encoding", "chunked")
@@ -407,6 +438,11 @@ def make_handler(service: TTSService):
                 self.end_headers()
 
                 def emit(payload: bytes) -> None:
+                    if not payload:
+                        # a zero-length chunk IS the chunked-transfer
+                        # terminator — emitting one for an empty sentence
+                        # truncates the stream and corrupts keep-alive
+                        return
                     self.wfile.write(f"{len(payload):X}\r\n".encode())
                     self.wfile.write(payload)
                     self.wfile.write(b"\r\n")
