@@ -160,8 +160,55 @@ class Trainer:
                                  jax.device_get(self.state.lora_params),
                                  self.tc.lora, save_dtype)
         ckpt_io.save_pytree(os.path.join(self.out_dir, f"model_epoch_{epoch}"), merged)
+        # (c) reference-format .pth twins of (b): gpt_epoch_{N}.pth per epoch
+        # and gpt_best.pth on improvement (train.py:954-961) — deployable on
+        # the reference CUDA stack unchanged, and servable by our own engine
+        self._last_merged = merged
+        self._export_pth(f"gpt_epoch_{epoch + 1}.pth", merged)
+        if val_loss <= self.best_val:
+            self._export_pth("gpt_best.pth", merged)
         self.cfg.save(os.path.join(self.out_dir, "config_finetuned.yaml"))
         print(f"[ckpt] epoch {epoch} saved (val_loss={val_loss:.4f})")
+
+    def _export_pth(self, name: str, merged) -> None:
+        """Reference-trainer inference artifact ({'model': sd} + speaker
+        extras, train.py:795-844) via io/export; non-fatal if torch is
+        unavailable."""
+        try:
+            from indextts_tpu.io import export as export_io
+
+            dtype = self.tc.save_dtype if self.tc.save_dtype in (
+                "fp16", "bf16", "fp32") else "fp16"
+            export_io.save_gpt_pth(os.path.join(self.out_dir, name), merged,
+                                   self.cfg.gpt, extras=self._speaker_extras(),
+                                   save_dtype=dtype)
+        except Exception as e:
+            print(f"[warn] .pth export skipped for {name}: {e}")
+
+    def _speaker_extras(self) -> Dict[str, Dict[str, np.ndarray]]:
+        """Per-speaker medoid conditions (+ vocoder reference mels) from the
+        extraction output, embedded into the exported checkpoint the way the
+        reference's finetuned .pth carries them (utils/checkpoint.py:42-62)."""
+        if getattr(self, "_speaker_extras_cache", None) is not None:
+            return self._speaker_extras_cache
+        extras: Dict[str, Dict[str, np.ndarray]] = {}
+        data_path = getattr(self.train_ds, "data_path", None)
+        speakers = sorted(getattr(self.train_ds, "by_speaker", {}) or [])
+        conds, mels = {}, {}
+        for sp in speakers:
+            cpath = os.path.join(data_path or "", sp, "medoid_condition.npy")
+            mpath = os.path.join(data_path or "", sp, "medoid_mel.npy")
+            if data_path and os.path.exists(cpath):
+                conds[sp] = np.load(cpath)
+            if data_path and os.path.exists(mpath):
+                mels[sp] = np.load(mpath)
+        if conds:
+            extras["speaker_conditions"] = conds
+            extras["speakers"] = sorted(conds)
+        if mels:
+            extras["speaker_mels"] = mels
+        self._speaker_extras_cache = extras
+        return extras
 
     def try_resume(self) -> None:
         """Auto-resume from the newest checkpoint_epoch_* (run_train.sh:100-123)."""
@@ -318,6 +365,9 @@ class Trainer:
                 if self.patience_left < 0:
                     print(f"[early-stop] no val improvement (best {self.best_val:.4f})")
                     break
+            # final inference artifact (reference train.py:967)
+            if self.is_main and getattr(self, "_last_merged", None) is not None:
+                self._export_pth("gpt_finetuned.pth", self._last_merged)
 
 
 def main(argv=None) -> None:

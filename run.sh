@@ -82,6 +82,10 @@ case "$cmd" in
         # speaker-sim (+ WER/CER via --asr-cmd) over validation clips
         python tools/eval_quality.py "$@"
         ;;
+    export)
+        # orbax checkpoint → reference-format .pth (gpt|dvae|vocoder)
+        python tools/export_pth.py --config "$CONFIG" "$@"
+        ;;
     shell)
         exec "${SHELL:-/bin/bash}"
         ;;
@@ -100,6 +104,7 @@ usage: ./run.sh <command>
   healthcheck  TPU availability probe
   test         run the pytest suite + quality-metric self-check
   eval         speaker-sim / WER over clips (tools/eval_quality.py)
+  export       orbax checkpoint → reference .pth (tools/export_pth.py)
   shell        interactive shell
 USAGE
         ;;

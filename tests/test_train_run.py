@@ -35,6 +35,11 @@ def workspace(tmp_path_factory):
                 f.write(json.dumps(r, ensure_ascii=False) + "\n")
     with open(data / "speaker_info.json", "w") as f:
         json.dump([{"speaker": "spk"}], f)
+    # medoid artifacts (extraction contract) — embedded in exported .pth
+    np.save(spk / "medoid_condition.npy",
+            rng.standard_normal((1, 32, 64)).astype(np.float32))
+    np.save(spk / "medoid_mel.npy",
+            rng.standard_normal((100, 40)).astype(np.float32))
 
     model_dir = root / "models"
     model_dir.mkdir()
@@ -75,6 +80,18 @@ def test_training_run_and_resume(workspace):
     assert any(n.startswith("checkpoint_epoch_") for n in names)
     assert any(n.startswith("model_epoch_") for n in names)
     assert "config_finetuned.yaml" in names
+
+    # reference-format .pth twins (train.py:954-967 artifact names), with
+    # the speaker medoids embedded, loadable by our own converter
+    assert {"gpt_epoch_1.pth", "gpt_best.pth", "gpt_finetuned.pth"} <= set(names)
+    from indextts_tpu.io.checkpoint import load_gpt_checkpoint
+
+    params, extras = load_gpt_checkpoint(
+        os.path.join(out_dir, "gpt_finetuned.pth"), cfg.gpt)
+    assert extras["speakers"] == ["spk"]
+    assert extras["speaker_conditions"]["spk"].shape == (1, 32, 64)
+    assert extras["speaker_mels"]["spk"].shape == (100, 40)
+    assert params["text_embedding"]["weight"].shape[0] == 12001
 
     # resume: a fresh Trainer picks up the newest checkpoint
     t2 = Trainer(cfg, model_dir, run_name="testrun")
