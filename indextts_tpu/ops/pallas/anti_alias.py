@@ -43,12 +43,16 @@ def _phase_filters() -> Tuple[np.ndarray, np.ndarray]:
     return f[0::2].copy(), f[1::2].copy()  # even taps, odd taps
 
 
-def _kernel(x_ref, alpha_ref, beta_ref, y_ref, *, tile_t: int):
-    """x_ref: [1, 1, Cb, tile_t+12] window of edge-padded input (window i
-    covers xe[t0 .. t0+tile_t+12), xe = edge_pad(x, 6));
-    alpha/beta: [Cb, 1] already exp()'d; y_ref: [1, Cb, tile_t]."""
+def _kernel(body_ref, halo_ref, alpha_ref, beta_ref, y_ref, *, tile_t: int):
+    """body_ref: [1, Cb, tile_t] tile of the edge-padded input xe
+    (xe = edge_pad(x, 6), so tile tt starts at xe[tt*tile_t]);
+    halo_ref: [1, 1, Cb, 16] — the next 12 columns xe[tt*tile_t + tile_t ..]
+    (padded to 16 lanes for tiling); alpha/beta: [Cb, 1] already exp()'d;
+    y_ref: [1, Cb, tile_t]."""
     fe, fo = _phase_filters()
-    x = x_ref[0, 0, :, :].astype(jnp.float32)
+    x = jnp.concatenate(
+        [body_ref[0].astype(jnp.float32),
+         halo_ref[0, 0, :, :12].astype(jnp.float32)], axis=-1)
     alpha = alpha_ref[:].astype(jnp.float32)
     beta = beta_ref[:].astype(jnp.float32)
 
@@ -75,33 +79,49 @@ def _kernel(x_ref, alpha_ref, beta_ref, y_ref, *, tile_t: int):
 def _interior(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
               tile_t: int, tile_c: int, interpret: bool = False) -> jnp.ndarray:
     """Run the fused kernel over the whole sequence (interior clamp
-    semantics: replicate padding in the input domain)."""
+    semantics: replicate padding in the input domain).
+
+    The +12 right halo each tile needs is NOT materialised as overlapping
+    windows (a gather + full transposed copy of the input — measured 1.4-2x
+    the whole kernel's runtime at the late BigVGAN stages); instead the
+    padded input is tiled in place and a tiny side array [B, n_t, Cp, 16]
+    carries just the 12 halo columns per tile, concatenated in VMEM."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, C, T = x.shape
     tile_c = min(tile_c, C)
+    # keep per-block work roughly constant: narrow-channel stages (the big-T
+    # late BigVGAN stages) get proportionally longer tiles, otherwise
+    # per-block overhead dominates (measured 2x at C=24)
+    tile_t = tile_t * max(1, min(16, 256 // tile_c))
+    tile_t = min(tile_t, int(-(-T // 128)) * 128)
     pad_c = (-C) % tile_c
     pad_t = (-T) % tile_t
     xe = jnp.pad(x, ((0, 0), (0, 0), (6, 6)), mode="edge")
-    xe = jnp.pad(xe, ((0, 0), (0, pad_c), (0, pad_t)))
+    xe = jnp.pad(xe, ((0, 0), (0, pad_c), (0, pad_t)))  # [B, Cp, Tp+12]
     a = jnp.pad(alpha, (0, pad_c)).reshape(-1, 1)
     b = jnp.pad(beta, (0, pad_c), constant_values=1.0).reshape(-1, 1)
     Cp, Tp = C + pad_c, T + pad_t
-
-    # overlapping (+12 halo) windows materialised via gather — XLA fuses
-    # this with the pad; overlap is 12/tile_t ≈ 2% extra traffic.
-    # layout [B, n_t, Cp, K]: the block's last two dims (tile_c, K) satisfy
-    # the TPU (8, 128)-or-full tiling rule
     n_t = Tp // tile_t
-    idx = (np.arange(n_t)[:, None] * tile_t + np.arange(tile_t + 12)[None, :])
-    windows = xe[:, :, idx].transpose(0, 2, 1, 3)  # [B, n_t, Cp, tile_t+12]
+
+    # halo[i] = xe[:, :, (i+1)*tile_t : (i+1)*tile_t + 12]: a strided slice
+    # of a free reshape — XLA copies only n_t*16 columns, not the input
+    z = xe[:, :, tile_t:]
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, n_t * tile_t - z.shape[-1])))
+    halo = z.reshape(B, Cp, n_t, tile_t)[..., :16]
+    halo = jnp.transpose(halo, (0, 2, 1, 3))  # [B, n_t, Cp, 16] (small)
 
     out = pl.pallas_call(
         functools.partial(_kernel, tile_t=tile_t),
         grid=(B, Cp // tile_c, n_t),
         in_specs=[
-            pl.BlockSpec((1, 1, tile_c, tile_t + 12),
+            # xe's last dim is Tp+12, not a tile_t multiple: tile tt covers
+            # [tt*tile_t, tt*tile_t + tile_t) ⊂ [0, Tp) — always in bounds
+            pl.BlockSpec((1, tile_c, tile_t),
+                          lambda bb, cc, tt: (bb, cc, tt),
+                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_c, 16),
                           lambda bb, cc, tt: (bb, tt, cc, 0),
                           memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_c, 1), lambda bb, cc, tt: (cc, 0),
@@ -114,7 +134,7 @@ def _interior(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
                                 memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Cp, Tp), x.dtype),
         interpret=interpret,
-    )(windows, a, b)
+    )(xe, halo, a, b)
     return out[:, :C, :T]
 
 
