@@ -3,6 +3,8 @@ alias-free-torch semantics (filter.py/resample.py) with native torch ops."""
 
 import math
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 import torch
@@ -103,3 +105,51 @@ def test_anti_aliased_activation_pipeline():
     act = up + torch.sin(up) ** 2 / (1 + 1e-9)
     ref = torch_downsample2x(act).numpy()
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mxu", [False, True])
+@pytest.mark.parametrize(
+    "B,C,T,tile_t",
+    [
+        (1, 8, 64, 128),     # single tile, T < tile_t
+        (2, 16, 384, 128),   # multiple tiles, divisible
+        (1, 8, 200, 128),    # ragged last tile (72 cols)
+        (1, 24, 1288, 128),  # ragged tail of exactly 8
+    ],
+)
+def test_fused_anti_alias_kernel_matches_xla(mxu, B, C, T, tile_t):
+    """Interpret-mode equivalence of the Pallas kernel (both math variants)
+    vs the XLA composition, covering edge tiles, halos and ragged tails."""
+    from indextts_tpu.ops.pallas import anti_alias
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((B, C, T)).astype(np.float32)
+    alpha = rng.standard_normal(C).astype(np.float32) * 0.1
+    beta = rng.standard_normal(C).astype(np.float32) * 0.1
+    ref = np.asarray(
+        filters.anti_aliased_activation(jnp.asarray(x), alpha, beta))
+    got = np.asarray(anti_alias.fused_anti_alias_activation(
+        jnp.asarray(x), jnp.asarray(alpha), jnp.asarray(beta),
+        tile_t=tile_t, force_pallas=True, mxu=mxu))
+    assert got.shape == ref.shape
+    # mxu variant uses bf16 matmul operands (same class as bf16-network
+    # XLA convs); vpu variant is exact fp32
+    tol = 3e-2 if mxu else 2e-5
+    np.testing.assert_allclose(got, ref, rtol=tol, atol=tol)
+
+
+def test_fused_anti_alias_kernel_bf16_network_dtype(monkeypatch):
+    """bf16 in/out (the in-network dtype) stays close to the fp32 XLA path."""
+    from indextts_tpu.ops.pallas import anti_alias
+
+    rng = np.random.default_rng(11)
+    C, T = 96, 640
+    x = rng.standard_normal((1, C, T)).astype(np.float32)
+    alpha = rng.standard_normal(C).astype(np.float32) * 0.1
+    beta = rng.standard_normal(C).astype(np.float32) * 0.1
+    ref = np.asarray(
+        filters.anti_aliased_activation(jnp.asarray(x), alpha, beta))
+    got = np.asarray(anti_alias.fused_anti_alias_activation(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(alpha), jnp.asarray(beta),
+        force_pallas=True)).astype(np.float32)
+    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
