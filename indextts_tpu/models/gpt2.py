@@ -25,6 +25,8 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from indextts_tpu.ops import quantization
+
 NEG_INF = -1e9
 
 
@@ -125,62 +127,10 @@ def _attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
-def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x [B,T,K] @ w [K,N].  `w` may be a plain array, an int8
-    weight-only-quantised dict {"q": int8 [K,N], "s": fp32 [1,N]}, or a
-    nibble-packed int4 dict {"q4": int8 [K/2,N], "s": fp32 [2G,N]}
-    (ops/quantization).  With per-output-channel scales,
-    (x @ q)·s ≡ x @ (q·s) — scaling the [B,T,N] *output* instead of the
-    [K,N] weights keeps HBM traffic at the quantised width and avoids a
-    full-weight-matrix multiply (the decode loop is weight-bandwidth-bound).
-    The int4 path contracts each (group, nibble-half) slice of x against
-    the matching unpacked half — 2G small dots, still reading K/2 bytes.
-
-    Shared-scale int4 variants (ops/quantization.quantize_int4_shared):
-    {"q4n": jnp.int4 [K,N]} is the in-program NATIVE form — one dot over a
-    sub-byte operand (XLA's int4→bf16 convert is cheap; the per-step manual
-    unpack above is what made packed int4 lose to int8 at batch);
-    {"q4s": int8 [K/2,N]} is its transfer-safe shipped form, unpacked here
-    once per program (decode loops nativize at the top instead, see
-    quantization.nativize_int4)."""
-    if isinstance(w, dict) and "q4n" in w:
-        y = jnp.einsum("btk,kn->btn", x, w["q4n"].astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-        return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
-    if isinstance(w, dict) and "q4s" in w:
-        from indextts_tpu.ops.quantization import unpack_int4
-
-        lo, hi = unpack_int4(w["q4s"])
-        wn = jnp.concatenate([lo, hi], axis=-2)
-        y = jnp.einsum("btk,kn->btn", x, wn.astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-        return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
-    if isinstance(w, dict) and "q4" in w:
-        from indextts_tpu.ops.quantization import unpack_int4
-
-        Kh, N = w["q4"].shape
-        G = w["s"].shape[0] // 2
-        half = Kh // G
-        lo, hi = unpack_int4(w["q4"])           # [Kh, N] halves, row (g, j)
-        lo = lo.reshape(G, half, N)
-        hi = hi.reshape(G, half, N)
-        xg = x.reshape(x.shape[:-1] + (G, 2, half))  # row order (g, half, j)
-        s = w["s"].reshape(G, 2, N).astype(jnp.float32)
-        y = 0.0
-        for g in range(G):
-            y = y + jnp.einsum("btk,kn->btn", xg[..., g, 0, :],
-                               lo[g].astype(x.dtype),
-                               preferred_element_type=jnp.float32) * s[g, 0]
-            y = y + jnp.einsum("btk,kn->btn", xg[..., g, 1, :],
-                               hi[g].astype(x.dtype),
-                               preferred_element_type=jnp.float32) * s[g, 1]
-        return y.astype(x.dtype)
-    if isinstance(w, dict):
-        y = jnp.einsum("btk,kn->btn", x, w["q"].astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-        return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
-    return jnp.einsum("btk,kn->btn", x, w,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+# x [B,T,K] @ w [K,N] for plain / int8 / grouped-int4 / shared-scale-int4
+# weights — one shared implementation so the trunk, heads and dequantize
+# layouts cannot drift (ops/quantization.matmul_quant has the full story).
+_mm = quantization.matmul_quant
 
 
 def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:

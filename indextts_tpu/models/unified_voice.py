@@ -140,40 +140,9 @@ def get_conditioning(params: Dict[str, Any], cfg: GPTConfig,
     return pooled[:, None, :]
 
 
-def _head_mm(h: jnp.ndarray, kernel) -> jnp.ndarray:
-    """Head matmul; kernel may be int8-quantised {"q","s"}, nibble-packed
-    int4 {"q4","s"}, or shared-scale int4 {"q4s"/"q4n","s"} (ops/
-    quantization).  Per-output-channel scales fold into the output (see
-    gpt2._mm)."""
-    if isinstance(kernel, dict) and "q4n" in kernel:
-        y = jnp.einsum("...k,kn->...n", h, kernel["q4n"].astype(h.dtype),
-                       preferred_element_type=jnp.float32)
-        return (y * kernel["s"].astype(jnp.float32)).astype(h.dtype)
-    if isinstance(kernel, dict) and "q4s" in kernel:
-        from indextts_tpu.ops.quantization import unpack_int4
-
-        lo, hi = unpack_int4(kernel["q4s"])
-        wn = jnp.concatenate([lo, hi], axis=-2)
-        y = jnp.einsum("...k,kn->...n", h, wn.astype(h.dtype),
-                       preferred_element_type=jnp.float32)
-        return (y * kernel["s"].astype(jnp.float32)).astype(h.dtype)
-    if isinstance(kernel, dict) and "q4" in kernel:
-        from indextts_tpu.ops.quantization import unpack_int4
-
-        Kh = kernel["q4"].shape[0]
-        lo, hi = unpack_int4(kernel["q4"])
-        s = kernel["s"].astype(jnp.float32)  # [2, N]
-        y = (jnp.einsum("...k,kn->...n", h[..., :Kh], lo.astype(h.dtype),
-                        preferred_element_type=jnp.float32) * s[0]
-             + jnp.einsum("...k,kn->...n", h[..., Kh:], hi.astype(h.dtype),
-                          preferred_element_type=jnp.float32) * s[1])
-        return y.astype(h.dtype)
-    if isinstance(kernel, dict):
-        y = jnp.einsum("...k,kn->...n", h, kernel["q"].astype(h.dtype),
-                       preferred_element_type=jnp.float32)
-        return (y * kernel["s"].astype(jnp.float32)).astype(h.dtype)
-    return jnp.einsum("...k,kn->...n", h, kernel,
-                      preferred_element_type=jnp.float32).astype(h.dtype)
+# head matmul: same shared quantised-matmul implementation as the trunk
+# (ops/quantization.matmul_quant) — plain / int8 / int4 forms all covered.
+_head_mm = quantization.matmul_quant
 
 
 def _lm_head(params, hidden):

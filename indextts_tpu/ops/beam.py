@@ -28,6 +28,13 @@ from indextts_tpu.ops.sampling import NEG_INF as FILTER_NEG
 # analogue) so a masked token can never outrank a dead beam's real
 # candidate (-1e9 + logprob): the two sentinel roles stay distinguishable.
 NEG_INF = -1e9
+# Empty-bank sentinel: must lose to ANY real length-penalised score.  With a
+# negative length_penalty the penalised score is sum_logprobs·gl^|lp| and can
+# fall below -1e9 (lp=-2, gl≈600 needs only sum_logprobs < -2.8e3), so the
+# bank sentinel is -inf, not NEG_INF — HF's Python BeamHypotheses heap simply
+# has no entry, which -inf models exactly.  Never used in arithmetic: bank
+# scores are only compared/top_k'd, and bank-fullness tests isfinite.
+BANK_EMPTY = float("-inf")
 
 
 def flat_scores(
@@ -108,7 +115,7 @@ def init_beam_state(batch: int, num_beams: int, max_len: int) -> BeamState:
     scores = jnp.full((batch, num_beams), NEG_INF).at[:, 0].set(0.0)
     return BeamState(
         scores=scores,
-        fin_scores=jnp.full((batch, num_beams), NEG_INF),
+        fin_scores=jnp.full((batch, num_beams), BANK_EMPTY),
         fin_seqs=jnp.zeros((batch, num_beams, max_len), jnp.int32),
         fin_lens=jnp.zeros((batch, num_beams), jnp.int32),
     )
@@ -196,7 +203,7 @@ def beam_step(
         ~done[:, None])
     fin_cand_scores = jnp.where(bankable,
                                 sc / length_denom(step + 1, length_penalty),
-                                NEG_INF)
+                                BANK_EMPTY)
     all_scores = jnp.concatenate([state.fin_scores, fin_cand_scores], axis=1)
     all_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
     all_lens = jnp.concatenate(
@@ -238,7 +245,7 @@ def batch_done(state: BeamState, step: jnp.ndarray, best_cand: jnp.ndarray,
     cur_len counts the candidate token itself (beam_search.py:232).
     Call AFTER the step's banking, then latch with logical_or
     (beam_search.py:300-306)."""
-    bank_full = state.fin_scores[:, -1] > NEG_INF / 2
+    bank_full = jnp.isfinite(state.fin_scores[:, -1])
     attainable = best_cand / length_denom(step + 1, length_penalty)
     return jnp.logical_and(bank_full, state.fin_scores[:, -1] >= attainable)
 
@@ -260,7 +267,7 @@ def finalize(state: BeamState, seqs: jnp.ndarray, step: jnp.ndarray,
     if done is None:
         done = jnp.zeros((B,), bool)
     run_pen = state.scores / length_denom(step, length_penalty)   # [B, nb]
-    run_pen = jnp.where(done[:, None], NEG_INF, run_pen)
+    run_pen = jnp.where(done[:, None], BANK_EMPTY, run_pen)
     all_scores = jnp.concatenate([state.fin_scores, run_pen], axis=1)
     best_ix = jnp.argmax(all_scores, axis=1)                      # [B]
     from_bank = best_ix < nb

@@ -40,8 +40,9 @@ This kernel is self-contained end to end (v2, round 3):
   class as the XLA conv composition it replaces, whose taps are cast to
   x.dtype).  The VPU is this op's bottleneck in-network (even a bare snake
   runs ~3× off the HBM roofline at BigVGAN's late-stage shapes), so moving
-  ~24 of the ~40 VPU ops/element to the MXU is the win; for C < 96 the
-  128-row systolic array is mostly padding, so narrow stages stay on the VPU.
+  ~24 of the ~40 VPU ops/element to the MXU is the win; below the measured
+  crossover (C = 48 on v5e) the 128-row systolic array is mostly padding and
+  the narrowest stages stay on the VPU.
 
 Falls back to the XLA composition (ops/filters.anti_aliased_activation) on
 non-TPU backends and shapes the tiler can't cover (T < 16, C not a multiple
@@ -244,7 +245,7 @@ def fused_anti_alias_activation(x: jnp.ndarray, alpha: jnp.ndarray,
     filters.anti_aliased_activation(x, alpha, beta).  x: [B, C, T].
     `force_pallas` runs the kernel in interpreter mode off-TPU (tests);
     `mxu` overrides the banded-matmul variant choice (default: bf16 input
-    and C ≥ 96)."""
+    and C ≥ 48, the measured v5e crossover)."""
     on_tpu = jax.default_backend() == "tpu"
     B, C, T = x.shape
     if mxu is None:

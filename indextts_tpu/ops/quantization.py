@@ -120,6 +120,61 @@ def nativize_int4(tree):
     return tree
 
 
+def matmul_quant(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x [..., K] @ w [K, N] for every weight form this framework ships.
+
+    `w` may be a plain array, an int8 weight-only dict {"q": int8 [K,N],
+    "s": fp32 [1,N]}, a grouped nibble-packed int4 dict {"q4": int8 [K/2,N],
+    "s": fp32 [2G,N]} (quantize_int4_packed), or a shared-scale int4 dict —
+    {"q4n": jnp.int4 [K,N]} in-program native, {"q4s": int8 [K/2,N]} its
+    transfer-safe shipped form, unpacked here once per program
+    (quantize_int4_shared; decode loops nativize at the top instead, see
+    nativize_int4).
+
+    With per-output-channel scales, (x @ q)·s ≡ x @ (q·s) — scaling the
+    [..., N] *output* instead of the [K,N] weights keeps HBM traffic at the
+    quantised width and avoids a full-weight-matrix multiply (the decode
+    loop is weight-bandwidth-bound).  The grouped int4 path contracts each
+    (group, nibble-half) slice of x against the matching unpacked half —
+    2G small dots, still reading K/2 bytes.  This is THE quantised-matmul
+    implementation: gpt2._mm and unified_voice._head_mm alias it so the
+    trunk, head, and dequantize layouts cannot drift apart."""
+    if not isinstance(w, dict):
+        return jnp.einsum("...k,kn->...n", x, w,
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+    if "q4n" in w:
+        y = jnp.einsum("...k,kn->...n", x, w["q4n"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
+    if "q4s" in w:
+        lo, hi = unpack_int4(w["q4s"])
+        wn = jnp.concatenate([lo, hi], axis=-2)
+        y = jnp.einsum("...k,kn->...n", x, wn.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
+    if "q4" in w:
+        Kh, N = w["q4"].shape
+        G = w["s"].shape[0] // 2
+        half = Kh // G
+        lo, hi = unpack_int4(w["q4"])           # [Kh, N] halves, row (g, j)
+        lo = lo.reshape(G, half, N)
+        hi = hi.reshape(G, half, N)
+        xg = x.reshape(x.shape[:-1] + (G, 2, half))  # row order (g, half, j)
+        s = w["s"].reshape(G, 2, N).astype(jnp.float32)
+        y = 0.0
+        for g in range(G):
+            y = y + jnp.einsum("...k,kn->...n", xg[..., g, 0, :],
+                               lo[g].astype(x.dtype),
+                               preferred_element_type=jnp.float32) * s[g, 0]
+            y = y + jnp.einsum("...k,kn->...n", xg[..., g, 1, :],
+                               hi[g].astype(x.dtype),
+                               preferred_element_type=jnp.float32) * s[g, 1]
+        return y.astype(x.dtype)
+    y = jnp.einsum("...k,kn->...n", x, w["q"].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
+
+
 def unpack_int4(q4: jnp.ndarray) -> jnp.ndarray:
     """[.., K/2, N] packed → (lo, hi) int8 halves in [-8, 7] (no reorder)."""
     q32 = q4.astype(jnp.int32)

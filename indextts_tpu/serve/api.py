@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -42,6 +43,7 @@ def create_app(
 ) -> "FastAPI":
     app = FastAPI(title="IndexTTS-TPU")
     state = {"tts": engine_instance, "gpt_path": gpt_path}
+    engine_lock = threading.Lock()
     pool_service = None
     if continuous and tp and tp > 1:
         raise ValueError("--continuous and --tp are mutually exclusive "
@@ -59,12 +61,16 @@ def create_app(
             pool_service.pool()  # build + precompile before serving
 
     def engine() -> IndexTTS:
-        if state["tts"] is None:
-            state["tts"] = IndexTTS(
-                cfg_path=cfg_path, model_dir=model_dir,
-                gpt_path=state["gpt_path"], speaker_info_path=speaker_info_path,
-                tp=tp)
-        return state["tts"]
+        # runs on anyio threadpool workers (run_in_threadpool): without the
+        # lock two early requests would each build a full engine — minutes
+        # of duplicate weight loading and doubled HBM on the one chip
+        with engine_lock:
+            if state["tts"] is None:
+                state["tts"] = IndexTTS(
+                    cfg_path=cfg_path, model_dir=model_dir,
+                    gpt_path=state["gpt_path"],
+                    speaker_info_path=speaker_info_path, tp=tp)
+            return state["tts"]
 
     async def _save_upload(audio_file) -> Optional[str]:
         """Uploaded prompt → temp file path (shared by /tts, /tts_stream)."""
@@ -119,8 +125,9 @@ def create_app(
             raise HTTPException(404, f"checkpoint not found: {candidates[0]}")
         # absolute: IndexTTS joins relative gpt_paths with model_dir again
         resolved = os.path.abspath(resolved)
-        state["gpt_path"] = resolved
-        state["tts"] = None  # lazily rebuilt with the new weights
+        with engine_lock:  # vs a concurrent lazy build in engine()
+            state["gpt_path"] = resolved
+            state["tts"] = None  # lazily rebuilt with the new weights
         if pool_service is not None:
             # continuous mode synthesizes through pool_service's own engine
             # and decode pool — resetting only the closure state would make

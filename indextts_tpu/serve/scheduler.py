@@ -769,7 +769,11 @@ class ContinuousBatcher:
         persistent cache, so this is a first-deploy cost only.  Call
         BEFORE starting an external drive loop (run() drains inline)."""
         if widths is None:
-            widths = range(30, self.max_text_width + 1, 32)
+            # max_text_width + 32 so the CAPPED top bucket (width
+            # max_text_width + 2 after the start/stop tokens) is included —
+            # range(30, mtw+1, 32) missed it and a near-max-width request
+            # ate the full cold compile on a "warmed" deploy
+            widths = range(30, self.max_text_width + 32, 32)
         for w in widths:
             text = np.ones((max(1, min(w, self.max_text_width)),), np.int32)
             # S short-lived busy slots, then K+1 zero-budget: K stage in

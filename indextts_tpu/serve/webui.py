@@ -86,6 +86,14 @@ def build_callbacks(cfg_path: str, model_dir: str,
                    length_penalty=float(length_penalty),
                    max_mel_tokens=int(max_mel_tokens),
                    num_beams=int(num_beams), cfg_scale=float(cfg_scale))
+        if float(cfg_scale) != 1.0 and int(num_beams) > 1:
+            # guidance is a sampling-mode feature (the slider says so): the
+            # UI always carries a num_beams value (slider default 3), which
+            # would defeat the engine's "cfg_scale without explicit
+            # num_beams → sampling" auto-switch and silently decode
+            # unguided (engine.py:456).  num_beams=1 IS sampling mode and
+            # passes through.
+            gen.pop("num_beams")
         out_path = os.path.join(out_dir, "webui_gen.wav")
         if mode == "fast":
             return tts.infer_fast(prompt, text, out_path,

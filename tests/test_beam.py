@@ -196,6 +196,44 @@ def test_beam_step_matches_hf_scorer(lp):
                                       hf_seqs[b, P : P + n].numpy())
 
 
+def test_negative_length_penalty_bank_survives_sentinel():
+    """A negative length_penalty MAGNIFIES scores (score = sum·gl^|lp|): at
+    gl≈600 a real banked hypothesis can fall below -1e9, where the old
+    empty-bank sentinel would outrank it in top_k and finalize returned a
+    zero-length sequence (r3 review).  The -inf bank sentinel must lose to
+    any real penalised score."""
+    from indextts_tpu.ops import beam as beam_lib
+
+    B, nb, V, L = 1, 3, 8, 8
+    eos = V - 1
+    lp = -2.0
+    step = jnp.int32(599)  # gl = 600 → denominator 600**-2
+    state = beam_lib.init_beam_state(B, nb, L)
+    seqs = jnp.zeros((B, nb, L), jnp.int32)
+    done = jnp.zeros((B,), bool)
+
+    # beam 0's eos candidate carries sum_logprobs=-4000: penalised score
+    # -4000·360000 = -1.44e9, strictly below the old -1e9 sentinel
+    flat = np.full((B, nb * V), -5000.0, np.float32)
+    flat[0, eos] = -4000.0
+    state, _, _, seqs, best_cand = beam_lib.beam_step(
+        jax.random.PRNGKey(0), jnp.asarray(flat), nb, state, seqs, step,
+        eos, do_sample=False, length_penalty=lp, done=done)
+
+    banked = np.asarray(state.fin_scores[0])
+    assert np.isclose(banked.max(), -4000.0 * 600.0**2, rtol=1e-6)
+
+    best_seq, best_len, from_bank = beam_lib.finalize(
+        state, seqs, step + 1, length_penalty=lp, done=done)
+    # running beams penalise to -5000·~361200 < the banked -1.44e9: the
+    # banked hypothesis must win and carry a real length, not a sentinel row
+    assert bool(from_bank[0])
+    assert int(best_len[0]) > 0
+    # batch_done must see the PARTIALLY-filled bank as not-full (isfinite,
+    # not a > -1e9/2 threshold the magnified scores now cross)
+    assert not bool(beam_lib.batch_done(state, step, best_cand, lp)[0])
+
+
 def test_flat_scores_matches_hf_beam_sample_order():
     """Score-pipeline parity with HF 4.44 beam_sample (ADVICE r1): per-beam
     warpers on [B*nb, V] AFTER adding beam scores, processors on log-probs,

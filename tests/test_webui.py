@@ -105,6 +105,24 @@ def test_synthesize_plumbs_beams_and_guidance(callbacks):
     assert kw["num_beams"] == 1 and kw["cfg_scale"] == 2.5
 
 
+def test_synthesize_guidance_overrides_default_beams(callbacks):
+    """The UI always carries a num_beams value (slider default 3); with an
+    active cfg_scale it must be OMITTED so the engine's sampling-mode
+    auto-switch applies the guidance instead of silently decoding unguided
+    on the beam path (r3 review)."""
+    callbacks["synthesize"](
+        "voice.wav", "text", "fast", 100, 4, True, 0.8, 30, 1.0, 10.0, 600,
+        num_beams=3, cfg_scale=2.0)
+    _, _, _, _, kw = callbacks["state"]["tts"].calls[-1]
+    assert "num_beams" not in kw and kw["cfg_scale"] == 2.0
+    # inactive guidance: the beam default passes through
+    callbacks["synthesize"](
+        "voice.wav", "text", "fast", 100, 4, True, 0.8, 30, 1.0, 10.0, 600,
+        num_beams=3, cfg_scale=1.0)
+    _, _, _, _, kw = callbacks["state"]["tts"].calls[-1]
+    assert kw["num_beams"] == 3
+
+
 def test_synthesize_arg_plumbing_normal(callbacks):
     callbacks["synthesize"](
         "v.wav", "t", "normal", 80, 4, False, 0.9, 50, 0.7, 5.0, 300)
