@@ -201,9 +201,16 @@ def beam_step(
     bankable = jnp.logical_and(
         jnp.logical_and(is_stop, jnp.arange(cand)[None, :] < nb),
         ~done[:, None])
-    fin_cand_scores = jnp.where(bankable,
-                                sc / length_denom(step + 1, length_penalty),
-                                BANK_EMPTY)
+    # clamp to the finite fp32 range: with extreme negative length_penalty
+    # (|lp| ≳ 14 at gl≈600) the penalised score overflows to -inf, which
+    # batch_done/finalize would misread as an EMPTY bank slot (-inf is the
+    # empty sentinel) — same magnification class as the r3 sentinel bug,
+    # one step further out (ADVICE r3)
+    fin_cand_scores = jnp.where(
+        bankable,
+        jnp.maximum(sc / length_denom(step + 1, length_penalty),
+                    jnp.finfo(jnp.float32).min),
+        BANK_EMPTY)
     all_scores = jnp.concatenate([state.fin_scores, fin_cand_scores], axis=1)
     all_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
     all_lens = jnp.concatenate(
@@ -266,7 +273,10 @@ def finalize(state: BeamState, seqs: jnp.ndarray, step: jnp.ndarray,
     B, nb, L = seqs.shape
     if done is None:
         done = jnp.zeros((B,), bool)
-    run_pen = state.scores / length_denom(step, length_penalty)   # [B, nb]
+    # same finite clamp as beam_step's banking: -inf is reserved for "no
+    # hypothesis", a penalised-overflow real beam must stay representable
+    run_pen = jnp.maximum(state.scores / length_denom(step, length_penalty),
+                          jnp.finfo(jnp.float32).min)             # [B, nb]
     run_pen = jnp.where(done[:, None], BANK_EMPTY, run_pen)
     all_scores = jnp.concatenate([state.fin_scores, run_pen], axis=1)
     best_ix = jnp.argmax(all_scores, axis=1)                      # [B]

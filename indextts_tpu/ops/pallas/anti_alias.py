@@ -200,7 +200,10 @@ def _pick_tiles(C: int, T: int, tile_t: int, tile_c: int,
                 mxu: bool) -> Optional[Tuple[int, int]]:
     if C % 8 or T < 16:
         return None
-    tile_c = min(tile_c, C)
+    # TPU blocks need the second-to-last dim to be a multiple of 8; a
+    # non-multiple tile_c argument (e.g. 100) would let the divisibility
+    # loop land on a 4-row block that only interpret mode accepts (ADVICE r3)
+    tile_c = max(8, min(tile_c, C) & ~7)
     while C % tile_c:
         tile_c -= 8
     if not mxu:

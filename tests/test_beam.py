@@ -234,6 +234,37 @@ def test_negative_length_penalty_bank_survives_sentinel():
     assert not bool(beam_lib.batch_done(state, step, best_cand, lp)[0])
 
 
+def test_extreme_length_penalty_bank_stays_finite():
+    """|lp| ≳ 14 at gl≈600 overflows the fp32 penalised score to -inf, which
+    isfinite would misread as an EMPTY bank slot — batch_done could then
+    never fire and finalize could drop a real banked hypothesis (ADVICE r3).
+    Banked scores must clamp to the finite fp32 range."""
+    from indextts_tpu.ops import beam as beam_lib
+
+    B, nb, V, L = 1, 3, 8, 8
+    eos = V - 1
+    lp = -20.0
+    step = jnp.int32(599)  # denom = 600**-20 → score / denom overflows fp32
+    state = beam_lib.init_beam_state(B, nb, L)
+    seqs = jnp.zeros((B, nb, L), jnp.int32)
+    done = jnp.zeros((B,), bool)
+
+    flat = np.full((B, nb * V), -5000.0, np.float32)
+    flat[0, eos] = -4000.0       # rank-0 eos candidate → banked
+    state, _, _, seqs, best_cand = beam_lib.beam_step(
+        jax.random.PRNGKey(0), jnp.asarray(flat), nb, state, seqs, step,
+        eos, do_sample=False, length_penalty=lp, done=done)
+
+    banked = np.asarray(state.fin_scores[0])
+    # the real hypothesis clamps to finfo.min (finite), NOT -inf
+    assert np.isfinite(banked.max())
+    assert banked.max() == np.finfo(np.float32).min
+
+    best_seq, best_len, from_bank = beam_lib.finalize(
+        state, seqs, step + 1, length_penalty=lp, done=done)
+    assert int(best_len[0]) > 0  # a real sequence, not a sentinel row
+
+
 def test_flat_scores_matches_hf_beam_sample_order():
     """Score-pipeline parity with HF 4.44 beam_sample (ADVICE r1): per-beam
     warpers on [B*nb, V] AFTER adding beam scores, processors on log-probs,

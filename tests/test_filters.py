@@ -153,3 +153,19 @@ def test_fused_anti_alias_kernel_bf16_network_dtype(monkeypatch):
         jnp.asarray(x, jnp.bfloat16), jnp.asarray(alpha), jnp.asarray(beta),
         force_pallas=True)).astype(np.float32)
     np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
+
+
+def test_pick_tiles_rounds_tile_c_to_lane_multiple():
+    """A non-multiple-of-8 tile_c (e.g. 100 with C=128) must not produce a
+    block whose second-to-last dim violates the TPU (8,128) tiling rule —
+    interpret mode doesn't check it, real hardware rejects it (ADVICE r3)."""
+    from indextts_tpu.ops.pallas.anti_alias import _pick_tiles
+
+    for C in (128, 96, 24, 8):
+        for req in (100, 7, 12, 1024):
+            picked = _pick_tiles(C, 640, 512, req, mxu=False)
+            if picked is None:
+                continue
+            tile_c, tile_t = picked
+            assert tile_c % 8 == 0 and C % tile_c == 0, (C, req, picked)
+            assert tile_c >= 8
