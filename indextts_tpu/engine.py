@@ -856,16 +856,38 @@ class IndexTTS:
         ]
         return np.concatenate(wavs) if wavs else np.zeros(1, np.int16)
 
+    @staticmethod
+    def _sentence_seed(seed: Optional[int], si: int) -> Optional[int]:
+        """Per-sentence seed from a request seed (splitmix-style mix): each
+        sentence samples an independent stream, but the whole request is a
+        pure function of its seed."""
+        if seed is None:
+            return None
+        m = 0xFFFFFFFF
+        x = (int(seed) + 0x9E3779B9 * (si + 1)) & m
+        x ^= x >> 16
+        x = (x * 0x7FEB352D) & m
+        x ^= x >> 15
+        return x & 0x7FFFFFFF
+
     def pool_infer(self, batcher, audio_prompt: Optional[str], text: str,
                    speaker_id: Optional[str] = None,
                    max_text_tokens_per_sentence: int = 100,
-                   timeout: float = 600.0) -> Tuple[int, np.ndarray]:
+                   timeout: float = 600.0, seed: Optional[int] = None,
+                   sampling: Optional[Dict[str, Any]] = None,
+                   max_mel_tokens: Optional[int] = None
+                   ) -> Tuple[int, np.ndarray]:
         """Synthesize through a shared continuous-batching pool: sentences
         are submitted as pool requests (with this call's conditioning), the
         pool interleaves them with other callers' traffic, and the finished
         codes run the normal latent→vocoder tail.  Thread-safe against other
         pool_infer callers; the pool must be driven externally (a step()
-        loop — serve/httpd.py --continuous runs one).  Returns (sr, wav)."""
+        loop — serve/httpd.py --continuous runs one).  Returns (sr, wav).
+
+        `sampling` (temperature/top_k/top_p/repetition_penalty/do_sample)
+        and `seed` apply to THIS request only — the reference API's
+        per-request contract (api.py:177-299); with a fixed seed the output
+        is reproducible regardless of concurrent pool traffic."""
         import threading
 
         cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
@@ -884,8 +906,10 @@ class IndexTTS:
                 done.set()
 
         cond_np = np.asarray(cond_latent)
-        rids = [batcher.submit(ids, done_cb=cb, cond=cond_np)
-                for ids in id_lists]
+        rids = [batcher.submit(ids, done_cb=cb, cond=cond_np,
+                               max_new=max_mel_tokens, sampling=sampling,
+                               seed=self._sentence_seed(seed, si))
+                for si, ids in enumerate(id_lists)]
         if not rids:
             return self.cfg.dataset.sample_rate, np.zeros(1, np.int16)
         if not done.wait(timeout):
@@ -903,7 +927,10 @@ class IndexTTS:
     def pool_infer_stream(self, batcher, audio_prompt: Optional[str],
                           text: str, speaker_id: Optional[str] = None,
                           max_text_tokens_per_sentence: int = 100,
-                          timeout: float = 600.0):
+                          timeout: float = 600.0,
+                          seed: Optional[int] = None,
+                          sampling: Optional[Dict[str, Any]] = None,
+                          max_mel_tokens: Optional[int] = None):
         """Streaming synthesis through a shared continuous-batching pool:
         all sentences are submitted up front (they decode concurrently,
         interleaved with other callers' traffic), and chunks are yielded
@@ -935,8 +962,10 @@ class IndexTTS:
         # starts in the pool immediately, and setup errors (unreadable
         # prompt, bad speaker) surface here, not mid-response
         cond_np = np.asarray(cond_latent)
-        rids = [batcher.submit(ids, done_cb=cb, cond=cond_np)
-                for ids in id_lists]
+        rids = [batcher.submit(ids, done_cb=cb, cond=cond_np,
+                               max_new=max_mel_tokens, sampling=sampling,
+                               seed=self._sentence_seed(seed, si))
+                for si, ids in enumerate(id_lists)]
         deadline = time.perf_counter() + timeout
 
         def chunks():

@@ -52,10 +52,14 @@ def apply_repetition_penalty(logits: jnp.ndarray, presence: jnp.ndarray,
     return jnp.where(presence, penalized, logits)
 
 
-def _top_p_mask(sorted_logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
-    """Given descending-sorted logits [B, K], return bool keep-mask."""
+def _top_p_mask(sorted_logits: jnp.ndarray, top_p) -> jnp.ndarray:
+    """Given descending-sorted logits [B, K], return bool keep-mask.
+    `top_p` may be a scalar or a per-row vector [B]."""
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
+    top_p = jnp.asarray(top_p)
+    if top_p.ndim == 1:
+        top_p = top_p[:, None]
     # HF: remove tokens with cumulative probability above top_p, shifted so
     # the first token above the threshold is kept.
     remove = cum - probs > top_p
@@ -151,5 +155,80 @@ def sample_step(
     )
     token = jnp.where(finished, stop_token, token)
     presence = presence.at[jnp.arange(token.shape[0]), token].set(True)
+    finished = jnp.logical_or(finished, token == stop_token)
+    return token, presence, finished
+
+
+# --- per-row sampling (continuous-batching pool) ---------------------------
+#
+# Every slot in the decode pool carries ITS OWN request's sampling params
+# (reference API contract: temperature/top_p/top_k/repetition_penalty/
+# do_sample/seed are per-request, api.py:177-299) and its own rng key, so
+# the kernels below take parameter VECTORS [B] and a key array [B].  All
+# params are traced — one compiled program serves every parameter mix.
+
+SAMP_COLS = 5  # packed per-row param layout, used by the pool state
+
+
+def pack_sampling(temperature, top_k, top_p, repetition_penalty,
+                  do_sample) -> jnp.ndarray:
+    """Pack per-row sampling params into one float32 row [SAMP_COLS] (or a
+    batch [B, SAMP_COLS]) — one array to scatter/copy through the pool's
+    slot and staging rows instead of five."""
+    return jnp.stack([
+        jnp.asarray(temperature, jnp.float32),
+        jnp.asarray(top_k, jnp.float32),
+        jnp.asarray(top_p, jnp.float32),
+        jnp.asarray(repetition_penalty, jnp.float32),
+        jnp.asarray(do_sample, jnp.float32),
+    ], axis=-1)
+
+
+def row_keys(seeds: jnp.ndarray, counters: jnp.ndarray) -> jax.Array:
+    """Per-row rng keys: fold_in(PRNGKey(seed_b), counter_b).  Token i of a
+    request is always sampled from fold_in(PRNGKey(seed), i), so a request's
+    output is a pure function of (seed, params, text) — independent of slot
+    placement, tick partitioning, and concurrent pool traffic."""
+    return jax.vmap(
+        lambda s, c: jax.random.fold_in(jax.random.PRNGKey(s), c)
+    )(seeds, counters)
+
+
+def sample_step_rows(
+    keys: jax.Array,
+    logits: jnp.ndarray,
+    presence: jnp.ndarray,
+    finished: jnp.ndarray,
+    samp: jnp.ndarray,
+    *,
+    stop_token: int,
+    shortlist_k: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-row `sample_step`: penalty → warp → sample, every parameter a
+    per-row vector (`samp` [B, SAMP_COLS], see `pack_sampling`), per-row rng
+    `keys` [B].  `shortlist_k` bounds the per-row top_k (static — the pool
+    rejects requests outside [1, shortlist_k] at admission).  Greedy rows
+    (do_sample=0) take the penalised argmax, exactly `sample_step`'s
+    do_sample=False path."""
+    temperature, top_k, top_p, rep_pen, do_sample = (
+        samp[:, 0], samp[:, 1].astype(jnp.int32), samp[:, 2], samp[:, 3],
+        samp[:, 4] > 0.5)
+    logits = apply_repetition_penalty(logits.astype(jnp.float32), presence,
+                                      rep_pen[:, None])
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    B, V = logits.shape
+    k = min(shortlist_k, V)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    shortlist, idx = jax.lax.top_k(scaled, k)   # [B, k] descending
+    keep = jnp.arange(k)[None, :] < jnp.clip(top_k, 1, k)[:, None]
+    shortlist = jnp.where(keep, shortlist, NEG_INF)
+    shortlist = jnp.where(_top_p_mask(shortlist, top_p), shortlist, NEG_INF)
+    # categorical == Gumbel-argmax; vmap gives each row its own key
+    gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (k,)))(keys)
+    choice = jnp.argmax(shortlist + gumbel, axis=-1)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    token = jnp.where(do_sample, sampled.astype(jnp.int32), greedy)
+    token = jnp.where(finished, stop_token, token)
+    presence = presence.at[jnp.arange(B), token].set(True)
     finished = jnp.logical_or(finished, token == stop_token)
     return token, presence, finished

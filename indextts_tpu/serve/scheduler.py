@@ -20,8 +20,11 @@ the pool on the link's dispatch latency):
     waits on the host;
   * everything else lives on device: generated tokens accumulate in a
     codes buffer [S, max_new] fetched once per finished request; `active`
-    self-deactivates on device (stop token or per-slot token budget); the
-    RNG folds inside the kernel from a host step counter;
+    self-deactivates on device (stop token or per-slot token budget); each
+    slot samples with its request's OWN params and rng (samp/seed rows —
+    the reference API's per-request temperature/top_p/top_k/penalty/seed
+    contract, api.py:177-299; token i folds the request seed with i, so
+    outputs are reproducible under any traffic);
   * admissions are batched — all free slots prefill + first-sample in ONE
     jitted call at a common bucketed width.
 
@@ -78,6 +81,8 @@ class PoolState(NamedTuple):
     active: jnp.ndarray         # [S] bool, self-deactivating
     budget: jnp.ndarray         # [S] per-slot max_new
     slot_seq: jnp.ndarray       # [S] request seq occupying each slot (-1 none)
+    samp: jnp.ndarray           # [S, SAMP_COLS] per-request sampling params
+    seed: jnp.ndarray           # [S] per-request rng seed
     # --- staging rows (K may be 0: staged refill disabled) ----------------
     stage_cache: KVCache        # [L, K, H, stage_len, hd] prefilled prefixes
     stage_ready: jnp.ndarray    # [K] bool, consumable by the step kernel
@@ -88,6 +93,8 @@ class PoolState(NamedTuple):
     stage_presence: jnp.ndarray  # [K, V]
     stage_budget: jnp.ndarray   # [K]
     stage_active: jnp.ndarray   # [K] bool (first token not stop, budget > 1)
+    stage_samp: jnp.ndarray     # [K, SAMP_COLS]
+    stage_seed: jnp.ndarray     # [K]
 
 
 # --- jitted kernels (module level: params passed explicitly so weights are
@@ -95,12 +102,14 @@ class PoolState(NamedTuple):
 
 
 def _prefill_first_sample(params, cfg: GPTConfig, cond, text_tokens,
-                          text_mask, rng_base, admit_idx, cache_dtype,
-                          temperature, top_k, top_p, repetition_penalty,
-                          do_sample):
+                          text_mask, samp, seeds, cache_dtype, shortlist_k):
     """Shared prefill + first-token sample for admissions and staging:
     [cond | text | start_mel] prefix → (burst KV cache, prefix mask, first
-    token, presence table).  P (the prefill length) is static."""
+    token, presence table).  P (the prefill length) is static.  `samp`
+    [B, SAMP_COLS] / `seeds` [B] carry each request's OWN sampling params
+    and rng seed (reference API contract, api.py:177-299); token i of a
+    request samples from fold_in(PRNGKey(seed), i), so outputs are pure in
+    (seed, params, text) regardless of pool traffic."""
     size = uv.trunk_size(cfg)
     B = text_tokens.shape[0]
     if cond.shape[0] == 1 and B > 1:
@@ -123,23 +132,20 @@ def _prefill_first_sample(params, cfg: GPTConfig, cond, text_tokens,
     presence0 = sampling.init_penalty_presence(
         cfg.number_mel_codes, B, prompt_token_ids=(1,),
         start_token=cfg.start_mel_token)
-    tok, presence, _ = sampling.sample_step(
-        jax.random.fold_in(rng_base, admit_idx), logits, presence0,
-        jnp.zeros((B,), bool), stop_token=cfg.stop_mel_token,
-        temperature=temperature, top_k=top_k, top_p=top_p,
-        repetition_penalty=repetition_penalty, do_sample=do_sample)
+    keys = sampling.row_keys(seeds, jnp.zeros((B,), jnp.int32))
+    tok, presence, _ = sampling.sample_step_rows(
+        keys, logits, presence0, jnp.zeros((B,), bool), samp,
+        stop_token=cfg.stop_mel_token, shortlist_k=shortlist_k)
     return cache, pmask, tok, presence
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "cache_dtype", "temperature", "top_k", "top_p",
-                     "repetition_penalty", "do_sample"),
+    static_argnames=("cfg", "cache_dtype", "shortlist_k"),
     donate_argnames=("state",))
 def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
-                         text_tokens, text_mask, rng_base, admit_idx, slots,
-                         budgets, seqs, cache_dtype, temperature, top_k,
-                         top_p, repetition_penalty, do_sample) -> PoolState:
+                         text_tokens, text_mask, slots, budgets, seqs, samp,
+                         seeds, cache_dtype, shortlist_k) -> PoolState:
     """Batched prefill of B requests + first-token sampling + scatter-insert
     into the pool — ONE dispatch per admission burst (the former
     _admit_kernel + per-slot _insert_kernel split cost 1+B dispatches at
@@ -148,11 +154,12 @@ def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
     `slots` [B] are destination rows; padded rows carry slot == S and are
     dropped by the scatter (mode="drop").  A first-token stop deactivates
     the slot ON DEVICE (active=False), so admission needs no host fetch at
-    all — the empty result surfaces through the normal lagged report."""
+    all — the empty result surfaces through the normal lagged report.
+    Sampling params/seed are per-request arrays — traced, not static, so
+    every parameter mix shares ONE compiled program."""
     cache, pmask, tok, presence = _prefill_first_sample(
-        params, cfg, cond, text_tokens, text_mask, rng_base, admit_idx,
-        cache_dtype, temperature, top_k, top_p, repetition_penalty,
-        do_sample)
+        params, cfg, cond, text_tokens, text_mask, samp, seeds,
+        cache_dtype, shortlist_k)
     P = pmask.shape[1]
     cache_len = state.full_mask.shape[1]
     drop = dict(mode="drop")
@@ -179,26 +186,25 @@ def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
             jnp.logical_and(tok != cfg.stop_mel_token, budgets > 1), **drop),
         budget=state.budget.at[slots].set(budgets, **drop),
         slot_seq=state.slot_seq.at[slots].set(seqs, **drop),
+        samp=state.samp.at[slots].set(samp, **drop),
+        seed=state.seed.at[slots].set(seeds, **drop),
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "cache_dtype", "temperature", "top_k", "top_p",
-                     "repetition_penalty", "do_sample"),
+    static_argnames=("cfg", "cache_dtype", "shortlist_k"),
     donate_argnames=("state",))
 def _stage_kernel(params, cfg: GPTConfig, state: PoolState, cond,
-                  text_tokens, text_mask, rng_base, admit_idx, rows,
-                  budgets, seqs, cache_dtype, temperature, top_k, top_p,
-                  repetition_penalty, do_sample) -> PoolState:
+                  text_tokens, text_mask, rows, budgets, seqs, samp, seeds,
+                  cache_dtype, shortlist_k) -> PoolState:
     """Prefill + first-sample a burst into STAGING rows (`rows` [B]; padded
     rows carry K and are dropped).  The step kernel swaps staged requests
     into slots as they free — the host never touches live slots while
     staging is in flight."""
     cache, pmask, tok, presence = _prefill_first_sample(
-        params, cfg, cond, text_tokens, text_mask, rng_base, admit_idx,
-        cache_dtype, temperature, top_k, top_p, repetition_penalty,
-        do_sample)
+        params, cfg, cond, text_tokens, text_mask, samp, seeds,
+        cache_dtype, shortlist_k)
     P = pmask.shape[1]
     stage_len = state.stage_mask.shape[1]
     drop = dict(mode="drop")
@@ -220,13 +226,17 @@ def _stage_kernel(params, cfg: GPTConfig, state: PoolState, cond,
         stage_budget=state.stage_budget.at[rows].set(budgets, **drop),
         stage_active=state.stage_active.at[rows].set(
             jnp.logical_and(tok != cfg.stop_mel_token, budgets > 1), **drop),
+        stage_samp=state.stage_samp.at[rows].set(samp, **drop),
+        stage_seed=state.stage_seed.at[rows].set(seeds, **drop),
     )
 
 
-def _step_core(params, cfg: GPTConfig, state: PoolState, rng, cache_dtype,
-               temperature, top_k, top_p, repetition_penalty,
-               do_sample) -> PoolState:
-    """Advance every active slot one token (self-deactivating)."""
+def _step_core(params, cfg: GPTConfig, state: PoolState, cache_dtype,
+               shortlist_k) -> PoolState:
+    """Advance every active slot one token (self-deactivating).  Each slot
+    samples with ITS OWN request's params (state.samp) and rng key — token n
+    of a request always comes from fold_in(PRNGKey(seed), n), so per-request
+    outputs are reproducible regardless of traffic or tick partitioning."""
     size = uv.trunk_size(cfg)
     S = state.prev_tok.shape[0]
     cache_len = state.full_mask.shape[1]
@@ -244,11 +254,10 @@ def _step_core(params, cfg: GPTConfig, state: PoolState, rng, cache_dtype,
         params["gpt"], emb.astype(cache_dtype), state.cache,
         write_pos, full_mask, size)
     logits = uv._lm_head(params, hidden[:, 0])
-    tok, presence, _ = sampling.sample_step(
-        rng, logits, state.presence, ~active,
-        stop_token=cfg.stop_mel_token, temperature=temperature,
-        top_k=top_k, top_p=top_p, repetition_penalty=repetition_penalty,
-        do_sample=do_sample)
+    keys = sampling.row_keys(state.seed, state.n_gen)
+    tok, presence, _ = sampling.sample_step_rows(
+        keys, logits, state.presence, ~active, state.samp,
+        stop_token=cfg.stop_mel_token, shortlist_k=shortlist_k)
     slot_idx = jnp.clip(state.n_gen, 0, max_new - 1)
     codes = state.codes.at[rows, slot_idx].set(
         jnp.where(active, tok, state.codes[rows, slot_idx]))
@@ -322,18 +331,18 @@ def _refill_one(state: PoolState, outbox: jnp.ndarray,
         active=state.active.at[slot_w].set(state.stage_active[srow_r], **drop),
         budget=state.budget.at[slot_w].set(state.stage_budget[srow_r], **drop),
         slot_seq=state.slot_seq.at[slot_w].set(state.stage_seq[srow_r], **drop),
+        samp=state.samp.at[slot_w].set(state.stage_samp[srow_r], **drop),
+        seed=state.seed.at[slot_w].set(state.stage_seed[srow_r], **drop),
         stage_ready=state.stage_ready.at[srow_w].set(False, **drop),
     ), outbox, out_n
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "cache_dtype", "temperature", "top_k", "top_p",
-                     "repetition_penalty", "do_sample", "steps"),
+    static_argnames=("cfg", "cache_dtype", "shortlist_k", "steps"),
     donate_argnames=("state",))
-def _step_kernel(params, cfg: GPTConfig, state: PoolState, rng_base, step_idx,
-                 cache_dtype, temperature, top_k, top_p, repetition_penalty,
-                 do_sample, steps: int = 1) -> Tuple[PoolState, jnp.ndarray]:
+def _step_kernel(params, cfg: GPTConfig, state: PoolState, cache_dtype,
+                 shortlist_k, steps: int = 1) -> Tuple[PoolState, jnp.ndarray]:
     """`steps` decode steps in ONE dispatch (lax.scan), each followed by an
     in-kernel staged refill, then ONE packed int32 report:
 
@@ -352,17 +361,15 @@ def _step_kernel(params, cfg: GPTConfig, state: PoolState, rng_base, step_idx,
     n_out = steps if K else 0
     outbox0 = jnp.full((n_out, 3 + max_new), _PAD_SEQ, jnp.int32)
 
-    def body(carry, i):
+    def body(carry, _):
         st, ob, on = carry
-        st = _step_core(params, cfg, st, jax.random.fold_in(rng_base, i),
-                        cache_dtype, temperature, top_k, top_p,
-                        repetition_penalty, do_sample)
+        st = _step_core(params, cfg, st, cache_dtype, shortlist_k)
         if K:
             st, ob, on = _refill_one(st, ob, on)
         return (st, ob, on), None
 
     (state, outbox, _), _ = jax.lax.scan(
-        body, (state, outbox0, jnp.int32(0)), step_idx + jnp.arange(steps))
+        body, (state, outbox0, jnp.int32(0)), None, length=steps)
     report = jnp.concatenate(
         [state.active.astype(jnp.int32)[:, None], state.n_gen[:, None],
          state.slot_seq[:, None], state.codes], axis=1)
@@ -376,6 +383,8 @@ class _Request:
     max_new: int
     done_cb: Optional[Callable[[int, np.ndarray], None]] = None
     cond: Optional[np.ndarray] = None   # per-request [1, 32, D] conditioning
+    samp: Optional[np.ndarray] = None   # packed [SAMP_COLS] sampling params
+    seed: int = 0                       # per-request rng seed
 
 
 class ContinuousBatcher:
@@ -394,6 +403,7 @@ class ContinuousBatcher:
         top_p: float = 0.8,
         repetition_penalty: float = 10.0,
         do_sample: bool = True,
+        max_top_k: int = 64,
         cache_dtype=jnp.bfloat16,
         kv_dtype=None,            # e.g. jnp.float8_e4m3fn: half-traffic KV
         seed: int = 0,
@@ -419,9 +429,16 @@ class ContinuousBatcher:
         self.cache_len = cfg.condition_num_latent + max_text_width + 2 + 1 + max_new
         self.stage_len = self.cache_len - max_new
         self.size = uv.trunk_size(cfg)
-        self.sampling_kwargs = dict(
+        # pool-level sampling DEFAULTS — every request may override them
+        # (submit(sampling=..., seed=...)); per-slot params are traced, so
+        # one compiled program serves every parameter mix.  max_top_k is the
+        # STATIC per-step shortlist bound (lax.top_k width): requests must
+        # keep top_k within [1, max_top_k].
+        self.max_top_k = int(max_top_k)
+        self.default_sampling = dict(
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, do_sample=do_sample)
+        self.default_samp = self._pack_sampling(self.default_sampling)
         self.cache_dtype = cache_dtype
         self.kv_dtype = kv_dtype
         # staged refill default: on (min(8, S) rows) for multi-step ticks,
@@ -440,16 +457,15 @@ class ContinuousBatcher:
                 "(adaptive tick sizing needs host-side slot occupancy, "
                 "which in-kernel refill makes stale); pass staging_rows=0")
         self.K = int(staging_rows)
-        # independent fold domains: decode steps fold an unbounded absolute
-        # step index, admissions fold a burst counter — a fixed offset
-        # (the old admit_count + 2^20) collides once step_count crosses 2^20
-        # (hours into a long-lived pool), so each site gets its own key
-        self.rng_step, self.rng_admit = jax.random.split(
-            jax.random.PRNGKey(seed))
+        # `seed` seeds DEFAULT per-request seeds only (requests that pass
+        # their own seed ignore it): request req_id gets a splitmix-style
+        # hash of (pool seed, req_id), so default-seeded runs are
+        # deterministic given submission order while explicit seeds are
+        # fully caller-controlled
+        self.seed_base = int(seed)
         self.step_count = 0
         self.steps_per_tick = max(1, steps_per_tick)
         self.adaptive_ticks = adaptive_ticks
-        self._admit_count = 0
 
         kv = kv_dtype or cache_dtype
         self.state = PoolState(
@@ -463,6 +479,9 @@ class ContinuousBatcher:
             active=jnp.zeros((self.S,), bool),
             budget=jnp.zeros((self.S,), jnp.int32),
             slot_seq=jnp.full((self.S,), _EMPTY_SEQ, jnp.int32),
+            samp=jnp.broadcast_to(jnp.asarray(self.default_samp),
+                                  (self.S, sampling.SAMP_COLS)),
+            seed=jnp.zeros((self.S,), jnp.int32),
             stage_cache=KVCache.zeros(self.size, self.K, self.stage_len, kv),
             stage_ready=jnp.zeros((self.K,), bool),
             stage_seq=jnp.full((self.K,), _EMPTY_SEQ, jnp.int32),
@@ -472,6 +491,9 @@ class ContinuousBatcher:
             stage_presence=jnp.zeros((self.K, cfg.number_mel_codes), bool),
             stage_budget=jnp.zeros((self.K,), jnp.int32),
             stage_active=jnp.zeros((self.K,), bool),
+            stage_samp=jnp.broadcast_to(jnp.asarray(self.default_samp),
+                                        (self.K, sampling.SAMP_COLS)),
+            stage_seed=jnp.zeros((self.K,), jnp.int32),
         )
         if device is not None:
             self.state = jax.device_put(self.state, device)
@@ -492,19 +514,64 @@ class ContinuousBatcher:
 
     # -- host-side scheduling --------------------------------------------
 
+    def _pack_sampling(self, s: Dict[str, Any]) -> np.ndarray:
+        """Validate + pack one request's sampling params (defaults filled
+        from the pool's).  Raises ValueError on params the pool cannot
+        honor — callers surface that as a 4xx, never silently ignore."""
+        temperature = float(s.get("temperature",
+                                  self.default_sampling["temperature"]))
+        top_k = int(s.get("top_k", self.default_sampling["top_k"]))
+        top_p = float(s.get("top_p", self.default_sampling["top_p"]))
+        rep = float(s.get("repetition_penalty",
+                          self.default_sampling["repetition_penalty"]))
+        do_sample = bool(s.get("do_sample", self.default_sampling["do_sample"]))
+        if do_sample:
+            if temperature <= 0:
+                raise ValueError(f"temperature must be > 0, got {temperature}")
+            if not 1 <= top_k <= self.max_top_k:
+                raise ValueError(
+                    f"pool top_k must be in [1, {self.max_top_k}] (the "
+                    f"pool's static shortlist bound, max_top_k), got {top_k}")
+            if not 0 < top_p <= 1:
+                raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        if rep <= 0:
+            raise ValueError(f"repetition_penalty must be > 0, got {rep}")
+        return np.array([temperature, top_k, top_p, rep,
+                         1.0 if do_sample else 0.0], np.float32)
+
+    def _default_seed(self, req_id: int) -> int:
+        """Deterministic per-request default seed (splitmix-style mix of the
+        pool seed and the request id)."""
+        m = 0xFFFFFFFF
+        x = (self.seed_base + 0x9E3779B9 * (req_id + 1)) & m
+        x ^= x >> 16
+        x = (x * 0x7FEB352D) & m
+        x ^= x >> 15
+        return x & 0x7FFFFFFF
+
     def submit(self, text_ids: np.ndarray, max_new: Optional[int] = None,
-               done_cb=None, cond=None) -> int:
+               done_cb=None, cond=None, sampling: Optional[Dict[str, Any]] = None,
+               seed: Optional[int] = None) -> int:
         """Queue a request.  `cond` optionally overrides the pool's shared
         conditioning for this request ([1, 32, D] — e.g. a different
         speaker's latents), so one pool can serve mixed speakers.
 
-        Raises ValueError for prompts wider than the pool's max_text_width
-        (synchronously, before the request enters the queue)."""
+        `sampling` optionally overrides the pool defaults for THIS request:
+        keys temperature / top_k / top_p / repetition_penalty / do_sample
+        (the reference API's per-request knobs, api.py:177-299).  `seed`
+        pins the request's rng: token i samples from
+        fold_in(PRNGKey(seed), i), so (seed, sampling, text) fully determine
+        the output regardless of concurrent traffic.  Raises ValueError for
+        prompts wider than the pool's max_text_width or sampling params the
+        pool cannot honor (top_k outside [1, max_top_k]) — synchronously,
+        before the request enters the queue."""
         text_ids = np.asarray(text_ids, np.int32)
         if text_ids.shape[-1] > self.max_text_width:
             raise ValueError(
                 f"prompt of {text_ids.shape[-1]} text tokens exceeds the "
                 f"pool's max_text_width={self.max_text_width}")
+        samp = (self.default_samp if sampling is None
+                else self._pack_sampling(sampling))
         # max_new=0 is a real budget (finish after the admission sample),
         # not a request for the pool default — only None means default
         budget = self.max_new if max_new is None else max(0, min(max_new,
@@ -514,8 +581,12 @@ class ContinuousBatcher:
         # an unsynchronized read-then-increment can hand two callers the
         # same id, crossing their audio
         with self._submit_lock:
-            req = _Request(self._next_id, text_ids, budget, done_cb=done_cb,
-                           cond=None if cond is None else np.asarray(cond))
+            rid = self._next_id
+            req = _Request(rid, text_ids, budget, done_cb=done_cb,
+                           cond=None if cond is None else np.asarray(cond),
+                           samp=samp,
+                           seed=(self._default_seed(rid) if seed is None
+                                 else int(seed) & 0x7FFFFFFF))
             self._next_id += 1
             self._queue.append(req)
         return req.req_id
@@ -560,7 +631,14 @@ class ContinuousBatcher:
             cond_arg = self.cond
         budgets = np.zeros((Bb,), np.int32)
         budgets[:take] = [r.max_new for r in reqs]
-        return tokens, mask, cond_arg, budgets, Bb
+        samp = np.broadcast_to(self.default_samp,
+                               (Bb, sampling.SAMP_COLS)).copy()
+        seeds = np.zeros((Bb,), np.int32)
+        for i, r in enumerate(reqs):
+            if r.samp is not None:
+                samp[i] = r.samp
+            seeds[i] = r.seed
+        return tokens, mask, cond_arg, budgets, samp, seeds, Bb
 
     def _assign_seqs(self, n: int) -> List[int]:
         seqs = list(range(self._next_seq, self._next_seq + n))
@@ -579,7 +657,8 @@ class ContinuousBatcher:
             if take:
                 slots = free[:take]
                 reqs = self._queue[:take]
-                tokens, mask, cond_arg, budgets, Bb = self._prep_burst(reqs)
+                (tokens, mask, cond_arg, budgets, samp, seeds,
+                 Bb) = self._prep_burst(reqs)
                 del self._queue[:take]
                 seqs = self._assign_seqs(take)
                 # padded rows carry slot index S → dropped by the scatter
@@ -594,11 +673,10 @@ class ContinuousBatcher:
                 # every live slot)
                 self.state = _admit_insert_kernel(
                     self.params, self.cfg, self.state, cond_arg,
-                    jnp.asarray(tokens), jnp.asarray(mask), self.rng_admit,
-                    self._admit_count, jnp.asarray(slots_arr),
-                    jnp.asarray(budgets), jnp.asarray(seqs_arr),
-                    self.cache_dtype, **self.sampling_kwargs)
-                self._admit_count += 1
+                    jnp.asarray(tokens), jnp.asarray(mask),
+                    jnp.asarray(slots_arr), jnp.asarray(budgets),
+                    jnp.asarray(seqs_arr), jnp.asarray(samp),
+                    jnp.asarray(seeds), self.cache_dtype, self.max_top_k)
                 for slot, req, seq in zip(slots, reqs, seqs):
                     self._slot_req[slot] = req
                     self._slot_busy[slot] = True
@@ -611,7 +689,8 @@ class ContinuousBatcher:
             # _prep_burst may raise — consume rows/queue only after it
             # succeeds, or staging rows leak permanently (same
             # raise-before-mutate invariant as the direct path above)
-            tokens, mask, cond_arg, budgets, Bb = self._prep_burst(reqs)
+            (tokens, mask, cond_arg, budgets, samp, seeds,
+             Bb) = self._prep_burst(reqs)
             del self._stage_free_rows[:take]
             del self._queue[:take]
             seqs = self._assign_seqs(take)
@@ -621,11 +700,10 @@ class ContinuousBatcher:
             seqs_arr[:take] = seqs
             self.state = _stage_kernel(
                 self.params, self.cfg, self.state, cond_arg,
-                jnp.asarray(tokens), jnp.asarray(mask), self.rng_admit,
-                self._admit_count, jnp.asarray(rows_arr),
-                jnp.asarray(budgets), jnp.asarray(seqs_arr),
-                self.cache_dtype, **self.sampling_kwargs)
-            self._admit_count += 1
+                jnp.asarray(tokens), jnp.asarray(mask),
+                jnp.asarray(rows_arr), jnp.asarray(budgets),
+                jnp.asarray(seqs_arr), jnp.asarray(samp),
+                jnp.asarray(seeds), self.cache_dtype, self.max_top_k)
             for row, req, seq in zip(rows, reqs, seqs):
                 self._staged_fifo.append((seq, row))
                 self._live[seq] = req
@@ -684,8 +762,8 @@ class ContinuousBatcher:
         two, so the compile set stays log-sized) to the smallest remaining
         per-slot budget — otherwise a slot that finishes early in a long
         tick sits dead for the rest of it while work waits.  The rng folds
-        on absolute step index, so results are invariant to how the step
-        stream is partitioned into ticks.
+        each request's seed with its own token index, so results are
+        invariant to how the step stream is partitioned into ticks.
 
         Default OFF (and unavailable with staged refill, which solves the
         same dead-slot problem on device): worth it only when per-dispatch
@@ -726,9 +804,8 @@ class ContinuousBatcher:
             return 0
         steps = self._tick_steps()
         self.state, report = _step_kernel(
-            self.params, self.cfg, self.state, self.rng_step, self.step_count,
-            self.cache_dtype, steps=steps,
-            **self.sampling_kwargs)
+            self.params, self.cfg, self.state, self.cache_dtype,
+            self.max_top_k, steps=steps)
         self.step_count += steps
         prev = self._pending_report
         self._pending_report = (self.step_count, report)
@@ -829,8 +906,13 @@ class PoolGroup:
     def _load(self, b: "ContinuousBatcher") -> int:
         return len(b._queue) + len(b._live)
 
+    @property
+    def max_top_k(self) -> int:
+        """The pools' static shortlist bound (identical across the group)."""
+        return self.batchers[0].max_top_k
+
     def submit(self, text_ids, max_new: Optional[int] = None, done_cb=None,
-               cond=None) -> int:
+               cond=None, sampling=None, seed: Optional[int] = None) -> int:
         # id allocation + routing + enqueue are one atomic section:
         # concurrent handler threads must neither share a gid (crossed
         # audio) nor pick the same "least-loaded" pool from a stale load
@@ -849,7 +931,8 @@ class PoolGroup:
                 else:
                     self._unclaimed[_g] = codes
 
-            b.submit(text_ids, max_new=max_new, done_cb=cb, cond=cond)
+            b.submit(text_ids, max_new=max_new, done_cb=cb, cond=cond,
+                     sampling=sampling, seed=seed)
         return gid
 
     def step(self) -> int:
