@@ -86,6 +86,10 @@ case "$cmd" in
         # orbax checkpoint → reference-format .pth (gpt|dvae|vocoder)
         python tools/export_pth.py --config "$CONFIG" "$@"
         ;;
+    verify-weights)
+        # real-weight gate: convert .pth -> 11-case battery -> quality report
+        python tools/verify_weights.py "$@"
+        ;;
     shell)
         exec "${SHELL:-/bin/bash}"
         ;;
@@ -105,6 +109,7 @@ usage: ./run.sh <command>
   test         run the pytest suite + quality-metric self-check
   eval         speaker-sim / WER over clips (tools/eval_quality.py)
   export       orbax checkpoint → reference .pth (tools/export_pth.py)
+  verify-weights  real-weight gate: battery + speaker-sim (--dry-run rehearses)
   shell        interactive shell
 USAGE
         ;;

@@ -245,34 +245,13 @@ def test_infer_stream_matches_infer(engine, tmp_path):
     assert engine.last_stats["time_to_first_audio"] > 0
 
 
-REGRESSION_BATTERY = [
-    # the reference's 11-case battery (tests/regression_test.py:4-42):
-    # (text, mode).  Real-weight audio checks are impossible in this image
-    # (no released checkpoints, zero egress — PARITY.md); this runs the
-    # battery's exact texts through the full pipeline (normalizer,
-    # pinyin/name protection, splitter, decode, vocoder) on the CPU model.
-    ("暈 XUAN4 是 一 種 GAN3 覺", "infer"),
-    ("大家好，我現在正在bilibili 體驗 ai 科技，說實話，來之前我絕對想不到！"
-     "AI技術已經發展到這樣匪夷所思的地步了！", "infer"),
-    ("There is a vehicle arriving in dock number 7?", "infer"),
-    ("“我愛你！”的英語是“I love you!”", "infer"),
-    ("Joseph Gordon-Levitt is an American actor", "infer"),
-    ("約瑟夫·高登-萊維特是美國演員", "infer"),
-    ("蒂莫西·唐納德·庫克（英文名：Timothy Donald Cook），通稱蒂姆·庫克"
-     "（Tim Cook），現任蘋果公司執行長。", "infer"),
-    ("親愛的夥伴們，大家好！每一次的努力都是為了更好的未來，要善於從失敗中汲取經驗，"
-     "讓我們一起勇敢前行,邁向更加美好的明天！", "infer_fast"),
-    ("The weather is really nice today, perfect for studying at home."
-     "Thank you!", "infer_fast"),
-    ("葉遠隨口答應一聲，一定幫忙云云。教授看葉遠的樣子也知道，這事情多半是黃了。"
-     "誰得到這樣的東西也不會輕易貢獻出來，這是很大的一筆財富。"
-     "葉遠回來後，又自己做了幾次試驗，發現空間湖水對一些外傷也有很大的幫助。"
-     "感謝您的收聽，下期再見！", "infer_fast"),
-    ("《盜夢空間》是由美國華納兄弟影片公司出品的電影，由克里斯托弗·諾蘭執導並編劇，"
-     "萊昂納多·迪卡普里奧、瑪麗昂·歌迪亞、約瑟夫·高登-萊維特等聯袂主演，"
-     "2010年7月16日在美國上映。影片劇情遊走於夢境與現實之間，"
-     "被定義為“發生在意識結構內的當代動作科幻片”。", "infer_fast"),
-]
+# the reference's 11-case battery (tests/regression_test.py:4-42): real-weight
+# audio checks are impossible in this image (no released checkpoints, zero
+# egress — PARITY.md); this runs the battery's exact texts through the full
+# pipeline (normalizer, pinyin/name protection, splitter, decode, vocoder) on
+# the CPU model.  Single source: indextts_tpu/verify.py (the verify-weights
+# gate runs the same cases against real checkpoints).
+from indextts_tpu.verify import REGRESSION_BATTERY
 
 
 def test_regression_battery(engine, tmp_path):
