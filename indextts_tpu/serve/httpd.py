@@ -519,7 +519,7 @@ def add_pool_args(p) -> None:
                         "default: 16 on TPU, 1 on CPU)")
     p.add_argument("--pool-staging", type=int, default=None,
                    help="staging rows for in-kernel slot refill "
-                        "(--continuous; default: min(8, slots) when "
+                        "(--continuous; default: min(slots, max(8, 3*slots/8)) when "
                         "steps-per-tick > 1, else 0)")
     p.add_argument("--pool-dp", type=int, default=None,
                    help="data-parallel pools: one decode pool per chip "

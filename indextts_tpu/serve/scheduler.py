@@ -441,16 +441,26 @@ class ContinuousBatcher:
         self.default_samp = self._pack_sampling(self.default_sampling)
         self.cache_dtype = cache_dtype
         self.kv_dtype = kv_dtype
-        # staged refill default: on (min(8, S) rows) for multi-step ticks,
-        # where the report lag costs ~1.5 ticks of dead slot-steps per
-        # finish; off for single-step ticks (lag ≈ 2 steps, not worth the
-        # staging dispatches)
+        # staged refill default: on for multi-step ticks, where the report
+        # lag costs ~1.5 ticks of dead slot-steps per finish; off for
+        # single-step ticks (lag ≈ 2 steps, not worth the staging
+        # dispatches).  K must SCALE with the pool: a staged row's
+        # turnaround is two ticks (consumed during tick i-1, freed to the
+        # host after tick i's dispatch, restocked before tick i+1), so the
+        # sustainable refill rate is K/2 per tick while slots finish at
+        # S·steps_per_tick/mean_len per tick.  The old fixed K=8 starved a
+        # 64-slot pool into a ~33-active-slot equilibrium (measured 2755
+        # tok/s on the mixed-traffic bench); K = max(8, 3S/8) restores full
+        # occupancy (4508 tok/s at S=64, above the 32-slot 4393; plateau
+        # ~4517 at K=32) at ~10 MB of fp8 staging cache per row on the
+        # flagship config.
         if staging_rows is None:
             # adaptive_ticks solves the same dead-slot problem host-side
             # and is mutually exclusive with staging — an unset default
             # must not invalidate a previously valid configuration
             staging_rows = (0 if adaptive_ticks else
-                            min(8, num_slots) if steps_per_tick > 1 else 0)
+                            min(num_slots, max(8, (3 * num_slots) // 8))
+                            if steps_per_tick > 1 else 0)
         if adaptive_ticks and staging_rows:
             raise ValueError(
                 "adaptive_ticks and staged refill are mutually exclusive "

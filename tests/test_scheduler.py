@@ -284,6 +284,21 @@ def test_adaptive_ticks_with_default_staging_is_valid(setup):
     assert b.K == 0 and b.adaptive_ticks
 
 
+def test_auto_staging_scales_with_slots(setup):
+    """A staged row's turnaround is two ticks, so sustainable refills are
+    K/2 per tick while finishes scale with S — the auto default must grow
+    with the pool (fixed K=8 starved a 64-slot pool to ~33 active slots:
+    2755 tok/s measured vs 4508 with K=24, PARITY.md)."""
+    params, cond, _ = setup
+    for slots, want in [(2, 2), (8, 8), (32, 12), (64, 24), (128, 48)]:
+        b = ContinuousBatcher(params, CFG, cond, num_slots=slots,
+                              steps_per_tick=16)
+        assert b.K == want, (slots, b.K)
+    # single-step ticks: staging off (report lag is ~2 steps)
+    b = ContinuousBatcher(params, CFG, cond, num_slots=64, steps_per_tick=1)
+    assert b.K == 0
+
+
 # --- per-request sampling params + seed (reference api.py:177-299) ---------
 
 

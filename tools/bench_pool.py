@@ -31,7 +31,7 @@ def main() -> None:
                          "(nativized to jnp.int4 inside each tick)")
     ap.add_argument("--staging", type=int, default=None,
                     help="staging rows for in-kernel refill (default: "
-                         "scheduler auto — min(8, slots) for multi-step "
+                         "scheduler auto — min(slots, max(8, 3·slots/8)) for multi-step "
                          "ticks; 0 disables)")
     args = ap.parse_args()
 
