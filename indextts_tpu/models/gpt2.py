@@ -264,6 +264,84 @@ def decode_step_rows(params: Dict[str, Any], hidden: jnp.ndarray,
     return out, KVCache(ks, vs)
 
 
+def decode_step_rows_flat(params: Dict[str, Any], hidden: jnp.ndarray,
+                          k_all: jnp.ndarray, v_all: jnp.ndarray,
+                          positions: jnp.ndarray,
+                          attention_mask: jnp.ndarray,
+                          size: GPT2Size,
+                          use_pallas: bool = False,
+                          interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`decode_step_rows` over the FLAT pool cache [L, S, T, D] (D = H·hd
+    head-major — the natural qkv layout).  The flat layout exists for the
+    Pallas pool-attention kernel (ops/pallas/pool_attention.py), which reads
+    the stacked cache directly via a scalar-prefetched layer index: the XLA
+    per-layer path materialized the layer slice, the fp8 upcast AND the
+    score contraction's K-transpose in HBM — measured 11.2 ms of a 12.8 ms
+    64-slot step, 6.4× the cache's DMA floor.
+
+    hidden: [S, 1, D]; positions: [S] write slots; attention_mask: [S, T]
+    (must already include `positions`).  Returns (ln_f out, k_all', v_all').
+    """
+    S = hidden.shape[0]
+    T = k_all.shape[2]
+    rows = jnp.arange(S)
+    if use_pallas:
+        from indextts_tpu.ops.pallas import pool_attention as pa
+
+        sb = pa.SLOT_BLOCK if S % pa.SLOT_BLOCK == 0 else S
+        t_chunk = T // pa.chunking(T)
+        mask_t = attention_mask.astype(jnp.int32).T              # [T, S]
+        live_chunk = jnp.max(
+            (positions // t_chunk).reshape(S // sb, sb), axis=1)
+    else:
+        bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0,
+                         NEG_INF).astype(jnp.float32)
+
+    def body(l, carry):
+        h, k_all, v_all = carry
+        blk = jax.tree.map(lambda x: jax.lax.dynamic_index_in_dim(
+            x, l, axis=0, keepdims=False), params["blocks"])
+        x = layer_norm(h, blk["ln_1"]["scale"], blk["ln_1"]["bias"])
+        qkv = _mm(x, blk["attn"]["qkv_w"]) + blk["attn"]["qkv_b"].astype(x.dtype)
+        q, k, v = jnp.split(qkv[:, 0, :], 3, axis=-1)            # [S, D] each
+        k_all = k_all.at[l, rows, positions, :].set(k.astype(k_all.dtype))
+        v_all = v_all.at[l, rows, positions, :].set(v.astype(v_all.dtype))
+        if use_pallas:
+            ctx = pa.pool_attention(q, k_all, v_all, l, mask_t, live_chunk,
+                                    size.heads, interpret=interpret)
+        else:
+            k_l = jax.lax.dynamic_index_in_dim(k_all, l, axis=0,
+                                               keepdims=False)
+            v_l = jax.lax.dynamic_index_in_dim(v_all, l, axis=0,
+                                               keepdims=False)
+            kr = k_l.reshape(S, T, size.heads, size.head_dim).transpose(
+                0, 2, 1, 3).astype(q.dtype)
+            vr = v_l.reshape(S, T, size.heads, size.head_dim).transpose(
+                0, 2, 1, 3).astype(q.dtype)
+            qh = q.reshape(S, size.heads, 1, size.head_dim)
+            ctx = _merge_heads(_attention(qh, kr, vr, bias))[:, 0, :]
+        proj = _mm(ctx[:, None, :].astype(x.dtype), blk["attn"]["proj_w"])
+        h = h + proj + blk["attn"]["proj_b"].astype(x.dtype)
+        x = layer_norm(h, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
+        m = gelu_new(_mm(x, blk["mlp"]["fc_w"]) + blk["mlp"]["fc_b"].astype(x.dtype))
+        h = h + _mm(m, blk["mlp"]["proj_w"]) + blk["mlp"]["proj_b"].astype(x.dtype)
+        return h, k_all, v_all
+
+    hidden, ks, vs = jax.lax.fori_loop(
+        0, size.layers, body, (hidden, k_all, v_all))
+    out = layer_norm(hidden, params["ln_f"]["scale"], params["ln_f"]["bias"])
+    return out, ks, vs
+
+
+def flatten_rows_cache(cache: KVCache) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[L, B, H, T, hd] → flat [L, B, T, H·hd] (head-major per position)."""
+    L, B, H, T, hd = cache.k.shape
+    k = cache.k.transpose(0, 1, 3, 2, 4).reshape(L, B, T, H * hd)
+    v = cache.v.transpose(0, 1, 3, 2, 4).reshape(L, B, T, H * hd)
+    return k, v
+
+
 def decode_step_lineage(params: Dict[str, Any], hidden: jnp.ndarray,
                         prefix: KVCache, prefix_bias: jnp.ndarray,
                         suffix: KVCache, suffix_bias: jnp.ndarray,
