@@ -86,6 +86,27 @@ def apply_typical_filter(logits: jnp.ndarray, mass: float = 0.9,
     return jnp.where(remove, NEG_INF, logits)
 
 
+# --- top-k shortlist implementation switch ---------------------------------
+# lax.top_k lowers to a sort-based reduction on TPU; jax.lax.approx_max_k
+# (recall_target=1.0, aggregate_to_topk) is the TPU PartialReduce path that
+# computes the same exact top-k with a two-phase reduction.  Identical up to
+# TIE ORDER (ties broken by reduction shape, not lowest-index), so it is an
+# opt-in switch.  Measured on v5e (S=64, V=8194, K=64, the 64-slot pool
+# shape): top_k 1.965 ms/step vs approx_exact 2.062 — approx_max_k LOSES
+# slightly at this shape, so the sort path stays the default; the switch is
+# kept (with a parity test) for re-evaluation on other chips/shapes.
+APPROX_TOPK = False
+
+
+def shortlist_top_k(logits: jnp.ndarray, k: int):
+    """Exact top-k [B, k] descending (values, indices) — implementation
+    picked by APPROX_TOPK."""
+    if APPROX_TOPK:
+        return jax.lax.approx_max_k(logits, k, recall_target=1.0,
+                                    aggregate_to_topk=True)
+    return jax.lax.top_k(logits, k)
+
+
 def sample_token(
     rng: jax.Array,
     logits: jnp.ndarray,
@@ -113,7 +134,7 @@ def sample_token(
     # silently truncating the nucleus to a shortlist.
     k = top_k if 0 < top_k < V else V
     if k < V:
-        shortlist, idx = jax.lax.top_k(logits, k)  # [B, k] descending
+        shortlist, idx = shortlist_top_k(logits, k)  # [B, k] descending
     else:
         idx = jnp.argsort(-logits, axis=-1)  # the sort order IS the ids
         shortlist = jnp.take_along_axis(logits, idx, axis=-1)
@@ -219,7 +240,7 @@ def sample_step_rows(
     B, V = logits.shape
     k = min(shortlist_k, V)
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
-    shortlist, idx = jax.lax.top_k(scaled, k)   # [B, k] descending
+    shortlist, idx = shortlist_top_k(scaled, k)  # [B, k] descending
     keep = jnp.arange(k)[None, :] < jnp.clip(top_k, 1, k)[:, None]
     shortlist = jnp.where(keep, shortlist, NEG_INF)
     shortlist = jnp.where(_top_p_mask(shortlist, top_p), shortlist, NEG_INF)

@@ -111,3 +111,27 @@ def test_top_k_disabled_full_nucleus():
                                     temperature=1.0, top_k=0, top_p=0.999)
         seen.add(int(tok[0]))
     assert max(seen) > 64, sorted(seen)[-5:]
+
+
+def test_approx_topk_switch_matches_sort():
+    """APPROX_TOPK=True routes the shortlist through jax.lax.approx_max_k
+    (recall_target=1.0 — exact); on tie-free logits every sampled token and
+    the shortlist itself must match the sort-based default."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.standard_normal((4, 300)).astype(np.float32))
+    v0, i0 = sampling.shortlist_top_k(logits, 32)
+    assert sampling.APPROX_TOPK is False
+    try:
+        sampling.APPROX_TOPK = True
+        v1, i1 = sampling.shortlist_top_k(logits, 32)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+        tok_a = sampling.sample_token(jax.random.PRNGKey(0), logits,
+                                      temperature=0.8, top_k=30, top_p=0.8)
+    finally:
+        sampling.APPROX_TOPK = False
+    tok_b = sampling.sample_token(jax.random.PRNGKey(0), logits,
+                                  temperature=0.8, top_k=30, top_p=0.8)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
