@@ -53,8 +53,9 @@ T_CHUNK = 184
 def _kernel(layer_ref, live_chunk_ref,          # scalar prefetch (index maps)
             q_ref, mask_ref, head_mat_ref, k_ref, v_ref, out_ref,
             m_scr, s_scr, ctx_scr,
-            *, head_dim: int, n_tc: int, t_chunk: int, sb: int,
+            *, head_dim: int, n_tc: int, sb: int,
             compute_dtype):
+    i = pl.program_id(0)
     c = pl.program_id(1)
     cd = compute_dtype
 
@@ -64,20 +65,45 @@ def _kernel(layer_ref, live_chunk_ref,          # scalar prefetch (index maps)
         s_scr[:] = jnp.zeros_like(s_scr)
         ctx_scr[:] = jnp.zeros_like(ctx_scr)
 
+    # chunks pinned past the tile's live end SKIP compute (their index maps
+    # repeat the live-end block: no DMA either).  The guard is required for
+    # correctness, not just speed: a pinned chunk re-feeds chunk lc's
+    # k/v/mask, and re-running the online-softmax update would accumulate
+    # that chunk's mass once per dead chunk, skewing the weighting whenever
+    # earlier chunks contributed (they'd be counted once vs lc's N times).
+    @pl.when(c <= live_chunk_ref[i])
+    def _compute():
+        _attend_chunk(q_ref, mask_ref, head_mat_ref, k_ref, v_ref,
+                      m_scr, s_scr, ctx_scr, head_dim=head_dim, sb=sb, cd=cd)
+
+    @pl.when(c == n_tc - 1)
+    def _finish():
+        head_mat32 = head_mat_ref[:].astype(jnp.float32)
+        s_lanes = jax.lax.dot_general(
+            s_scr[:], head_mat32,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [SB, D]
+        out_ref[:] = (ctx_scr[:] / jnp.maximum(s_lanes, 1e-30)).astype(
+            out_ref.dtype)
+
+
+def _attend_chunk(q_ref, mask_ref, head_mat_ref, k_ref, v_ref,
+                  m_scr, s_scr, ctx_scr, *, head_dim: int, sb: int, cd):
+    """One online-softmax update over the current [sb, t_chunk, D] block.
+
+    The mask (0 at dead/pad positions, updated with the current write BEFORE
+    this call) handles partial chunks.
+
+    ctx update uses per-head [Tc,1]x[Tc,hd] dots (static lane slices), NOT
+    the B=1 kernel's p @ Mᵀ expansion: that trick materializes a [Tc, D]
+    fp32 intermediate + two elementwise passes PER ROW, which at sb=8
+    rows per program was the whole kernel's cost (the "multi-row
+    head-indicator scaling" loss ROADMAP.md predicted for fused trunks).
+    """
     head_mat = head_mat_ref[:]                                 # [D, H] cd
     head_mat32 = head_mat.astype(jnp.float32)
     heads = head_mat.shape[1]
     hd = head_dim
-    # chunks pinned past the tile's live end skip compute (their index maps
-    # repeat the previous block: no DMA either).  The mask (0 at dead/pad
-    # positions, updated with the current write BEFORE this call) handles
-    # partial chunks.
-    #
-    # ctx update uses per-head [Tc,1]x[Tc,hd] dots (static lane slices), NOT
-    # the B=1 kernel's p @ Mᵀ expansion: that trick materializes a [Tc, D]
-    # fp32 intermediate + two elementwise passes PER ROW, which at sb=8
-    # rows per program was the whole kernel's cost (the "multi-row
-    # head-indicator scaling" loss ROADMAP.md predicted for fused trunks).
     for si in range(sb):
         kb = k_ref[0, si].astype(cd)                           # [Tc, D]
         qrow = q_ref[si : si + 1, :].astype(cd)                # [1, D]
@@ -109,15 +135,6 @@ def _kernel(layer_ref, live_chunk_ref,          # scalar prefetch (index maps)
             preferred_element_type=jnp.float32)
         ctx_scr[si : si + 1, :] = (ctx_scr[si : si + 1, :] * alpha_lanes
                                    + new_ctx)
-
-    @pl.when(c == n_tc - 1)
-    def _finish():
-        s_lanes = jax.lax.dot_general(
-            s_scr[:], head_mat32,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                # [SB, D]
-        out_ref[:] = (ctx_scr[:] / jnp.maximum(s_lanes, 1e-30)).astype(
-            out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=4)
@@ -159,6 +176,11 @@ def pool_attention(
     """Attention for every slot over its own cache row at `layer`.
     Returns ctx [S, D] (head-major flat, ready for the output projection)."""
     L, S, T, D = k_all.shape
+    if not supported(S, T, D, heads):
+        raise ValueError(
+            f"pool_attention unsupported shape S={S} T={T} D={D} "
+            f"heads={heads}: need D%128==0, D%heads==0, T%8==0, and S a "
+            f"multiple of {SLOT_BLOCK} (or ≤{SLOT_BLOCK})")
     sb = SLOT_BLOCK if S % SLOT_BLOCK == 0 else S
     n_tiles = S // sb
     n_tc = chunking(T)
@@ -177,7 +199,7 @@ def pool_attention(
 
     compute_dtype = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
     kernel = functools.partial(
-        _kernel, head_dim=D // heads, n_tc=n_tc, t_chunk=t_chunk, sb=sb,
+        _kernel, head_dim=D // heads, n_tc=n_tc, sb=sb,
         compute_dtype=compute_dtype)
 
     return pl.pallas_call(

@@ -192,17 +192,38 @@ SAMP_COLS = 5  # packed per-row param layout, used by the pool state
 
 
 def pack_sampling(temperature, top_k, top_p, repetition_penalty,
-                  do_sample) -> jnp.ndarray:
+                  do_sample) -> "np.ndarray":
     """Pack per-row sampling params into one float32 row [SAMP_COLS] (or a
     batch [B, SAMP_COLS]) — one array to scatter/copy through the pool's
-    slot and staging rows instead of five."""
-    return jnp.stack([
-        jnp.asarray(temperature, jnp.float32),
-        jnp.asarray(top_k, jnp.float32),
-        jnp.asarray(top_p, jnp.float32),
-        jnp.asarray(repetition_penalty, jnp.float32),
-        jnp.asarray(do_sample, jnp.float32),
+    slot and staging rows instead of five.
+
+    This is the CANONICAL layout `sample_step_rows` unpacks (columns:
+    temperature, top_k, top_p, repetition_penalty, do_sample); every
+    producer (ContinuousBatcher._pack_sampling) must go through it.  Packing
+    is host-side numpy on purpose: it runs once per request, and an eager
+    device op costs ~1 s over the tunnel backend."""
+    import numpy as np
+
+    return np.stack([
+        np.asarray(temperature, np.float32),
+        np.asarray(top_k, np.float32),
+        np.asarray(top_p, np.float32),
+        np.asarray(repetition_penalty, np.float32),
+        np.asarray(do_sample, np.float32),
     ], axis=-1)
+
+
+def mix_seed(base: int, n: int) -> int:
+    """Deterministic 31-bit seed for stream `n` derived from `base`
+    (splitmix-style finalizer).  Shared by the engine's per-sentence seeds
+    and the pool's per-request default seeds so the two derivations can
+    never drift apart."""
+    m = 0xFFFFFFFF
+    x = (int(base) + 0x9E3779B9 * (n + 1)) & m
+    x ^= x >> 16
+    x = (x * 0x7FEB352D) & m
+    x ^= x >> 15
+    return x & 0x7FFFFFFF
 
 
 def row_keys(seeds: jnp.ndarray, counters: jnp.ndarray) -> jax.Array:

@@ -546,18 +546,14 @@ class ContinuousBatcher:
                 raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         if rep <= 0:
             raise ValueError(f"repetition_penalty must be > 0, got {rep}")
-        return np.array([temperature, top_k, top_p, rep,
-                         1.0 if do_sample else 0.0], np.float32)
+        return sampling.pack_sampling(temperature, top_k, top_p, rep,
+                                      1.0 if do_sample else 0.0)
 
     def _default_seed(self, req_id: int) -> int:
-        """Deterministic per-request default seed (splitmix-style mix of the
-        pool seed and the request id)."""
-        m = 0xFFFFFFFF
-        x = (self.seed_base + 0x9E3779B9 * (req_id + 1)) & m
-        x ^= x >> 16
-        x = (x * 0x7FEB352D) & m
-        x ^= x >> 15
-        return x & 0x7FFFFFFF
+        """Deterministic per-request default seed (mix of the pool seed and
+        the request id; shared derivation with the engine's per-sentence
+        seeds — ops/sampling.mix_seed)."""
+        return sampling.mix_seed(self.seed_base, req_id)
 
     def submit(self, text_ids: np.ndarray, max_new: Optional[int] = None,
                done_cb=None, cond=None, sampling: Optional[Dict[str, Any]] = None,

@@ -78,7 +78,13 @@ def run_battery(engine, prompt_wav: str, out_dir: str,
     from indextts_tpu.utils.eval_metrics import cer, speaker_similarity, wer
 
     os.makedirs(out_dir, exist_ok=True)
+    # read_wav already returns float32 in [-1, 1] shaped (C, T); bring the
+    # prompt to the engine's 24 kHz so speaker embeddings see matched mels
     prompt, prompt_sr = read_wav(prompt_wav)
+    if prompt_sr != 24000:
+        from indextts_tpu.utils.audio import resample
+
+        prompt = resample(prompt, prompt_sr, 24000)
     kw = dict(decode_kw or {})
     records: List[Dict[str, Any]] = []
     for i, (text, mode) in enumerate(REGRESSION_BATTERY):
@@ -103,10 +109,7 @@ def run_battery(engine, prompt_wav: str, out_dir: str,
             "wall_s": round(wall, 3),
             "rtf": round(float(engine.last_stats.get("rtf", 0.0)), 4),
             "speaker_sim": round(speaker_similarity(
-                engine.bigvgan_params,
-                wav.astype(np.float32) / 32768.0,
-                prompt.astype(np.float32) / 32768.0
-                if prompt.dtype.kind == "i" else prompt), 4),
+                engine.bigvgan_params, wav, prompt), 4),
         }
         if asr_cmd:
             hyp = _asr_transcribe(asr_cmd, out)

@@ -59,6 +59,46 @@ def test_kernel_matches_xla(S, T):
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_kernel_dead_tail_chunks():
+    """Regression: chunks past a tile's live end pin their index maps to the
+    live-end block; without the `c <= live_chunk` compute guard the kernel
+    re-accumulated that chunk's softmax mass once per dead chunk (0.09 max
+    abs divergence at live_chunk=1 of 3).  All slots early in the cache →
+    live_chunk strictly below n_tc-1, multiple dead chunks."""
+    S, T = 8, 552  # chunking(552) = 3 chunks of 184
+    n_tc = pa.chunking(T)
+    t_chunk = T // n_tc
+    assert n_tc >= 3
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((S, D)), jnp.float32)
+    k_all = jnp.asarray(rng.standard_normal((L, S, T, D)), jnp.float32)
+    v_all = jnp.asarray(rng.standard_normal((L, S, T, D)), jnp.float32)
+    # every slot's furthest live position lands in chunk 1 → chunk 2 is dead
+    pos = rng.integers(t_chunk, 2 * t_chunk - 1, (S,)).astype(np.int32)
+    mask = np.zeros((S, T), np.int32)
+    for s in range(S):
+        mask[s, : pos[s] + 1] = 1
+    mask = jnp.asarray(mask)
+    live_chunk = jnp.max((jnp.asarray(pos) // t_chunk).reshape(1, S), axis=1)
+    assert int(live_chunk[0]) == 1
+    got = pa.pool_attention(q, k_all, v_all, jnp.int32(0), mask.T,
+                            live_chunk, H, interpret=True)
+    want = _xla_ctx(q, k_all, v_all, 0, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_unsupported_shape_raises():
+    """D not lane-aligned must fail loudly at the call site, not as an
+    opaque Mosaic error on hardware (interpret mode skips block checks)."""
+    q = jnp.zeros((8, 64), jnp.float32)
+    k = jnp.zeros((1, 8, 40, 64), jnp.float32)
+    with pytest.raises(ValueError, match="unsupported shape"):
+        pa.pool_attention(q, k, k, jnp.int32(0),
+                          jnp.zeros((40, 8), jnp.int32),
+                          jnp.zeros((1,), jnp.int32), 1, interpret=True)
+
+
 def test_flat_step_matches_row_layout():
     """decode_step_rows_flat (XLA fallback AND interpret kernel) both equal
     the original [L,S,H,T,hd]-layout decode_step_rows, including the cache

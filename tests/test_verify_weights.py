@@ -67,6 +67,43 @@ def test_dry_run_gate(synthetic_dir, tmp_path, monkeypatch):
     json.dumps(report)
 
 
+def test_speaker_sim_sees_full_scale_audio(synthetic_dir, tmp_path,
+                                           monkeypatch):
+    """Regression: run_battery once divided read_wav output (already float32
+    in [-1, 1]) by 32768 again, flooring the mel at safe_log's 1e-7 clip and
+    degenerating the embeddings toward silence.  Both signals must reach the
+    metric at waveform scale."""
+    from indextts_tpu.utils import eval_metrics
+
+    monkeypatch.setattr(verify, "REGRESSION_BATTERY",
+                        verify.REGRESSION_BATTERY[:1])
+    seen = []
+    real = eval_metrics.speaker_similarity
+
+    def spy(params, wav_a, wav_b, sample_rate=24000):
+        seen.append((float(np.abs(wav_a).max()), float(np.abs(wav_b).max())))
+        return real(params, wav_a, wav_b, sample_rate)
+
+    monkeypatch.setattr(eval_metrics, "speaker_similarity", spy)
+    report = verify.verify_model_dir(
+        synthetic_dir, out_dir=str(tmp_path / "out_scale"),
+        decode_kw=dict(max_mel_tokens=8, do_sample=False,
+                       repetition_penalty=1.0, num_beams=1))
+    assert seen, "speaker_similarity never called"
+    from indextts_tpu.utils.audio import read_wav
+
+    for rec, (amp_a, amp_b) in zip(report["cases"], seen):
+        # the synthesized side must arrive at exactly read_wav scale
+        # (random-weight output can be legitimately tiny, so compare to the
+        # file, not to an absolute threshold)
+        file_amp = float(np.abs(read_wav(rec["wav"])[0]).max())
+        assert amp_a == pytest.approx(file_amp, abs=1e-9), \
+            f"synthesized wav rescaled: metric saw {amp_a}, file is {file_amp}"
+        # the prompt is a full-scale signal; double-dividing it would have
+        # shown up here as ~3e-5
+        assert amp_b > 1e-3, f"prompt wav reached metric at {amp_b}"
+
+
 def test_speaker_sim_gate_fails_loud(synthetic_dir, tmp_path, monkeypatch):
     """--min-speaker-sim above any possible cosine must raise."""
     monkeypatch.setattr(verify, "REGRESSION_BATTERY",
