@@ -24,8 +24,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=0,
                     help="decode batch size; 0 = measure 1 (latency) and "
-                         "8/16/32/64/128 (serving; the headline is the best "
-                         "— per-stream rate at 128 is still ~5x realtime)")
+                         "8/16/32/64/128/256 (serving; 256 is the ceiling "
+                         "probe — the headline is the best; per-stream rate "
+                         "at 128 is still ~5x realtime)")
     ap.add_argument("--max-new", type=int, default=200)
     args = ap.parse_args()
 
@@ -150,6 +151,7 @@ def main() -> None:
         if B > 1:
             best = max(best, measure(params_q4s, "int4shared+fp8kv", B, kv=FP8))
         if B == 1 and jax.default_backend() == "tpu":
+            measure(params, "bf16-fused-trunk", B, fused=True)
             best = max(best, measure(params_q, "int8-fused-trunk", B, fused=True))
             best = max(best, measure(params_q4, "int4-fused-trunk", B, fused=True))
             measure_beam(params_q, "int8-beam+fp8kv", kv=FP8)

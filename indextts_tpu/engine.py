@@ -477,10 +477,14 @@ class IndexTTS:
         # the cache in chunks with an online softmax, so any cache length
         # compiles in constant VMEM.
         # guidance doubles decode rows (R=2), which disables the B==1 fused
-        # trunk inside inference_speech — don't strip the fp8 KV tier then
+        # trunk inside inference_speech — don't strip the fp8 KV tier then.
+        # The trunk covers every weight tier including plain bf16 (the r4
+        # gate on use_quantization left bf16 B=1 on the XLA step at ~510
+        # tok/s; fused bf16 measures 701 — see PARITY "single-stream"):
+        # the kernel's quant="none" branch streams the bf16 weights as-is
         use_fused = bool(generation.get(
             "use_fused_trunk",
-            len(token_lists) == 1 and self.use_quantization
+            len(token_lists) == 1
             and cfg_scale == 1.0 and jax.default_backend() == "tpu"
             and self.tp_mesh is None))  # fused Pallas trunk is single-chip
         if num_beams > 1:
@@ -597,13 +601,16 @@ class IndexTTS:
                      stream_ahead: int = 8,
                      **generation_kwargs):
         """Streaming synthesis: returns a generator yielding (sample_rate,
-        int16 wav chunk) per sentence, with a one-deep pipeline — sentence
-        i+1's GPT decode is dispatched on a worker thread while sentence i
-        runs its latent re-forward + vocoder and is yielded.  Chunks
-        concatenate to exactly `infer`'s output (same per-sentence rng
-        fold), so streaming is a latency feature, not a different synthesis
-        path.  The reference has no streaming mode; time-to-first-audio
-        drops from O(all sentences) to O(one sentence).
+        int16 wav chunk) per sentence.  Sentence i+1's GPT decode is
+        dispatched on a worker thread, but both the decode and the
+        producer's latent re-forward + vocode take `_infer_lock`, so the
+        two DEVICE phases serialize — the decode-ahead overlaps only the
+        lock-free host work (queue hand-off, client socket writes between
+        next() calls).  Chunks concatenate to exactly `infer`'s output
+        (same per-sentence rng fold), so streaming is a latency feature,
+        not a different synthesis path.  The reference has no streaming
+        mode; time-to-first-audio drops from O(all sentences) to O(one
+        sentence).
 
         Validation and prompt analysis run EAGERLY (bad speaker_id/prompt
         raises here, before any bytes stream); `seed` pins the rng at call
@@ -652,7 +659,6 @@ class IndexTTS:
         has_warned = False
 
         def decode_sentence(si, sent):
-            t0 = time.perf_counter()
             ids = np.asarray(self.tokenizer.convert_tokens_to_ids(sent), np.int32)
             # the decode-ahead future runs on the executor thread AFTER the
             # producer releases its lock scope, so it must take the engine
@@ -660,11 +666,14 @@ class IndexTTS:
             # overlap a concurrent infer()/infer_fast() that legitimately
             # holds _infer_lock (two syntheses' working sets in HBM at once)
             with self._infer_lock:
+                # timer starts INSIDE the lock: gpt_gen_time is decode time,
+                # not lock-wait (which is mostly the producer's vocode)
+                t0 = time.perf_counter()
                 codes, lens = self._decode_bucket(
                     cond_latent, [ids], jax.random.fold_in(rng, si), gen)
                 codes, lens = remove_long_silence(codes, lens,
                                                   stop_token=self.stop_mel_token)
-            phase["gpt_gen_time"] += time.perf_counter() - t0
+                phase["gpt_gen_time"] += time.perf_counter() - t0
             return ids, codes, lens
 
         # decode-ahead producer/consumer split: `_infer_lock` is taken in
@@ -992,6 +1001,8 @@ class IndexTTS:
         if not rids:
             return self.cfg.dataset.sample_rate, np.zeros(1, np.int16)
         if not done.wait(timeout):
+            for rid in rids:  # reclaim the stuck sentences' decode budget
+                batcher.cancel(rid)
             raise TimeoutError(f"pool synthesis timed out after {timeout}s")
         code_lists = [results[r] for r in rids]
         width = max(1, max(len(c) for c in code_lists))
@@ -1048,22 +1059,33 @@ class IndexTTS:
         deadline = time.perf_counter() + timeout
 
         def chunks():
-            for si, (rid, ids) in enumerate(zip(rids, id_lists)):
+            emitted = 0
+            try:
+                for si, (rid, ids) in enumerate(zip(rids, id_lists)):
+                    with arrived:
+                        while rid not in results:
+                            remaining = deadline - time.perf_counter()
+                            if remaining <= 0 or not arrived.wait(remaining):
+                                raise TimeoutError(
+                                    f"pool stream timed out after {timeout}s "
+                                    f"(sentence {si + 1}/{len(rids)})")
+                        sent_codes = results.pop(rid)
+                    n = len(sent_codes)
+                    codes = np.full((1, max(1, n)), self.stop_mel_token,
+                                    np.int32)
+                    codes[0, :n] = sent_codes
+                    wav = self._codes_to_wav(cond_latent, mel_ref, [ids],
+                                             codes, np.asarray([n], np.int64))
+                    emitted = si + 1
+                    yield sr, wav.astype(np.int16)
+            finally:
+                # client disconnect (GeneratorExit) or timeout: the
+                # outstanding sentences must not decode to budget — cancel
+                # them so the pool reclaims their slots for live traffic
                 with arrived:
-                    while rid not in results:
-                        remaining = deadline - time.perf_counter()
-                        if remaining <= 0 or not arrived.wait(remaining):
-                            raise TimeoutError(
-                                f"pool stream timed out after {timeout}s "
-                                f"(sentence {si + 1}/{len(rids)})")
-                    sent_codes = results.pop(rid)
-                n = len(sent_codes)
-                codes = np.full((1, max(1, n)), self.stop_mel_token,
-                                np.int32)
-                codes[0, :n] = sent_codes
-                wav = self._codes_to_wav(cond_latent, mel_ref, [ids], codes,
-                                         np.asarray([n], np.int64))
-                yield sr, wav.astype(np.int16)
+                    pending = [r for r in rids[emitted:] if r not in results]
+                for rid in pending:
+                    batcher.cancel(rid)
 
         return chunks()
 

@@ -149,7 +149,8 @@ def _head_matrix(D: int, heads: int) -> np.ndarray:
 def chunking(T: int, target: int = T_CHUNK) -> int:
     """Fewest chunks with t_chunk ≤ target, t_chunk a multiple of 8 dividing
     T (T itself must be a multiple of 8 — callers round the pool cache_len)."""
-    assert T % 8 == 0, f"pool cache_len {T} must be a multiple of 8"
+    if T % 8:  # a bare assert strips under -O and the loop below would spin
+        raise ValueError(f"pool cache_len {T} must be a multiple of 8")
     n_tc = max(1, -(-T // target))
     while T % n_tc or (T // n_tc) % 8:
         n_tc += 1

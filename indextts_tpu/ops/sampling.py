@@ -95,6 +95,13 @@ def apply_typical_filter(logits: jnp.ndarray, mass: float = 0.9,
 # shape): top_k 1.965 ms/step vs approx_exact 2.062 — approx_max_k LOSES
 # slightly at this shape, so the sort path stays the default; the switch is
 # kept (with a parity test) for re-evaluation on other chips/shapes.
+#
+# TRACE-TIME flag: shortlist_top_k reads it when a decode program is traced,
+# and the choice bakes into the compiled executable (it does not participate
+# in the jit cache key).  Set it BEFORE the first decode/pool program
+# compiles in the process; flipping it later silently has no effect on
+# already-jitted paths — re-evaluations on another chip must set it at
+# import time (or restart the process).
 APPROX_TOPK = False
 
 

@@ -56,6 +56,11 @@ def create_app(
     if continuous and warmup_pool:
         service.pool()  # build + precompile before serving
 
+    @app.on_event("shutdown")
+    def _shutdown() -> None:
+        # stop + join the continuous-mode drive threads (TTSService.close)
+        service.close()
+
     async def _save_upload(audio_file) -> Optional[str]:
         """Uploaded prompt → temp file path (shared by /tts, /tts_stream)."""
         if audio_file is None:

@@ -96,9 +96,13 @@ class TTSService:
         self._pool = None
         self._pool_thread = None
         self.warmup_pool = warmup_pool
+        self._closing = threading.Event()
+        self._threads: list = []  # every drive thread ever started
 
     def pool(self):
         with self._lock:
+            if self._closing.is_set():
+                raise RuntimeError("TTSService is closed")
             if self._pool is None:
                 pool = self.engine().create_batcher(**self._pool_kwargs)
                 if self.warmup_pool:
@@ -110,13 +114,30 @@ class TTSService:
                 self._pool_thread = threading.Thread(
                     target=self._drive_pool, args=(pool,), daemon=True)
                 self._pool_thread.start()
+                self._threads.append(self._pool_thread)
             return self._pool
+
+    def close(self, timeout: float = 60.0) -> None:
+        """Stop and JOIN every drive thread, then drop the pool and engine.
+        Idempotent.  Without this, the `while True` drive loops outlive
+        `httpd.shutdown()` (which stops only the HTTP listener): each dead
+        server leaks a daemon thread that keeps waking every 2 ms — across
+        a long-lived process (or a test suite) the leaked threads pile up
+        and contend with, and can crash, later jitted work."""
+        self._closing.set()
+        with self._lock:
+            threads, self._threads = self._threads, []
+            self._pool = None
+            self._pool_thread = None
+            self._tts = None
+        for t in threads:
+            t.join(timeout)
 
     def _drive_pool(self, pool) -> None:
         import time as _time
         import traceback
 
-        while True:
+        while not self._closing.is_set():
             try:
                 live = pool.step()
             except Exception:
@@ -124,13 +145,15 @@ class TTSService:
                 # — a dead driver turns every pool request into a silent
                 # 600 s timeout while the server keeps accepting traffic
                 traceback.print_exc()
-                _time.sleep(0.25)
+                if self._closing.wait(0.25):
+                    return
                 continue
             idle = live == 0 and not pool._queue
             if idle:
                 if self._pool is not pool:
                     return  # replaced by reload() and fully drained
-                _time.sleep(0.002)
+                if self._closing.wait(0.002):
+                    return
 
     def engine(self) -> IndexTTS:
         with self._lock:
@@ -535,11 +558,25 @@ def pool_kwargs_from_args(args) -> Optional[Dict[str, Any]]:
     return kw or None
 
 
+class TTSHTTPServer(ThreadingHTTPServer):
+    """HTTP server whose shutdown() also closes the service: stops and
+    joins the continuous-mode drive threads and drops the engine.  Callers
+    (tests, operators) that stop the listener must not be able to leak the
+    drive loop — shutdown IS teardown."""
+
+    service: TTSService
+
+    def shutdown(self) -> None:
+        super().shutdown()
+        self.service.close()
+        self.server_close()
+
+
 def serve(cfg_path: str = "checkpoints/config.yaml",
           model_dir: str = "checkpoints", host: str = "0.0.0.0",
-          port: int = 7859, **kwargs) -> ThreadingHTTPServer:
+          port: int = 7859, **kwargs) -> TTSHTTPServer:
     service = TTSService(cfg_path, model_dir, **kwargs)
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd = TTSHTTPServer((host, port), make_handler(service))
     httpd.service = service
     return httpd
 
@@ -568,7 +605,10 @@ def main(argv=None) -> None:
     if args.continuous and args.warmup:
         httpd.service.pool()  # build + precompile before serving
     print(f"serving on http://{args.host}:{args.port}")
-    httpd.serve_forever()
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.service.close()
 
 
 if __name__ == "__main__":

@@ -376,6 +376,24 @@ def _step_kernel(params, cfg: GPTConfig, state: PoolState, cache_dtype,
     return state, jnp.concatenate([report, outbox], axis=0)
 
 
+@functools.partial(jax.jit, donate_argnames=("state",))
+def _cancel_kernel(state: PoolState, seqs: jnp.ndarray) -> PoolState:
+    """Deactivate every slot / staging row occupied by one of `seqs` (a
+    fixed-width int32 vector; pad with _PAD_SEQ, which matches nothing).
+    A cancelled slot stops consuming decode steps immediately and surfaces
+    as inactive in the next report, freeing it for refill; a cancelled
+    staged request keeps its FIFO position (stage_ready untouched — the
+    kernel's seq-ordered consumption and the host's FIFO-head recycling
+    must stay aligned) but swaps in inactive, so it occupies a slot for at
+    most the remainder of one tick."""
+    hit_slot = (state.slot_seq[:, None] == seqs[None, :]).any(axis=1)
+    hit_stage = (state.stage_seq[:, None] == seqs[None, :]).any(axis=1)
+    return state._replace(
+        active=jnp.logical_and(state.active, ~hit_slot),
+        stage_active=jnp.logical_and(state.stage_active, ~hit_stage),
+    )
+
+
 @dataclasses.dataclass
 class _Request:
     req_id: int
@@ -519,6 +537,11 @@ class ContinuousBatcher:
         self._queue: List[_Request] = []
         self._next_id = 0
         self._submit_lock = threading.Lock()
+        # req_ids cancelled by callers (HTTP handler threads); the drive
+        # thread applies them at its next tick — ONLY the drive thread
+        # touches device state, so cancellation cannot race the donated
+        # state tree (guarded by _submit_lock)
+        self._cancelled: set = set()
         # one-tick-lagged report handle: (step_count_at_dispatch_end, handle)
         self._pending_report: Optional[Tuple[int, Any]] = None
 
@@ -596,6 +619,42 @@ class ContinuousBatcher:
             self._next_id += 1
             self._queue.append(req)
         return req.req_id
+
+    def cancel(self, req_id: int) -> None:
+        """Request best-effort cancellation of `req_id` (e.g. the streaming
+        client disconnected): queued requests are dropped, admitted/staged
+        ones are deactivated on device at the drive loop's next tick so
+        their remaining token budget is reclaimed for other traffic.  The
+        request's done_cb never fires after cancel().  Safe from any
+        thread; idempotent; unknown/finished ids are ignored."""
+        with self._submit_lock:
+            self._cancelled.add(req_id)
+
+    def _apply_cancellations(self) -> None:
+        """Drive-thread half of cancel(): drop queued requests, detach live
+        ones from host bookkeeping (their done_cb must never fire), and
+        deactivate their device rows in one fixed-width jitted scatter."""
+        with self._submit_lock:
+            if not self._cancelled:
+                return
+            cancelled, self._cancelled = self._cancelled, set()
+            # in-place filter: submit() appends to this same list object
+            self._queue[:] = [r for r in self._queue
+                              if r.req_id not in cancelled]
+        seqs = [seq for seq, r in self._live.items()
+                if r.req_id in cancelled]
+        for seq in seqs:
+            self._live.pop(seq, None)
+        if not seqs:
+            return
+        # fixed-width buckets (powers of two) keep the compile set small;
+        # pad rows carry _PAD_SEQ, which no slot_seq/stage_seq ever holds
+        width = 1
+        while width < len(seqs):
+            width *= 2
+        vec = np.full((width,), _PAD_SEQ, np.int32)
+        vec[: len(seqs)] = seqs
+        self.state = _cancel_kernel(self.state, jnp.asarray(vec))
 
     def _prep_burst(self, reqs: List[_Request]):
         """Pad/bucket a burst's text + conditioning.  Batch is bucketed to a
@@ -724,7 +783,16 @@ class ContinuousBatcher:
         if len(codes) and codes[-1] == self.cfg.stop_mel_token:
             codes = codes[:-1]
         if req.done_cb:
-            req.done_cb(req.req_id, codes)
+            try:
+                req.done_cb(req.req_id, codes)
+            except Exception:  # noqa: BLE001 — a poisoned callback (client
+                # gone, broken pipe, handler bug) must not abort report
+                # processing: the remaining rows of THIS report carry other
+                # requests' one-shot outbox evacuations and the staging-row
+                # recycle count, so letting the exception propagate would
+                # hang those callers and leak staging rows
+                import traceback
+                traceback.print_exc()
 
     def _process_report(self, report: np.ndarray, at_step: int) -> None:
         """Reconcile host state from a packed report (see _step_kernel).
@@ -804,6 +872,7 @@ class ContinuousBatcher:
                 and getattr(early[1], "is_ready", lambda: False)()):
             self._pending_report = None
             self._process_report(np.asarray(early[1]), early[0])
+        self._apply_cancellations()
         self._admit()
         if not self._live:
             self.flush()
@@ -900,6 +969,9 @@ class PoolGroup:
         # finished codes for requests submitted WITHOUT a callback, keyed
         # by group id until run() hands them out
         self._unclaimed: Dict[int, np.ndarray] = {}
+        # group id → (batcher, pool-local id), so cancel() can route;
+        # entries are dropped when the request finishes
+        self._routes: Dict[int, Tuple["ContinuousBatcher", int]] = {}
 
     @classmethod
     def create(cls, params, cfg: GPTConfig, cond_latent, devices,
@@ -932,14 +1004,23 @@ class PoolGroup:
             # pools and never escape.  Callback-less requests park in
             # _unclaimed for run().
             def cb(_lrid, codes, _g=gid, _cb=done_cb):
+                self._routes.pop(_g, None)
                 if _cb is not None:
                     _cb(_g, codes)
                 else:
                     self._unclaimed[_g] = codes
 
-            b.submit(text_ids, max_new=max_new, done_cb=cb, cond=cond,
-                     sampling=sampling, seed=seed)
+            lrid = b.submit(text_ids, max_new=max_new, done_cb=cb, cond=cond,
+                            sampling=sampling, seed=seed)
+            self._routes[gid] = (b, lrid)
         return gid
+
+    def cancel(self, req_id: int) -> None:
+        """Best-effort cancellation by group id (see ContinuousBatcher
+        .cancel); unknown/finished ids are ignored."""
+        route = self._routes.pop(req_id, None)
+        if route is not None:
+            route[0].cancel(route[1])
 
     def step(self) -> int:
         """One tick on every pool; returns total unfinished requests."""

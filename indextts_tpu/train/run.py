@@ -368,6 +368,17 @@ class Trainer:
             # final inference artifact (reference train.py:967)
             if self.is_main and getattr(self, "_last_merged", None) is not None:
                 self._export_pth("gpt_finetuned.pth", self._last_merged)
+        self.close()
+
+    def close(self) -> None:
+        """Flush and close the TensorBoard writer (its event-writer worker
+        otherwise outlives the Trainer and keeps a queue thread + file
+        handle alive for the life of the process).  Idempotent."""
+        if self.writer is not None:
+            try:
+                self.writer.close()
+            finally:
+                self.writer = None
 
 
 def main(argv=None) -> None:
@@ -379,9 +390,12 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
     cfg = Config.load(args.config) if os.path.exists(args.config) else Config()
     t = Trainer(cfg, args.model_dir, args.run_name)
-    if args.resume:
-        t.try_resume()
-    t.train()
+    try:
+        if args.resume:
+            t.try_resume()
+        t.train()
+    finally:
+        t.close()
 
 
 if __name__ == "__main__":

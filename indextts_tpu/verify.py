@@ -39,14 +39,21 @@ REGRESSION_BATTERY = [
      "讓我們一起勇敢前行,邁向更加美好的明天！", "infer_fast"),
     ("The weather is really nice today, perfect for studying at home."
      "Thank you!", "infer_fast"),
-    ("葉遠隨口答應一聲，一定幫忙云云。教授看葉遠的樣子也知道，這事情多半是黃了。"
+    ("葉遠隨口答應一聲，一定幫忙云云。"
+     "教授看葉遠的樣子也知道，這事情多半是黃了。"
      "誰得到這樣的東西也不會輕易貢獻出來，這是很大的一筆財富。"
      "葉遠回來後，又自己做了幾次試驗，發現空間湖水對一些外傷也有很大的幫助。"
+     "找來一隻斷了腿的兔子，喝下空間湖水，一天時間，兔子就完全好了。"
+     "還想多做幾次試驗，可是身邊沒有試驗的物件，就先放到一邊，"
+     "瞭解空間湖水可以飲用，而且對人有利，這些就足夠了。"
      "感謝您的收聽，下期再見！", "infer_fast"),
     ("《盜夢空間》是由美國華納兄弟影片公司出品的電影，由克里斯托弗·諾蘭執導並編劇，"
-     "萊昂納多·迪卡普里奧、瑪麗昂·歌迪亞、約瑟夫·高登-萊維特等聯袂主演，"
-     "2010年7月16日在美國上映。影片劇情遊走於夢境與現實之間，"
-     "被定義為“發生在意識結構內的當代動作科幻片”。", "infer_fast"),
+     "萊昂納多·迪卡普里奧、瑪麗昂·歌迪亞、約瑟夫·高登-萊維特、艾利奧特·佩吉、"
+     "湯姆·哈迪等聯袂主演，2010年7月16日在美國上映，2010年9月1日在中國內地上映，"
+     "2020年8月28日在中國內地重映。影片劇情遊走於夢境與現實之間，"
+     "被定義為“發生在意識結構內的當代動作科幻片”，"
+     "講述了由萊昂納多·迪卡普里奧扮演的造夢師，帶領特工團隊進入他人夢境，"
+     "從他人的潛意識中盜取機密，並重塑他人夢境的故事。", "infer_fast"),
 ]
 
 

@@ -203,6 +203,102 @@ def test_pool_staged_zero_and_tiny_budgets(setup):
     assert len(results[nid]) <= 8
 
 
+def test_cancel_queued_and_live(setup):
+    """Cancellation (streaming client gone, VERDICT r4 #8): a queued
+    request is dropped before admission, a live one is deactivated on
+    device (budget reclaimed); neither fires its done_cb; every OTHER
+    request still completes with exact greedy parity."""
+    params, cond, rng = setup
+    texts = [rng.integers(2, 40, (n,)) for n in (9, 4, 6, 11, 5)]
+    max_new = 24
+    b = ContinuousBatcher(
+        params, CFG, cond, num_slots=2, max_text_width=16, max_new=max_new,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32)
+    ids = [b.submit(t, max_new=max_new) for t in texts]
+    b.step()  # admits ids[0], ids[1] into the two slots
+    assert b._live
+    b.cancel(ids[0])        # live (in a slot)
+    b.cancel(ids[3])        # still queued
+    b.cancel(987654)        # unknown id: ignored
+    results = b.run()
+    assert set(results) == {ids[1], ids[2], ids[4]}
+    for rid, text in zip(ids, texts):
+        if rid in results:
+            np.testing.assert_array_equal(
+                results[rid], _single_decode(params, cond, text, max_new),
+                err_msg=f"req {rid} perturbed by cancellation")
+
+
+def test_cancel_staged_request(setup):
+    """A STAGED request can be cancelled too: it keeps its FIFO position
+    (host/kernel row accounting must stay aligned) but swaps into its slot
+    inactive, so later requests still complete exactly."""
+    params, cond, rng = setup
+    texts = [rng.integers(2, 40, (n,)) for n in (9, 4, 6, 11, 5, 7)]
+    b = ContinuousBatcher(
+        params, CFG, cond, num_slots=2, max_text_width=16, max_new=16,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32,
+        steps_per_tick=4, staging_rows=2)
+    ids = [b.submit(t, max_new=16) for t in texts]
+    b.step()  # 2 direct admits + 2 staged (ids[2], ids[3]); 2 queued
+    assert b._staged_fifo
+    staged_seq = b._staged_fifo[0][0]
+    staged_rid = next(r.req_id for s, r in b._live.items() if s == staged_seq)
+    b.cancel(staged_rid)
+    results = b.run()
+    assert staged_rid not in results
+    assert set(results) == {i for i in ids if i != staged_rid}
+    for rid, text in zip(ids, texts):
+        if rid in results:
+            np.testing.assert_array_equal(
+                results[rid], _single_decode(params, cond, text, 16),
+                err_msg=f"req {rid} perturbed by staged cancellation")
+
+
+def test_poisoned_done_cb_does_not_break_report(setup):
+    """A raising done_cb (broken pipe, handler bug) must not abort report
+    processing: the other requests in the SAME report — including one-shot
+    outbox evacuations under staged refill — still complete."""
+    params, cond, rng = setup
+    texts = [rng.integers(2, 40, (5,)) for _ in range(6)]
+    b = ContinuousBatcher(
+        params, CFG, cond, num_slots=2, max_text_width=16, max_new=6,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32,
+        steps_per_tick=4, staging_rows=2)
+    good: dict = {}
+
+    def boom(rid, codes):
+        raise RuntimeError("poisoned callback")
+
+    ids = []
+    for i, t in enumerate(texts):
+        cb = boom if i == 0 else (lambda rid, codes: good.__setitem__(rid, codes))
+        ids.append(b.submit(t, max_new=6, done_cb=cb))
+    while b._queue or b._live:
+        b.step()
+    b.flush()
+    assert set(good) == set(ids[1:])
+    assert not b._staged_fifo and sorted(b._stage_free_rows) == [0, 1] \
+        and not b._live  # staging rows recycled despite the poison
+
+
+def test_pool_group_cancel(setup):
+    from indextts_tpu.serve.scheduler import PoolGroup
+
+    params, cond, rng = setup
+    group = PoolGroup.create(
+        params, CFG, cond, jax.devices()[:2], num_slots=1,
+        max_text_width=16, max_new=8, do_sample=False,
+        repetition_penalty=1.0, cache_dtype=jnp.float32)
+    gids = [group.submit(rng.integers(2, 40, (5,)), max_new=8)
+            for _ in range(4)]
+    group.cancel(gids[1])
+    group.cancel(4242)  # unknown: ignored
+    results = group.run()
+    assert set(results) == {gids[0], gids[2], gids[3]}
+    assert gids[1] not in group._routes  # route table does not leak
+
+
 def test_pool_adaptive_ticks_rejects_staging(setup):
     params, cond, _ = setup
     with pytest.raises(ValueError, match="mutually exclusive"):

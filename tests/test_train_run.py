@@ -97,3 +97,4 @@ def test_training_run_and_resume(workspace):
     t2 = Trainer(cfg, model_dir, run_name="testrun")
     t2.try_resume()
     assert t2.start_epoch >= 1
+    t2.close()  # t1's writer was closed by train(); t2 never trains
