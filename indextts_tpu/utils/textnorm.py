@@ -156,7 +156,10 @@ class _BuiltinNormalizer:
         # times: 20:00 → 二十點; 20:30:05 → 二十點三十分零五秒
         def ftime(m):
             h, mi, s = m.group(1), m.group(2), m.group(3)
-            out = num(h.lstrip("0") or "0") + "點"
+            # hour 2 reads 兩點, never 二點 (WeTextProcessing time verbalizer
+            # / standard Mandarin); only the bare hour — 12:00 stays 十二點
+            out = ("兩" if h.lstrip("0") == "2" else
+                   num(h.lstrip("0") or "0")) + "點"
             if mi != "00":
                 out += num(mi.lstrip("0") or "0") + "分"
             if s and s != "00":
@@ -396,7 +399,37 @@ class _BuiltinNormalizer:
             text = re.sub(r"\$", " dollars ", text)
         else:
             text = re.sub(r"%", "百分之", text)
+            text = self._liang_pass(text)
         return text
+
+    # quantity 2 reads 兩 before a measure word (WeTextProcessing quantifier
+    # verbalizer / standard Mandarin): 2個 → 兩個, 2000人 → 兩千人.  ONLY a
+    # standalone 2 — 十二個 / 二十二張 / 一百零二件 keep 二 (guarded by the
+    # numeral lookbehind), as do ordinals (第二名), dates (二月二日), years
+    # (digit-wise 二零零二年), decimals (二點五), and pure cardinals with no
+    # measure word (2000 → 二千).
+    _LIANG_MEASURES = (
+        "個月|小時|分鐘|公里|公斤|毫升|平方|個|位|隻|條|張|本|輛|件|瓶|"
+        "杯|歲|塊|斤|次|碗|年|天|週|倍|間|家|顆|粒|台|部|座|篇|首|棵|匹|頭|"
+        "米|克|噸|升|秒|名|隊|組|層|樓|步|句|段|場|排|門|人")
+    _NUMERAL_GUARD = "零一二三四五六七八九十百千萬億點第"
+
+    def _liang_pass(self, text: str) -> str:
+        text = re.sub(
+            r"(?<![" + self._NUMERAL_GUARD + r"])二(?=(?:"
+            + self._LIANG_MEASURES + r"))", "兩", text)
+        # bare hour-of-day 2點 (no colon, so ftime never saw it) reads 兩點
+        # too — but a DECIMAL 二點五 must stay, so 點+numeral only converts
+        # with an explicit 分 suffix (2點10分 → 兩點十分 vs 2.5 → 二點五)
+        text = re.sub(
+            r"(?<![" + self._NUMERAL_GUARD + r"])二(?=點(?:[^零一二三四五六七八九]|$"
+            r"|[零一二三四五六七八九十]{1,3}分))", "兩", text)
+        # 2 at a 千/萬/億 head position with a measure word after the unit
+        # chain: 兩千人 / 兩萬元 (a bare cardinal 2000 stays 二千)
+        return re.sub(
+            r"(?<![" + self._NUMERAL_GUARD + r"])二(?=[千萬億]"
+            r"[零一二三四五六七八九十百千萬億]*(?:" + self._LIANG_MEASURES
+            + r"|元|多))", "兩", text)
 
 
 class TextNormalizer:

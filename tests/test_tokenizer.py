@@ -205,6 +205,48 @@ def test_builtin_normalizer_battery():
         "跑了3-5km": "跑了三到五公里",
         "大約100-200人": "大約一百到二百人",
         "撥打0571-88888888": "撥打零五七一八八八八八八八八",
+        # --- WeTextProcessing phrasing conventions (VERDICT r4 #7): a
+        # standalone quantity 2 reads 兩 before a measure word (WTP
+        # quantifier verbalizer); 二 everywhere else — dates, ordinals,
+        # decimals, scores, years, and 2 inside a larger numeral ---
+        "我有2個蘋果": "我有兩個蘋果",
+        "2位老師來了": "兩位老師來了",
+        "養了2隻貓": "養了兩隻貓",
+        "買了2本書和2支筆沒有,只有2本書": "買了兩本書和二支筆沒有,只有兩本書",
+        "釣了2條魚": "釣了兩條魚",
+        "搬了2張桌子": "搬了兩張桌子",
+        "喝了2杯水,吃了2碗飯": "喝了兩杯水,吃了兩碗飯",
+        "2瓶啤酒2塊錢": "兩瓶啤酒兩塊錢",
+        "孩子2歲了": "孩子兩歲了",
+        "買了2斤蘋果": "買了兩斤蘋果",
+        "去過2次北京": "去過兩次北京",
+        "等了2年又2個月": "等了兩年又兩個月",
+        "住了2天,跑了2小時": "住了兩天,跑了兩小時",
+        "全程2公里,背了2公斤": "全程兩公里,背了兩公斤",
+        "一行2人2輛車": "一行兩人兩輛車",
+        # 2 at a 千/萬 head with a measure word reads 兩; bare cardinals
+        # and非-head positions keep 二
+        "現場來了2000人": "現場來了兩千人",
+        "獎金2萬元": "獎金兩萬元",
+        "點贊2000+": "點贊兩千多",
+        "編號是2000": "編號是二千",
+        "售價12000元": "售價一萬二千元",
+        # 2 inside a larger numeral keeps 二
+        "12個人分22張票": "十二個人分二十二張票",
+        "一共102件行李": "一共一百零二件行李",
+        "200人的會場": "二百人的會場",
+        # dates/ordinals/decimals/scores/years are never 兩
+        "2月2日出發": "二月二日出發",
+        "第2名是他": "第二名是他",
+        "電線截面2.5平方": "電線截面二點五平方",
+        "比分2:1": "比分二比一",
+        "2000年出生": "二零零零年出生",
+        # time-of-day hour 2 reads 兩點 (WTP time verbalizer); minutes/
+        # other hours unaffected
+        "現在2點了": "現在兩點了",
+        "2點半出發,2點10分到": "兩點半出發,兩點十分到",
+        "下午2:30開會": "下午兩點三十分開會",
+        "12:00吃飯": "十二點吃飯",
     }
     for src, want in golden.items():
         assert n.normalize(src) == want, src
