@@ -1143,6 +1143,35 @@ class IndexTTS:
                                  cond_latent,
                                  **kwargs)
 
+    def create_beam_batcher(self, audio_prompt: Optional[str] = None,
+                            speaker_id: Optional[str] = None, **kwargs):
+        """Continuous BEAM decode pool (serve/beam_pool.py): the
+        reference-default num_beams=3 requests on the throughput path.
+        submit/step/run-compatible with `create_batcher`'s pools, so
+        `pool_infer`/`pool_infer_stream` and the server drive loop work
+        unchanged."""
+        from indextts_tpu.serve.beam_pool import BeamPoolBatcher
+
+        if self.tp_mesh is not None:
+            raise ValueError(
+                "continuous beam batching is not supported with tp>1")
+        if audio_prompt is None and speaker_id is None and self.mean_condition is None:
+            cond_latent = jnp.zeros(
+                (1, self.cfg.gpt.condition_num_latent, self.cfg.gpt.model_dim),
+                self.gpt_dtype)
+        else:
+            cond_mel = self._prompt_mel(audio_prompt) if audio_prompt else None
+            cond_latent = self._conditioning(cond_mel, speaker_id)
+        kwargs.setdefault("cache_dtype",
+                          self.gpt_dtype if self.gpt_dtype != jnp.float32
+                          else jnp.float32)
+        kwargs.setdefault("kv_dtype", self.kv_cache_dtype)
+        kwargs.setdefault("max_new", min(600, self.cfg.gpt.max_mel_tokens))
+        kwargs.setdefault("steps_per_tick",
+                          16 if jax.default_backend() == "tpu" else 1)
+        return BeamPoolBatcher(self.gpt_params_batched, self.cfg.gpt,
+                               cond_latent, **kwargs)
+
     def _emit(self, wav: np.ndarray, output_path: Optional[str], sr: int):
         if output_path:
             audio_io.write_wav(output_path, wav, sr)

@@ -269,16 +269,14 @@ def decode_step_rows_flat(params: Dict[str, Any], hidden: jnp.ndarray,
                           positions: jnp.ndarray,
                           attention_mask: jnp.ndarray,
                           size: GPT2Size,
-                          use_pallas: bool = False,
-                          interpret: bool = False
                           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """`decode_step_rows` over the FLAT pool cache [L, S, T, D] (D = H·hd
-    head-major — the natural qkv layout).  The flat layout exists for the
-    Pallas pool-attention kernel (ops/pallas/pool_attention.py), which reads
-    the stacked cache directly via a scalar-prefetched layer index: the XLA
-    per-layer path materialized the layer slice, the fp8 upcast AND the
-    score contraction's K-transpose in HBM — measured 11.2 ms of a 12.8 ms
-    64-slot step, 6.4× the cache's DMA floor.
+    head-major — the natural qkv layout).  The flat layout is the fused
+    pool-trunk kernel's (ops/pallas/pool_trunk.py) native layout, and this
+    XLA variant is its parity oracle; the XLA per-layer path materializes
+    the layer slice, the fp8 upcast AND the score contraction's K-transpose
+    in HBM — measured 11.2 ms of a 12.8 ms 64-slot step, 6.4× the cache's
+    DMA floor (r4 ablation).
 
     hidden: [S, 1, D]; positions: [S] write slots; attention_mask: [S, T]
     (must already include `positions`).  Returns (ln_f out, k_all', v_all').
@@ -286,17 +284,8 @@ def decode_step_rows_flat(params: Dict[str, Any], hidden: jnp.ndarray,
     S = hidden.shape[0]
     T = k_all.shape[2]
     rows = jnp.arange(S)
-    if use_pallas:
-        from indextts_tpu.ops.pallas import pool_attention as pa
-
-        sb = pa.SLOT_BLOCK if S % pa.SLOT_BLOCK == 0 else S
-        t_chunk = T // pa.chunking(T)
-        mask_t = attention_mask.astype(jnp.int32).T              # [T, S]
-        live_chunk = jnp.max(
-            (positions // t_chunk).reshape(S // sb, sb), axis=1)
-    else:
-        bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0,
-                         NEG_INF).astype(jnp.float32)
+    bias = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0,
+                     NEG_INF).astype(jnp.float32)
 
     def body(l, carry):
         h, k_all, v_all = carry
@@ -307,20 +296,16 @@ def decode_step_rows_flat(params: Dict[str, Any], hidden: jnp.ndarray,
         q, k, v = jnp.split(qkv[:, 0, :], 3, axis=-1)            # [S, D] each
         k_all = k_all.at[l, rows, positions, :].set(k.astype(k_all.dtype))
         v_all = v_all.at[l, rows, positions, :].set(v.astype(v_all.dtype))
-        if use_pallas:
-            ctx = pa.pool_attention(q, k_all, v_all, l, mask_t, live_chunk,
-                                    size.heads, interpret=interpret)
-        else:
-            k_l = jax.lax.dynamic_index_in_dim(k_all, l, axis=0,
-                                               keepdims=False)
-            v_l = jax.lax.dynamic_index_in_dim(v_all, l, axis=0,
-                                               keepdims=False)
-            kr = k_l.reshape(S, T, size.heads, size.head_dim).transpose(
-                0, 2, 1, 3).astype(q.dtype)
-            vr = v_l.reshape(S, T, size.heads, size.head_dim).transpose(
-                0, 2, 1, 3).astype(q.dtype)
-            qh = q.reshape(S, size.heads, 1, size.head_dim)
-            ctx = _merge_heads(_attention(qh, kr, vr, bias))[:, 0, :]
+        k_l = jax.lax.dynamic_index_in_dim(k_all, l, axis=0,
+                                           keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(v_all, l, axis=0,
+                                           keepdims=False)
+        kr = k_l.reshape(S, T, size.heads, size.head_dim).transpose(
+            0, 2, 1, 3).astype(q.dtype)
+        vr = v_l.reshape(S, T, size.heads, size.head_dim).transpose(
+            0, 2, 1, 3).astype(q.dtype)
+        qh = q.reshape(S, size.heads, 1, size.head_dim)
+        ctx = _merge_heads(_attention(qh, kr, vr, bias))[:, 0, :]
         proj = _mm(ctx[:, None, :].astype(x.dtype), blk["attn"]["proj_w"])
         h = h + proj + blk["attn"]["proj_b"].astype(x.dtype)
         x = layer_norm(h, blk["ln_2"]["scale"], blk["ln_2"]["bias"])
@@ -379,6 +364,82 @@ def decode_step_lineage(params: Dict[str, Any], hidden: jnp.ndarray,
                 k_all, k.astype(k_all.dtype)[None], (l, 0, 0, step - 1, 0))
             vc = jax.lax.dynamic_update_slice(
                 v_all, v.astype(v_all.dtype)[None], (l, 0, 0, step - 1, 0))
+            attend.cache = (kc, vc)
+            kp = jax.lax.dynamic_index_in_dim(prefix.k, l, axis=0, keepdims=False)
+            vp = jax.lax.dynamic_index_in_dim(prefix.v, l, axis=0, keepdims=False)
+            ks = jax.lax.dynamic_index_in_dim(kc, l, axis=0, keepdims=False)
+            vs = jax.lax.dynamic_index_in_dim(vc, l, axis=0, keepdims=False)
+            H = q.shape[1]
+            qh = q[:, :, 0, :].reshape(B, nb, H, q.shape[3])     # [B,nb,H,d]
+            if kp.dtype != q.dtype:
+                kp, vp = kp.astype(q.dtype), vp.astype(q.dtype)
+            if ks.dtype != q.dtype:
+                ks, vs = ks.astype(q.dtype), vs.astype(q.dtype)
+            ksr = ks.reshape(B, nb, H, Sc, ks.shape[-1])         # [B,nbk,H,Sc,d]
+            vsr = vs.reshape(B, nb, H, Sc, vs.shape[-1])
+            scale = 1.0 / math.sqrt(size.head_dim)
+            sp = jnp.einsum("bnhd,bhpd->bnhp", qh, kp,
+                            preferred_element_type=jnp.float32) * scale
+            sp = sp + prefix_bias                                 # [B,1,1,Pc]
+            ss = jnp.einsum("bnhd,bmhsd->bnmhs", qh, ksr,
+                            preferred_element_type=jnp.float32) * scale
+            ss = ss + sb                                          # lineage mask
+            Pc = sp.shape[-1]
+            flat = jnp.concatenate(
+                [sp, ss.transpose(0, 1, 3, 2, 4).reshape(B, nb, H, nb * Sc)],
+                axis=-1)
+            probs = jax.nn.softmax(flat.astype(jnp.float32), axis=-1)
+            pp = probs[..., :Pc]
+            ps = probs[..., Pc:].reshape(B, nb, H, nb, Sc)
+            ctx = (jnp.einsum("bnhp,bhpd->bnhd", pp.astype(vp.dtype), vp,
+                              preferred_element_type=jnp.float32)
+                   + jnp.einsum("bnhms,bmhsd->bnhd", ps.astype(vsr.dtype), vsr,
+                                preferred_element_type=jnp.float32))
+            return ctx.reshape(Bnb, H, 1, size.head_dim).astype(v.dtype)
+
+        h = _block(h, blk, size.heads, attend)
+        k_all, v_all = attend.cache
+        return h, k_all, v_all
+
+    hidden, ks, vs = jax.lax.fori_loop(
+        0, size.layers, body, (hidden, suffix.k, suffix.v))
+    out = layer_norm(hidden, params["ln_f"]["scale"], params["ln_f"]["bias"])
+    return out, KVCache(ks, vs)
+
+
+def decode_step_lineage_rows(params: Dict[str, Any], hidden: jnp.ndarray,
+                             prefix: KVCache, prefix_bias: jnp.ndarray,
+                             suffix: KVCache, suffix_bias: jnp.ndarray,
+                             positions: jnp.ndarray, size: GPT2Size,
+                             nb: int) -> Tuple[jnp.ndarray, KVCache]:
+    """`decode_step_lineage` with PER-ROW suffix write positions — the beam
+    primitive for the continuous pool, where every beam GROUP sits at its
+    own sequence offset (serve/beam_pool.py).  The attention math (prefix
+    scores + lineage-masked all-rows suffix scores, concatenated in that
+    order before one softmax) is identical op-for-op to
+    `decode_step_lineage`, so a pool group's step is bit-equal to the
+    dedicated `inference_speech_beam` step in fp32.
+
+    hidden: [B*nb, 1, D]; positions: [B*nb] int32 — each row's K/V is
+    scattered at its own suffix slot (out-of-range rows, e.g. frozen
+    groups parked at Sc, are dropped).  Returns (ln_f out, suffix')."""
+    Bnb = hidden.shape[0]
+    B = Bnb // nb
+    Sc = suffix.max_len
+    rows = jnp.arange(Bnb)
+    sb = suffix_bias[:, :, :, None, :]  # [B, nbq, nbk, 1, Sc] (broadcast H)
+
+    def body(l, carry):
+        h, k_all, v_all = carry
+        blk = jax.tree.map(lambda x: jax.lax.dynamic_index_in_dim(
+            x, l, axis=0, keepdims=False), params["blocks"])
+
+        def attend(q, k, v):
+            # q,k,v: [B*nb, H, 1, d]; row b writes at positions[b]
+            kc = k_all.at[l, rows, :, positions, :].set(
+                k[:, :, 0, :].astype(k_all.dtype), mode="drop")
+            vc = v_all.at[l, rows, :, positions, :].set(
+                v[:, :, 0, :].astype(v_all.dtype), mode="drop")
             attend.cache = (kc, vc)
             kp = jax.lax.dynamic_index_in_dim(prefix.k, l, axis=0, keepdims=False)
             vp = jax.lax.dynamic_index_in_dim(prefix.v, l, axis=0, keepdims=False)

@@ -59,8 +59,21 @@ def flat_scores(
       (temperature / top-k / top-p) per beam ROW [B*nb, V] → flatten.
 
     Warpers run only when sampling (HF builds them only for do_sample) and
-    use min_tokens_to_keep=2 under beams (HF _get_logits_warper)."""
+    use min_tokens_to_keep=2 under beams (HF _get_logits_warper).
+
+    `temperature`/`top_p`/`repetition_penalty` may be traced scalars, or
+    per-ROW vectors [B*nb] (the beam pool's per-request contract — each
+    group decodes with its own request's params); a scalar broadcasts
+    exactly, so the dedicated single-request path is unchanged."""
     from indextts_tpu.ops import sampling
+
+    def _col(v):
+        a = jnp.asarray(v, jnp.float32)
+        return a[:, None] if a.ndim == 1 else a
+
+    temperature = _col(temperature)
+    top_p = _col(top_p)
+    repetition_penalty = _col(repetition_penalty)
 
     Bnb, V = logits.shape
     B = Bnb // num_beams
@@ -171,10 +184,25 @@ def beam_step(
     cand = 2 * nb
     if done is None:
         done = jnp.zeros((B,), bool)
+    # `step` and `length_penalty` may be scalars (dedicated decode: every
+    # batch row at the same offset) or per-batch [B] vectors (beam pool:
+    # each group at its own offset, with its own request's length penalty)
+    step = jnp.broadcast_to(jnp.asarray(step, jnp.int32), (B,))
+    lp_col = jnp.broadcast_to(
+        jnp.asarray(length_penalty, jnp.float32), (B,))
 
     if do_sample:
-        # sample 2nb distinct candidates via Gumbel top-k over the flat dist
-        g = jax.random.gumbel(rng, flat.shape)
+        # sample 2nb distinct candidates via Gumbel top-k over the flat
+        # dist.  `rng` is one key (dedicated decode: the whole batch shares
+        # a step key) or a BATCH of keys [B, 2] (beam pool: each group
+        # draws from its own request's fold chain); a single key's (B, C)
+        # draw equals the per-row (C,) draws of the same key, so the two
+        # forms agree at B=1 bit-for-bit.
+        if rng.ndim == 2:
+            g = jax.vmap(
+                lambda k: jax.random.gumbel(k, (flat.shape[1],)))(rng)
+        else:
+            g = jax.random.gumbel(rng, flat.shape)
         _, idx = jax.lax.top_k(flat + g, cand)
         sc = jnp.take_along_axis(flat, idx, axis=1)
         order = jnp.argsort(-sc, axis=1)
@@ -193,7 +221,8 @@ def beam_step(
     cand_seqs = jnp.take_along_axis(
         seqs, parent[:, :, None], axis=1)                 # [B, cand, L]
     cand_seqs = jax.vmap(
-        lambda s, t: s.at[:, step].set(t), in_axes=(0, 0))(cand_seqs, token)
+        lambda s, t, st: s.at[:, st].set(t),
+        in_axes=(0, 0, 0))(cand_seqs, token, step)
     # HF BeamSearchScorer.process drops (not banks) eos candidates whose
     # candidate rank is >= num_beams ("is_beam_token_worse_than_top_num_
     # beams", beam_search.py in transformers 4.44); candidates here are
@@ -208,14 +237,15 @@ def beam_step(
     # one step further out (ADVICE r3)
     fin_cand_scores = jnp.where(
         bankable,
-        jnp.maximum(sc / length_denom(step + 1, length_penalty),
+        jnp.maximum(sc / length_denom(step + 1, lp_col)[:, None],
                     jnp.finfo(jnp.float32).min),
         BANK_EMPTY)
     all_scores = jnp.concatenate([state.fin_scores, fin_cand_scores], axis=1)
     all_seqs = jnp.concatenate([state.fin_seqs, cand_seqs], axis=1)
     all_lens = jnp.concatenate(
         [state.fin_lens,
-         jnp.broadcast_to(step + 1, (B, cand)).astype(jnp.int32)], axis=1)
+         jnp.broadcast_to((step + 1)[:, None], (B, cand)).astype(jnp.int32)],
+        axis=1)
     top_sc, top_ix = jax.lax.top_k(all_scores, nb)
     fin_seqs = jnp.take_along_axis(all_seqs, top_ix[:, :, None], axis=1)
     fin_lens = jnp.take_along_axis(all_lens, top_ix, axis=1)
@@ -253,6 +283,7 @@ def batch_done(state: BeamState, step: jnp.ndarray, best_cand: jnp.ndarray,
     Call AFTER the step's banking, then latch with logical_or
     (beam_search.py:300-306)."""
     bank_full = jnp.isfinite(state.fin_scores[:, -1])
+    # step/length_penalty: traced scalars or per-batch [B] (see beam_step)
     attainable = best_cand / length_denom(step + 1, length_penalty)
     return jnp.logical_and(bank_full, state.fin_scores[:, -1] >= attainable)
 
@@ -273,9 +304,12 @@ def finalize(state: BeamState, seqs: jnp.ndarray, step: jnp.ndarray,
     B, nb, L = seqs.shape
     if done is None:
         done = jnp.zeros((B,), bool)
+    step = jnp.broadcast_to(jnp.asarray(step, jnp.int32), (B,))
+    lp_col = jnp.broadcast_to(
+        jnp.asarray(length_penalty, jnp.float32), (B,))
     # same finite clamp as beam_step's banking: -inf is reserved for "no
     # hypothesis", a penalised-overflow real beam must stay representable
-    run_pen = jnp.maximum(state.scores / length_denom(step, length_penalty),
+    run_pen = jnp.maximum(state.scores / length_denom(step, lp_col)[:, None],
                           jnp.finfo(jnp.float32).min)             # [B, nb]
     run_pen = jnp.where(done[:, None], BANK_EMPTY, run_pen)
     all_scores = jnp.concatenate([state.fin_scores, run_pen], axis=1)

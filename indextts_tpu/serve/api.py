@@ -44,6 +44,7 @@ def create_app(
     continuous: bool = False,
     tp: int = 0,
     pool_kwargs: Optional[Dict[str, Any]] = None,
+    beam_pool_kwargs: Optional[Dict[str, Any]] = None,
     warmup_pool: bool = False,
 ) -> "FastAPI":
     app = FastAPI(title="IndexTTS-TPU")
@@ -51,6 +52,7 @@ def create_app(
                          speaker_info_path=speaker_info_path,
                          engine_instance=engine_instance,
                          continuous=continuous, pool_kwargs=pool_kwargs,
+                         beam_pool_kwargs=beam_pool_kwargs,
                          tp=tp, warmup_pool=warmup_pool)
     app.state.service = service
     if continuous and warmup_pool:
@@ -295,6 +297,9 @@ def main(argv=None) -> None:
                      args.speaker_info, engine_instance=eng,
                      continuous=args.continuous, tp=args.tp,
                      pool_kwargs=pool_kwargs_from_args(args),
+                     beam_pool_kwargs=(
+                         {"num_groups": args.pool_beam_groups}
+                         if args.pool_beam_groups else None),
                      warmup_pool=args.warmup and args.continuous)
     uvicorn.run(app, host=args.host, port=args.port)
 

@@ -79,6 +79,7 @@ class TTSService:
                  engine_instance: Optional[IndexTTS] = None,
                  continuous: bool = False,
                  pool_kwargs: Optional[Dict[str, Any]] = None,
+                 beam_pool_kwargs: Optional[Dict[str, Any]] = None,
                  tp: int = 0,
                  warmup_pool: bool = False):
         if continuous and tp and tp > 1:
@@ -93,11 +94,17 @@ class TTSService:
         self._lock = threading.RLock()
         self.continuous = continuous
         self._pool_kwargs = pool_kwargs or {}
+        self._beam_pool_kwargs = beam_pool_kwargs or {}
         self._pool = None
         self._pool_thread = None
+        # beam pools keyed by do_sample (static program shape); built
+        # lazily on the first num_beams=BEAM_NB request
+        self._beam_pools: Dict[bool, Any] = {}
         self.warmup_pool = warmup_pool
         self._closing = threading.Event()
         self._threads: list = []  # every drive thread ever started
+
+    BEAM_NB = 3  # the reference's decode default (api.py:253)
 
     def pool(self):
         with self._lock:
@@ -117,6 +124,28 @@ class TTSService:
                 self._threads.append(self._pool_thread)
             return self._pool
 
+    def beam_pool(self, do_sample: bool = True):
+        """Shared continuous BEAM pool (num_beams=3 — the reference API's
+        hardcoded default): one pool per static do_sample mode, each with
+        its own drive thread (joined by close())."""
+        with self._lock:
+            if self._closing.is_set():
+                raise RuntimeError("TTSService is closed")
+            pool = self._beam_pools.get(do_sample)
+            if pool is None:
+                kw = dict(self._beam_pool_kwargs)
+                kw.setdefault("num_groups", 2)
+                pool = self.engine().create_beam_batcher(
+                    num_beams=self.BEAM_NB, do_sample=do_sample, **kw)
+                if self.warmup_pool:
+                    pool.warmup()
+                self._beam_pools[do_sample] = pool
+                t = threading.Thread(target=self._drive_pool, args=(pool,),
+                                     daemon=True)
+                t.start()
+                self._threads.append(t)
+            return pool
+
     def close(self, timeout: float = 60.0) -> None:
         """Stop and JOIN every drive thread, then drop the pool and engine.
         Idempotent.  Without this, the `while True` drive loops outlive
@@ -129,6 +158,7 @@ class TTSService:
             threads, self._threads = self._threads, []
             self._pool = None
             self._pool_thread = None
+            self._beam_pools = {}
             self._tts = None
         for t in threads:
             t.join(timeout)
@@ -150,7 +180,8 @@ class TTSService:
                 continue
             idle = live == 0 and not pool._queue
             if idle:
-                if self._pool is not pool:
+                if (self._pool is not pool
+                        and pool not in self._beam_pools.values()):
                     return  # replaced by reload() and fully drained
                 if self._closing.wait(0.002):
                     return
@@ -181,13 +212,14 @@ class TTSService:
         with self._lock:
             self.gpt_path = resolved
             self._tts = None  # lazily rebuilt with the new weights
-            # the decode pool holds the OLD engine's GPT params — keeping
-            # it would make reload a silent no-op for every pooled request.
-            # The old drive thread drains in-flight work, then exits
-            # (_drive_pool sees self._pool is not pool); the next request
-            # builds a fresh pool from the reloaded engine.
+            # the decode pools hold the OLD engine's GPT params — keeping
+            # them would make reload a silent no-op for every pooled
+            # request.  The old drive threads drain in-flight work, then
+            # exit (_drive_pool sees the pool is no longer registered);
+            # the next request builds fresh pools from the reloaded engine.
             self._pool = None
             self._pool_thread = None
+            self._beam_pools = {}
         return {"status": "reloaded", "gpt_path": resolved}
 
     @staticmethod
@@ -236,18 +268,25 @@ class TTSService:
         return prompt, speaker_id, used_seed, gen
 
     def _pool_gen(self, gen: Dict[str, Any]):
-        """Map a parsed /tts request onto the pool's per-request contract →
-        (sampling dict, max_mel_tokens, response headers).  Every mapping
-        that is not exact is DECLARED in a response header (VERDICT r3:
-        never silently ignore a requested knob):
+        """Map a parsed /tts request onto a pool's per-request contract →
+        (pool, sampling dict, max_mel_tokens, response headers).  Every
+        mapping that is not exact is DECLARED in a response header
+        (VERDICT r3: never silently ignore a requested knob):
 
-          * num_beams > 1 → the pool decodes with sampling (beam search
-            needs per-request multi-row state the fixed-slot pool doesn't
-            carry); declared via X-Num-Beams-Effective: 1.  Rejecting
-            instead would break reference clients, which send the
-            api.py:253 hardcoded num_beams=3 on every request.
-          * top_k ≤ 0 (HF "disabled") or > the pool's static shortlist
-            bound → clamped to max_top_k; declared via X-Top-K-Effective.
+          * num_beams == 3 (the reference API's hardcoded default,
+            api.py:253) → the request routes to the continuous BEAM pool
+            and gets true beam(-sample) semantics with its own
+            temperature/top_p/repetition_penalty/length_penalty/seed.
+            The beam pool's top_k is static (program shape): a request
+            top_k ≠ the pool's is clamped and declared via
+            X-Top-K-Effective.
+          * other num_beams > 1 values → the sampling pool, declared via
+            X-Num-Beams-Effective: 1 (a per-request beam width would need
+            one compiled program per width; 3 is the only value reference
+            clients send).
+          * sampling requests: top_k ≤ 0 (HF "disabled") or > the pool's
+            static shortlist bound → clamped to max_top_k; declared via
+            X-Top-K-Effective.
           * cfg_scale is this framework's own extension and unsupported in
             pool mode → ValueError (400)."""
         headers: Dict[str, str] = {}
@@ -255,18 +294,32 @@ class TTSService:
             raise ValueError(
                 "cfg_scale is not supported in --continuous mode; use a "
                 "non-continuous server for classifier-free guidance")
-        if int(gen.get("num_beams", 1)) > 1:
+        max_mel = int(gen.get("max_mel_tokens", 600))
+        nb = int(gen.get("num_beams", 1))
+        do_sample = bool(gen["do_sample"])
+        if nb == self.BEAM_NB:
+            pool = self.beam_pool(do_sample)
+            sampling = dict(
+                temperature=float(gen["temperature"]),
+                top_p=float(gen["top_p"]),
+                repetition_penalty=float(gen["repetition_penalty"]),
+                length_penalty=float(gen.get("length_penalty", 0.0)))
+            if do_sample and int(gen["top_k"]) != pool.top_k:
+                headers["X-Top-K-Effective"] = str(pool.top_k)
+            return pool, sampling, max_mel, headers
+        if nb > 1:
             headers["X-Num-Beams-Effective"] = "1"
         sampling = dict(
             temperature=float(gen["temperature"]),
             top_k=int(gen["top_k"]), top_p=float(gen["top_p"]),
             repetition_penalty=float(gen["repetition_penalty"]),
-            do_sample=bool(gen["do_sample"]))
-        max_top_k = self.pool().max_top_k
+            do_sample=do_sample)
+        pool = self.pool()
+        max_top_k = pool.max_top_k
         if sampling["do_sample"] and not 1 <= sampling["top_k"] <= max_top_k:
             sampling["top_k"] = max_top_k
             headers["X-Top-K-Effective"] = str(max_top_k)
-        return sampling, int(gen.get("max_mel_tokens", 600)), headers
+        return pool, sampling, max_mel, headers
 
     def tts(self, req: Dict[str, Any]) -> Tuple[bytes, int, Dict[str, str]]:
         """Returns (wav bytes, seed used, extra response headers).  The seed
@@ -318,9 +371,9 @@ class TTSService:
             # sentences join the shared pool and chunks stream out in order
             # as each sentence's codes finish — with THIS request's sampling
             # params and seed (per-slot traced vectors in the step kernel)
-            sampling, max_mel, headers = self._pool_gen(gen)
+            pool, sampling, max_mel, headers = self._pool_gen(gen)
             return used_seed, self.engine().pool_infer_stream(
-                self.pool(), prompt, req["text"], speaker_id=speaker_id,
+                pool, prompt, req["text"], speaker_id=speaker_id,
                 max_text_tokens_per_sentence=mtps, seed=used_seed,
                 sampling=sampling, max_mel_tokens=max_mel), headers
         return used_seed, self.engine().infer_stream(
@@ -341,9 +394,9 @@ class TTSService:
         from indextts_tpu.utils import audio as audio_io
 
         eng = self.engine()
-        sampling, max_mel, headers = self._pool_gen(gen)
+        pool, sampling, max_mel, headers = self._pool_gen(gen)
         sr, wav = eng.pool_infer(
-            self.pool(), prompt, req["text"], speaker_id=speaker_id,
+            pool, prompt, req["text"], speaker_id=speaker_id,
             max_text_tokens_per_sentence=int(
                 req.get("max_text_tokens_per_sentence", 120)),
             seed=used_seed, sampling=sampling, max_mel_tokens=max_mel)
@@ -547,6 +600,10 @@ def add_pool_args(p) -> None:
     p.add_argument("--pool-dp", type=int, default=None,
                    help="data-parallel pools: one decode pool per chip "
                         "over the first N local devices (--continuous)")
+    p.add_argument("--pool-beam-groups", type=int, default=None,
+                   help="beam-pool groups: concurrent num_beams=3 requests "
+                        "decoded in the shared beam pool (--continuous; "
+                        "default 2)")
 
 
 def pool_kwargs_from_args(args) -> Optional[Dict[str, Any]]:
@@ -601,6 +658,9 @@ def main(argv=None) -> None:
     httpd = serve(args.config, args.model_dir, args.host, args.port,
                   continuous=args.continuous, tp=args.tp,
                   pool_kwargs=pool_kwargs_from_args(args),
+                  beam_pool_kwargs=(
+                      {"num_groups": args.pool_beam_groups}
+                      if args.pool_beam_groups else None),
                   warmup_pool=args.warmup)
     if args.continuous and args.warmup:
         httpd.service.pool()  # build + precompile before serving

@@ -69,6 +69,11 @@ from indextts_tpu.ops import quantization, sampling
 _EMPTY_SEQ = -1
 _PAD_SEQ = -2
 
+# measured default for the fused Pallas pool-trunk step on TPU pools at
+# supported tiers (see ContinuousBatcher `fused_trunk` and
+# tools/bench_pool_trunk.py); False until the microbench proves a win
+FUSED_TRUNK_DEFAULT = False
+
 
 class PoolState(NamedTuple):
     cache: KVCache              # [L, S, H, cache_len, hd]
@@ -102,7 +107,8 @@ class PoolState(NamedTuple):
 
 
 def _prefill_first_sample(params, cfg: GPTConfig, cond, text_tokens,
-                          text_mask, samp, seeds, cache_dtype, shortlist_k):
+                          text_mask, samp, seeds, cache_dtype, shortlist_k,
+                          flat: bool = False):
     """Shared prefill + first-token sample for admissions and staging:
     [cond | text | start_mel] prefix → (burst KV cache, prefix mask, first
     token, presence table).  P (the prefill length) is static.  `samp`
@@ -128,6 +134,8 @@ def _prefill_first_sample(params, cfg: GPTConfig, cond, text_tokens,
          text_mask.astype(jnp.int32), jnp.ones((B, 1), jnp.int32)], axis=1)
     hidden, cache = gpt2.prefill(params["gpt"], emb.astype(cache_dtype),
                                  pmask, size, emb.shape[1])
+    if flat:  # [L, B, H, P, hd] → [L, B, P, D] (the fused pool-trunk layout)
+        cache = KVCache(*gpt2.flatten_rows_cache(cache))
     logits = uv._lm_head(params, hidden[:, -1])
     presence0 = sampling.init_penalty_presence(
         cfg.number_mel_codes, B, prompt_token_ids=(1,),
@@ -157,18 +165,27 @@ def _admit_insert_kernel(params, cfg: GPTConfig, state: PoolState, cond,
     all — the empty result surfaces through the normal lagged report.
     Sampling params/seed are per-request arrays — traced, not static, so
     every parameter mix shares ONE compiled program."""
+    flat = state.cache.k.ndim == 4  # [L,S,T,D] fused-trunk layout
     cache, pmask, tok, presence = _prefill_first_sample(
         params, cfg, cond, text_tokens, text_mask, samp, seeds,
-        cache_dtype, shortlist_k)
+        cache_dtype, shortlist_k, flat=flat)
     P = pmask.shape[1]
     cache_len = state.full_mask.shape[1]
     drop = dict(mode="drop")
-    new_cache = KVCache(
-        state.cache.k.at[:, slots, :, :P, :].set(
-            cache.k.astype(state.cache.k.dtype), **drop),
-        state.cache.v.at[:, slots, :, :P, :].set(
-            cache.v.astype(state.cache.v.dtype), **drop),
-    )
+    if flat:
+        new_cache = KVCache(
+            state.cache.k.at[:, slots, :P, :].set(
+                cache.k.astype(state.cache.k.dtype), **drop),
+            state.cache.v.at[:, slots, :P, :].set(
+                cache.v.astype(state.cache.v.dtype), **drop),
+        )
+    else:
+        new_cache = KVCache(
+            state.cache.k.at[:, slots, :, :P, :].set(
+                cache.k.astype(state.cache.k.dtype), **drop),
+            state.cache.v.at[:, slots, :, :P, :].set(
+                cache.v.astype(state.cache.v.dtype), **drop),
+        )
     row_mask = jnp.pad(pmask, ((0, 0), (0, cache_len - P)))
     codes_rows = jnp.zeros((pmask.shape[0], state.codes.shape[1]),
                            jnp.int32).at[:, 0].set(tok)
@@ -202,18 +219,27 @@ def _stage_kernel(params, cfg: GPTConfig, state: PoolState, cond,
     rows carry K and are dropped).  The step kernel swaps staged requests
     into slots as they free — the host never touches live slots while
     staging is in flight."""
+    flat = state.cache.k.ndim == 4
     cache, pmask, tok, presence = _prefill_first_sample(
         params, cfg, cond, text_tokens, text_mask, samp, seeds,
-        cache_dtype, shortlist_k)
+        cache_dtype, shortlist_k, flat=flat)
     P = pmask.shape[1]
     stage_len = state.stage_mask.shape[1]
     drop = dict(mode="drop")
-    new_stage_cache = KVCache(
-        state.stage_cache.k.at[:, rows, :, :P, :].set(
-            cache.k.astype(state.stage_cache.k.dtype), **drop),
-        state.stage_cache.v.at[:, rows, :, :P, :].set(
-            cache.v.astype(state.stage_cache.v.dtype), **drop),
-    )
+    if flat:
+        new_stage_cache = KVCache(
+            state.stage_cache.k.at[:, rows, :P, :].set(
+                cache.k.astype(state.stage_cache.k.dtype), **drop),
+            state.stage_cache.v.at[:, rows, :P, :].set(
+                cache.v.astype(state.stage_cache.v.dtype), **drop),
+        )
+    else:
+        new_stage_cache = KVCache(
+            state.stage_cache.k.at[:, rows, :, :P, :].set(
+                cache.k.astype(state.stage_cache.k.dtype), **drop),
+            state.stage_cache.v.at[:, rows, :, :P, :].set(
+                cache.v.astype(state.stage_cache.v.dtype), **drop),
+        )
     row_mask = jnp.pad(pmask, ((0, 0), (0, stage_len - P)))
     return state._replace(
         stage_cache=new_stage_cache,
@@ -232,11 +258,16 @@ def _stage_kernel(params, cfg: GPTConfig, state: PoolState, cond,
 
 
 def _step_core(params, cfg: GPTConfig, state: PoolState, cache_dtype,
-               shortlist_k) -> PoolState:
+               shortlist_k, fused: bool = False) -> PoolState:
     """Advance every active slot one token (self-deactivating).  Each slot
     samples with ITS OWN request's params (state.samp) and rng key — token n
     of a request always comes from fold_in(PRNGKey(seed), n), so per-request
-    outputs are reproducible regardless of traffic or tick partitioning."""
+    outputs are reproducible regardless of traffic or tick partitioning.
+
+    With a FLAT cache ([L, S, T, D]) the trunk runs either the fused
+    Pallas pool-step kernel (`fused=True`, ops/pallas/pool_trunk.py — one
+    pallas_call for all layers) or its XLA parity oracle
+    (gpt2.decode_step_rows_flat)."""
     size = uv.trunk_size(cfg)
     S = state.prev_tok.shape[0]
     cache_len = state.full_mask.shape[1]
@@ -250,9 +281,29 @@ def _step_core(params, cfg: GPTConfig, state: PoolState, cache_dtype,
     rows = jnp.arange(S)
     full_mask = state.full_mask.at[rows, write_pos].set(
         jnp.maximum(active.astype(jnp.int32), state.full_mask[rows, write_pos]))
-    hidden, cache = gpt2.decode_step_rows(
-        params["gpt"], emb.astype(cache_dtype), state.cache,
-        write_pos, full_mask, size)
+    if state.cache.k.ndim == 4:  # flat [L, S, T, D]
+        if fused:
+            from indextts_tpu.ops.pallas import pool_trunk
+
+            x, k_rows, v_rows = pool_trunk.fused_pool_step(
+                params["gpt"], emb[:, 0].astype(cache_dtype),
+                state.cache.k, state.cache.v, write_pos, full_mask,
+                size.heads, interpret=jax.default_backend() != "tpu")
+            cache = KVCache(
+                state.cache.k.at[:, rows, write_pos, :].set(k_rows),
+                state.cache.v.at[:, rows, write_pos, :].set(v_rows))
+            hidden = gpt2.layer_norm(x[:, None, :],
+                                     params["gpt"]["ln_f"]["scale"],
+                                     params["gpt"]["ln_f"]["bias"])
+        else:
+            hidden, k_new, v_new = gpt2.decode_step_rows_flat(
+                params["gpt"], emb.astype(cache_dtype), state.cache.k,
+                state.cache.v, write_pos, full_mask, size)
+            cache = KVCache(k_new, v_new)
+    else:
+        hidden, cache = gpt2.decode_step_rows(
+            params["gpt"], emb.astype(cache_dtype), state.cache,
+            write_pos, full_mask, size)
     logits = uv._lm_head(params, hidden[:, 0])
     keys = sampling.row_keys(state.seed, state.n_gen)
     tok, presence, _ = sampling.sample_step_rows(
@@ -307,12 +358,20 @@ def _refill_one(state: PoolState, outbox: jnp.ndarray,
     out_n = out_n + do.astype(jnp.int32)
 
     stage_len = state.stage_mask.shape[1]
-    cache = KVCache(
-        state.cache.k.at[:, slot_w, :, :stage_len, :].set(
-            state.stage_cache.k[:, srow_r], **drop),
-        state.cache.v.at[:, slot_w, :, :stage_len, :].set(
-            state.stage_cache.v[:, srow_r], **drop),
-    )
+    if state.cache.k.ndim == 4:  # flat fused-trunk layout
+        cache = KVCache(
+            state.cache.k.at[:, slot_w, :stage_len, :].set(
+                state.stage_cache.k[:, srow_r], **drop),
+            state.cache.v.at[:, slot_w, :stage_len, :].set(
+                state.stage_cache.v[:, srow_r], **drop),
+        )
+    else:
+        cache = KVCache(
+            state.cache.k.at[:, slot_w, :, :stage_len, :].set(
+                state.stage_cache.k[:, srow_r], **drop),
+            state.cache.v.at[:, slot_w, :, :stage_len, :].set(
+                state.stage_cache.v[:, srow_r], **drop),
+        )
     fm = jnp.zeros((state.full_mask.shape[1],),
                    jnp.int32).at[:stage_len].set(state.stage_mask[srow_r])
     first = state.stage_prev_tok[srow_r]
@@ -339,10 +398,11 @@ def _refill_one(state: PoolState, outbox: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "cache_dtype", "shortlist_k", "steps"),
+    static_argnames=("cfg", "cache_dtype", "shortlist_k", "steps", "fused"),
     donate_argnames=("state",))
 def _step_kernel(params, cfg: GPTConfig, state: PoolState, cache_dtype,
-                 shortlist_k, steps: int = 1) -> Tuple[PoolState, jnp.ndarray]:
+                 shortlist_k, steps: int = 1,
+                 fused: bool = False) -> Tuple[PoolState, jnp.ndarray]:
     """`steps` decode steps in ONE dispatch (lax.scan), each followed by an
     in-kernel staged refill, then ONE packed int32 report:
 
@@ -363,7 +423,8 @@ def _step_kernel(params, cfg: GPTConfig, state: PoolState, cache_dtype,
 
     def body(carry, _):
         st, ob, on = carry
-        st = _step_core(params, cfg, st, cache_dtype, shortlist_k)
+        st = _step_core(params, cfg, st, cache_dtype, shortlist_k,
+                        fused=fused)
         if K:
             st, ob, on = _refill_one(st, ob, on)
         return (st, ob, on), None
@@ -428,6 +489,7 @@ class ContinuousBatcher:
         steps_per_tick: int = 1,
         adaptive_ticks: bool = False,
         staging_rows: Optional[int] = None,
+        fused_trunk: Optional[bool] = None,
         device=None,
     ):
         # `device` pins this pool to one chip (weights, state, and every
@@ -445,8 +507,24 @@ class ContinuousBatcher:
         self.max_new = max_new
         self.max_text_width = max_text_width
         self.cache_len = cfg.condition_num_latent + max_text_width + 2 + 1 + max_new
-        self.stage_len = self.cache_len - max_new
         self.size = uv.trunk_size(cfg)
+        # fused Pallas pool-trunk (ops/pallas/pool_trunk.py): one
+        # pallas_call per decode step over the FLAT [L, S, T, D] cache.
+        # None = measured default per backend (tools/bench_pool_trunk.py);
+        # supported weight tiers are plain/int8 (int4-shared stays on the
+        # head-split XLA step)
+        if fused_trunk is None:
+            from indextts_tpu.ops.pallas import pool_trunk
+
+            fused_trunk = (FUSED_TRUNK_DEFAULT
+                           and jax.default_backend() == "tpu"
+                           and pool_trunk.supported(
+                               num_slots, -(-self.cache_len // 8) * 8,
+                               cfg.model_dim, cfg.heads, params["gpt"]))
+        self.fused = bool(fused_trunk)
+        if self.fused:  # the kernel chunks the cache in multiples of 8
+            self.cache_len = -(-self.cache_len // 8) * 8
+        self.stage_len = self.cache_len - max_new
         # pool-level sampling DEFAULTS — every request may override them
         # (submit(sampling=..., seed=...)); per-slot params are traced, so
         # one compiled program serves every parameter mix.  max_top_k is the
@@ -496,8 +574,15 @@ class ContinuousBatcher:
         self.adaptive_ticks = adaptive_ticks
 
         kv = kv_dtype or cache_dtype
+
+        def _kv_zeros(n: int, ln: int) -> KVCache:
+            if self.fused:  # flat [L, n, ln, D]
+                shape = (self.size.layers, n, ln, cfg.model_dim)
+                return KVCache(jnp.zeros(shape, kv), jnp.zeros(shape, kv))
+            return KVCache.zeros(self.size, n, ln, kv)
+
         self.state = PoolState(
-            cache=KVCache.zeros(self.size, self.S, self.cache_len, kv),
+            cache=_kv_zeros(self.S, self.cache_len),
             prev_tok=jnp.full((self.S,), cfg.stop_mel_token, jnp.int32),
             n_gen=jnp.zeros((self.S,), jnp.int32),
             base=jnp.zeros((self.S,), jnp.int32),
@@ -510,7 +595,7 @@ class ContinuousBatcher:
             samp=jnp.broadcast_to(jnp.asarray(self.default_samp),
                                   (self.S, sampling.SAMP_COLS)),
             seed=jnp.zeros((self.S,), jnp.int32),
-            stage_cache=KVCache.zeros(self.size, self.K, self.stage_len, kv),
+            stage_cache=_kv_zeros(self.K, self.stage_len),
             stage_ready=jnp.zeros((self.K,), bool),
             stage_seq=jnp.full((self.K,), _EMPTY_SEQ, jnp.int32),
             stage_prev_tok=jnp.zeros((self.K,), jnp.int32),
@@ -880,7 +965,7 @@ class ContinuousBatcher:
         steps = self._tick_steps()
         self.state, report = _step_kernel(
             self.params, self.cfg, self.state, self.cache_dtype,
-            self.max_top_k, steps=steps)
+            self.max_top_k, steps=steps, fused=self.fused)
         self.step_count += steps
         prev = self._pending_report
         self._pending_report = (self.step_count, report)

@@ -32,6 +32,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache for the suite: the beam-pool and vocoder-GAN
+# programs cold-compile for minutes on this 1-core box; a warm cache makes
+# reruns start fast AND routinely exercises the executable-deserialize path
+# (one of the two crash sites of the map-exhaustion bug below)
+_cache = os.path.expanduser("~/.cache/jax_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 try:  # privileged images only; the per-module clear below works everywhere
     with open("/proc/sys/vm/max_map_count") as _f:
         if int(_f.read()) < 262144:

@@ -399,8 +399,34 @@ def test_continuous_per_request_sampling_and_seed(tmp_path_factory):
         code, _, data2 = _post(base + "/tts", dict(body_a, seed=drawn))
         assert code == 200 and data2 == data
 
-        # declared fallbacks: num_beams>1 → sampling, top_k=0 → clamp
-        code, headers, _ = _post(base + "/tts", dict(body_a, num_beams=3))
+        # num_beams=3 (the reference API default, api.py:253) routes to the
+        # continuous BEAM pool: no fallback header, bit-exact reproducible,
+        # distinct from the sampling decode of the same seed — VERDICT r4
+        # #4 (codes-level parity vs inference_speech_beam is asserted in
+        # tests/test_beam_pool.py; this proves the HTTP path reaches it
+        # while sampling traffic shares the server)
+        beam_body = dict(body_a, num_beams=3, top_k=30)
+        outs2 = {}
+        tb = th.Thread(target=lambda: outs2.__setitem__(
+            "beam", _post(base + "/tts", beam_body)))
+        ts = th.Thread(target=lambda: outs2.__setitem__(
+            "samp", _post(base + "/tts", body_b)))
+        tb.start(); ts.start(); tb.join(300); ts.join(300)
+        code, headers, beam_wav = outs2["beam"]
+        assert code == 200, beam_wav
+        assert "X-Num-Beams-Effective" not in headers
+        assert outs2["samp"][0] == 200   # concurrent sampling request fine
+        srv = httpd.service
+        assert srv._beam_pools and srv._beam_pools[True]._next_id >= 1
+        code, _, beam_wav2 = _post(base + "/tts", beam_body)
+        assert code == 200 and beam_wav2 == beam_wav  # reproducible
+        assert beam_wav != outs["a"][2]               # beam ≠ sampling path
+        # beam pool's top_k is static: a mismatch is declared, not silent
+        code, headers, _ = _post(base + "/tts", dict(beam_body, top_k=13))
+        assert code == 200 and headers["X-Top-K-Effective"] == "30"
+        # OTHER beam widths still fall back to sampling with the header
+        # (one compiled program per width is not worth non-reference values)
+        code, headers, _ = _post(base + "/tts", dict(body_a, num_beams=2))
         assert code == 200 and headers["X-Num-Beams-Effective"] == "1"
         code, headers, _ = _post(base + "/tts", dict(body_a, top_k=0))
         assert code == 200 and "X-Top-K-Effective" in headers

@@ -299,6 +299,44 @@ def test_pool_group_cancel(setup):
     assert gids[1] not in group._routes  # route table does not leak
 
 
+def test_pool_fused_trunk_matches_single_greedy():
+    """Fused Pallas pool-trunk mode (flat cache + one-call step kernel,
+    interpret on CPU): greedy parity with the dedicated single decode,
+    including staged refill through the flat cache layout."""
+    from indextts_tpu.config import GPTConfig
+
+    cfg = GPTConfig(model_dim=128, layers=2, heads=2, max_mel_tokens=64,
+                    max_text_tokens=120)
+    params = uv.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    cond = jnp.asarray(rng.standard_normal((1, 32, cfg.model_dim)),
+                       jnp.float32)
+    texts = [rng.integers(2, 40, (n,)) for n in (9, 4, 6, 11)]
+    max_new = 12
+    b = ContinuousBatcher(
+        params, cfg, cond, num_slots=2, max_text_width=16, max_new=max_new,
+        do_sample=False, repetition_penalty=1.0, cache_dtype=jnp.float32,
+        steps_per_tick=2, staging_rows=2, fused_trunk=True)
+    assert b.fused and b.state.cache.k.ndim == 4
+    ids = [b.submit(t, max_new=max_new) for t in texts]
+    results = b.run()
+    assert set(results) == set(ids)
+    for rid, text in zip(ids, texts):
+        prep = uv.prepare_text_prompt([text], cfg.start_text_token,
+                                      cfg.stop_text_token)
+        width = max(16, -(-prep.text_tokens.shape[1] // 16) * 16)
+        pad = width - prep.text_tokens.shape[1]
+        tokens = np.pad(prep.text_tokens, ((0, 0), (pad, 0)))
+        mask = np.pad(prep.attn_text, ((0, 0), (pad, 0)))
+        r = uv.inference_speech(
+            params, cfg, cond, jnp.asarray(tokens), jnp.asarray(mask),
+            jax.random.PRNGKey(0), max_new=max_new, do_sample=False,
+            repetition_penalty=1.0, cache_dtype=jnp.float32)
+        expected = np.asarray(r.codes[0, : int(r.lengths[0])])
+        np.testing.assert_array_equal(results[rid], expected,
+                                      err_msg=f"req {rid} mismatch")
+
+
 def test_pool_adaptive_ticks_rejects_staging(setup):
     params, cond, _ = setup
     with pytest.raises(ValueError, match="mutually exclusive"):
