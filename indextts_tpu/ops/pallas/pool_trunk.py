@@ -7,14 +7,36 @@ resident in VMEM scratch, weights streaming layer-by-layer, and the FLAT
 pool cache [L, S, T, D] streaming in (slot-tile, time-chunk) blocks with
 an online softmax.
 
-Why this exists: the XLA pool step spends 11.2 of 12.8 ms in attention at
-the 64-slot flagship shape — 6.4× the cache's 1.75 ms DMA floor — because
-the per-layer slice, fp8 upcast and K-transpose each materialize
-full-cache intermediates in HBM (r4 ablation, ROADMAP.md).  The r4
-per-LAYER Pallas kernel (ops/pallas/pool_attention.py) lost to XLA on
-per-call overhead: 24 separate pallas_calls per step plus XLA glue
-between layers.  Here the whole step is one call — the same structure
-whose B=1 instance (decode_layer.py) beats the XLA step 2-4×.
+Why this exists: the r4 ablation measured the XLA pool step spending 11.2
+of 12.8 ms in attention at the 64-slot flagship shape and called that
+"6.4× the cache's 1.75 ms DMA floor".  The r4 per-LAYER Pallas kernel
+(deleted) lost to XLA on per-call overhead; this whole-trunk variant is
+one pallas_call per step — the structure whose B=1 instance
+(decode_layer.py) beats the XLA step 2-4×.
+
+MEASURED VERDICT (r5, tools/bench_pool_trunk.py, S=64 T=768 flagship
+24L/1280d/20h int8 weights + fp8 KV, chained donated-carry scan,
+host-fetch synced): this kernel 54.3 ms/step vs 18.9 for the production
+head-split XLA step (xla-rows) and 78.1 for XLA over the flat cache —
+the kernel LOSES 2.9× and `FUSED_TRUNK_DEFAULT` stays False.  The r4
+"6.4× headroom" was an accounting error: the 1.75 ms figure was the BEAM
+bench's no-reorder floor at engine lengths (T≈100+600, 12 rows —
+PARITY.md beam note), not this shape's.  The pool step actually streams
+2·L·S·T·D = 3.02 GB of fp8 cache, which at the chip's measured 334 GB/s
+stream bandwidth is a 9.05 ms floor — XLA's attention was already within
+~25% of it, and there was never 3-4× of headroom to claim.  The kernel
+itself is compute-bound, not DMA-bound: the Mosaic-imposed formulation
+(flat [T, D] lanes, 0/1 head-indicator matmuls whose row count scales
+with S·Tc, arithmetic current-token blend over [sb, Tc, D]) costs ~36 µs
+of VPU/low-utilization-MXU work per grid program × 1488 programs, 5-6×
+its own 2.6 MB/program DMA — the same per-row dot-count scaling that made
+the r4 multi-row fused-trunk analysis reject R=8 (ROADMAP), confirmed
+here at S=64.  A winning kernel would need per-head [Tc, hd] dots on an
+[S, H, T, hd] layout — exactly the lane↔sublane moves Mosaic disallows
+and exactly what XLA already emits near the floor.  Kept behind
+`fused_trunk=True` (parity: tests/test_pool_trunk.py) as the measured
+decision record; the binding constraint on the pool step is HBM
+bandwidth.
 
 Mosaic constraints inherited from decode_layer.py: the cache stays FLAT
 head-major ([L, S, T, D]; no lane↔sublane reshapes), per-head reductions
@@ -135,9 +157,12 @@ def _kernel(
 
         @pl.when(c <= live_chunk_ref[i])
         def _accumulate():
-            # one dynamic tile slice per state array (per-row dynamic
-            # indexing inside the loop would be a Mosaic hazard; static si
-            # slices of these tile views are free)
+            # ALL sb rows of the tile in one vectorized pass (a per-row
+            # Python loop of [Tc,D]x[D,H] dots measured 50 ms/step at the
+            # flagship shape — 8 sequential MXU-starved matmuls per chunk;
+            # one [sb*Tc,D] dot keeps the systolic array fed).  One dynamic
+            # tile slice per state array; per-row dynamic indexing would be
+            # a Mosaic hazard.
             base = i * sb
             q_t = qrow_scr[pl.ds(base, sb), :]                 # [sb, D] fp32
             k_t = krow_scr[pl.ds(base, sb), :]
@@ -147,47 +172,50 @@ def _kernel(
             ctx_t = ctx_scr[pl.ds(base, sb), :]                # [sb, D]
             head_mat = head_mat_ref[:].astype(cd)
             head_mat32 = head_mat_ref[:].astype(jnp.float32)
+            # current-token merge for every row at once: [sb, Tc] selector
+            # of each row's write position inside this chunk
+            pos_vec = jnp.stack([pos_ref[base + si] for si in range(sb)])
             t_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (t_chunk, 1), 0) + c * t_chunk
-            m_new_rows, s_new_rows, ctx_new_rows = [], [], []
-            for si in range(sb):
-                sel = t_iota == pos_ref[base + si]
-                kb = jnp.where(sel, k_t[si : si + 1].astype(cd),
-                               k_ref[0, si].astype(cd))        # [Tc, D]
-                vb = jnp.where(sel, v_t[si : si + 1].astype(cd),
-                               v_ref[0, si].astype(cd))
-                qrow = q_t[si : si + 1].astype(cd)             # [1, D]
-                scores = jax.lax.dot_general(
-                    kb * qrow, head_mat,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)        # [Tc, H]
-                scores = scores / np.sqrt(head_dim) + jnp.where(
-                    mask_ref[0][:, si : si + 1] != 0, 0.0, NEG_INF)
-                m_old = m_t[si : si + 1]                       # [1, H]
-                m_new = jnp.maximum(m_old,
-                                    jnp.max(scores, axis=0, keepdims=True))
-                alpha = jnp.exp(m_old - m_new)
-                p = jnp.exp(scores - m_new)                    # [Tc, H] fp32
-                s_new_rows.append(s_t[si : si + 1] * alpha
-                                  + jnp.sum(p, axis=0, keepdims=True))
-                m_new_rows.append(m_new)
-                # context via the B=1 kernel's lane expansion: p@Mᵀ then ⊙v
-                p_lanes = jax.lax.dot_general(
-                    p.astype(cd), head_mat,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)        # [Tc, D]
-                alpha_lanes = jax.lax.dot_general(
-                    alpha, head_mat32,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)        # [1, D]
-                ctx_new_rows.append(
-                    ctx_t[si : si + 1] * alpha_lanes
-                    + jnp.sum(p_lanes.astype(cd) * vb, axis=0,
-                              keepdims=True, dtype=jnp.float32))
-            m_scr[pl.ds(base, sb), :] = jnp.concatenate(m_new_rows, axis=0)
-            s_scr[pl.ds(base, sb), :] = jnp.concatenate(s_new_rows, axis=0)
-            ctx_scr[pl.ds(base, sb), :] = jnp.concatenate(ctx_new_rows,
-                                                          axis=0)
+                jnp.int32, (sb, t_chunk), 1) + c * t_chunk
+            # exact 0/1 arithmetic blend — Mosaic cannot insert a minor dim
+            # on an i1 vector, and selector values 0.0/1.0 make the blend
+            # bit-exact in any dtype
+            sel = (t_iota == pos_vec[:, None]).astype(
+                jnp.int32)[:, :, None].astype(cd)              # [sb, Tc, 1]
+            kb = (k_ref[0].astype(cd) * (1 - sel)
+                  + k_t[:, None, :].astype(cd) * sel)          # [sb, Tc, D]
+            vb = (v_ref[0].astype(cd) * (1 - sel)
+                  + v_t[:, None, :].astype(cd) * sel)
+            # per-head scores for all rows/positions in ONE dot:
+            # (kb ⊙ q) @ M — collapse (sb, Tc) into the sublane axis
+            qk = (kb * q_t[:, None, :].astype(cd)
+                  ).reshape(sb * t_chunk, D)
+            scores = jax.lax.dot_general(
+                qk, head_mat, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(sb, t_chunk, heads) / np.sqrt(head_dim)
+            scores = scores + (
+                1.0 - mask_ref[0][:, :, None].astype(jnp.float32)) * NEG_INF
+            m_new = jnp.maximum(m_t, jnp.max(scores, axis=1))  # [sb, H]
+            alpha = jnp.exp(m_t - m_new)
+            p = jnp.exp(scores - m_new[:, None, :])            # [sb, Tc, H]
+            s_new = s_t * alpha + jnp.sum(p, axis=1)
+            # context via the B=1 kernel's lane expansion: p@Mᵀ then ⊙v
+            p_lanes = jax.lax.dot_general(
+                p.reshape(sb * t_chunk, heads).astype(cd), head_mat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [sb*Tc, D]
+            contrib = jnp.sum(
+                (p_lanes.astype(cd) * vb.reshape(sb * t_chunk, D)
+                 ).reshape(sb, t_chunk, D),
+                axis=1, dtype=jnp.float32)                     # [sb, D]
+            alpha_lanes = jax.lax.dot_general(
+                alpha, head_mat32,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # [sb, D]
+            m_scr[pl.ds(base, sb), :] = m_new
+            s_scr[pl.ds(base, sb), :] = s_new
+            ctx_scr[pl.ds(base, sb), :] = ctx_t * alpha_lanes + contrib
 
     @pl.when(a == fin)
     def _finish_attention():
@@ -239,6 +267,22 @@ def chunking(T: int, target: int = T_CHUNK) -> int:
     return n_tc
 
 
+def mlp_chunking(F: int, D: int, itemsize: int,
+                 target_bytes: int = 768 * 1024) -> int:
+    """MLP column-chunk count sized to the scoped-VMEM budget: the fc/proj
+    weight blocks ([D, Fc] / [Fc, D]) are the fattest streamed operands and
+    Mosaic double-buffers them, so at the flagship shape (D=1280, F=5120,
+    int8) a fixed Fc=F/4 overflows the 16 MB scoped VMEM by ~1 MB.  Pick
+    the smallest chunk count dividing F with the block under
+    `target_bytes` and Fc lane-aligned where possible."""
+    n = max(1, -(-(F * D * itemsize) // target_bytes))
+    while n < F // 128 and (F % n or (F // n) % 128):
+        n += 1
+    while F % n:  # fall back: any divisor (tiny test configs)
+        n -= 1
+    return max(1, n)
+
+
 def supported(S: int, T: int, D: int, heads: int,
               params: Dict[str, Any]) -> bool:
     """Shapes/weight tiers this kernel handles (plain or int8 weights,
@@ -257,7 +301,7 @@ def fused_pool_step(
     positions: jnp.ndarray,       # [S] int32 write slots (current token)
     attention_mask: jnp.ndarray,  # [S, T] int32, positions INCLUDED
     heads: int,
-    n_chunks: int = 4,
+    n_chunks: int | None = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused decode step for all S slots.  Returns (trunk hidden
@@ -278,6 +322,8 @@ def fused_pool_step(
         return w["s"].astype(jnp.float32)
 
     F = wq(blocks["mlp"]["fc_w"]).shape[2]
+    if n_chunks is None:
+        n_chunks = mlp_chunking(F, D, wq(blocks["mlp"]["fc_w"]).dtype.itemsize)
     assert F % n_chunks == 0
     Fc = F // n_chunks
     sb = SLOT_BLOCK if S % SLOT_BLOCK == 0 else S
@@ -288,9 +334,8 @@ def fused_pool_step(
     fin = att0 + n_tiles * n_tc
     C = fin + 1 + n_chunks
 
-    # [nt, T, sb] mask so each block's last-two dims are (t_chunk, sb)
-    mask3 = attention_mask.astype(jnp.int32).T.reshape(
-        T, n_tiles, sb).transpose(1, 0, 2)
+    # [nt, sb, T] mask so each block's last-two dims are (sb, t_chunk)
+    mask3 = attention_mask.astype(jnp.int32).reshape(n_tiles, sb, T)
 
     def att_ic(a, lc_ref):
         ai = jnp.clip(a - att0, 0, n_tiles * n_tc - 1)
@@ -301,7 +346,9 @@ def fused_pool_step(
     qmap3 = lambda l, a, *_: (l, 0, jnp.minimum(a, 2))
     kmap = lambda l, a, pos_ref, lc_ref: (
         (l,) + tuple(att_ic(a, lc_ref)) + (0,))
-    mmask = lambda l, a, pos_ref, lc_ref: tuple(att_ic(a, lc_ref)) + (0,)
+    def mmask(l, a, pos_ref, lc_ref):
+        i, c = att_ic(a, lc_ref)
+        return (i, 0, c)
     mlpmap3 = lambda l, a, *_: (l, 0, jnp.clip(a - fin - 1, 0, n_chunks - 1))
     mlpmap4 = lambda l, a, *_: (l, jnp.clip(a - fin - 1, 0, n_chunks - 1), 0, 0)
     mlpmap_mp = lambda l, a, *_: (l, jnp.clip(a - fin - 1, 0, n_chunks - 1), 0)
@@ -309,7 +356,7 @@ def fused_pool_step(
 
     in_specs = [
         pl.BlockSpec((S, D), const2, memory_space=pltpu.VMEM),            # x
-        pl.BlockSpec((1, t_chunk, sb), mmask, memory_space=pltpu.VMEM),   # mask
+        pl.BlockSpec((1, sb, t_chunk), mmask, memory_space=pltpu.VMEM),   # mask
         pl.BlockSpec((D, heads), const2, memory_space=pltpu.VMEM),        # M
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 s
         pl.BlockSpec((1, 1, D), rep3, memory_space=pltpu.VMEM),           # ln1 b
@@ -377,7 +424,14 @@ def fused_pool_step(
             jax.ShapeDtypeStruct((L, S, D), k_all.dtype),
             jax.ShapeDtypeStruct((L, S, D), v_all.dtype),
         ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the flagship 64-slot shape needs ~17 MB of simultaneously-live
+            # blocks (weights + double-buffered cache chunks + fp32 row
+            # scratch) — over Mosaic's 16 MB DEFAULT scoped limit but well
+            # inside v5e's 128 MB physical VMEM; 32 MB keeps the wide cache
+            # chunks (t_chunk=128) instead of degrading DMA efficiency
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(
         positions.astype(jnp.int32),

@@ -264,11 +264,15 @@ def sample_step_rows(
         samp[:, 4] > 0.5)
     logits = apply_repetition_penalty(logits.astype(jnp.float32), presence,
                                       rep_pen[:, None])
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     B, V = logits.shape
     k = min(shortlist_k, V)
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
     shortlist, idx = shortlist_top_k(scaled, k)  # [B, k] descending
+    # greedy == the shortlist's top-1: positive temperature scaling is
+    # order-preserving and lax.top_k breaks ties by lowest index exactly
+    # like argmax, so the separate O(B·V) argmax pass is redundant (under
+    # APPROX_TOPK the tie order may differ — already a documented deviation)
+    greedy = idx[:, 0].astype(jnp.int32)
     keep = jnp.arange(k)[None, :] < jnp.clip(top_k, 1, k)[:, None]
     shortlist = jnp.where(keep, shortlist, NEG_INF)
     shortlist = jnp.where(_top_p_mask(shortlist, top_p), shortlist, NEG_INF)

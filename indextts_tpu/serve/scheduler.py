@@ -69,9 +69,12 @@ from indextts_tpu.ops import quantization, sampling
 _EMPTY_SEQ = -1
 _PAD_SEQ = -2
 
-# measured default for the fused Pallas pool-trunk step on TPU pools at
-# supported tiers (see ContinuousBatcher `fused_trunk` and
-# tools/bench_pool_trunk.py); False until the microbench proves a win
+# measured default for the fused Pallas pool-trunk step (see
+# ContinuousBatcher `fused_trunk`): the whole-trunk kernel LOSES 2.9× to
+# the head-split XLA step at the 64-slot flagship shape (54.3 vs 18.9
+# ms/step, tools/bench_pool_trunk.py r5) — the XLA step is already within
+# ~25% of the cache's true 9.05 ms DMA floor; full writeup in
+# ops/pallas/pool_trunk.py
 FUSED_TRUNK_DEFAULT = False
 
 
