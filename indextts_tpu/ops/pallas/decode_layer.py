@@ -414,7 +414,16 @@ def fused_decode_trunk_flat(
             jax.ShapeDtypeStruct((L, 1, D), k_flat.dtype),
             jax.ShapeDtypeStruct((L, 1, D), v_flat.dtype),
         ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # bf16 weights double every streamed block vs the int8 tier the
+            # chunking was tuned on: qkv/fc/mproj [D,D]/[D,Fc]/[Fc,D] blocks
+            # at D=1280, Fc=1280 are 3.28 MB each and Mosaic double-buffers
+            # them — 25.04 MB of simultaneously-live blocks at the flagship
+            # shape, over the 16 MB DEFAULT scoped limit (int8 fits at
+            # ~12.5 MB).  32 MB is well inside v5e's 128 MB physical VMEM
+            # and keeps the t_chunk=256 cache blocks undegraded.
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(
         position.reshape(1).astype(jnp.int32),
