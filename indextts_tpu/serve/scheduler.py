@@ -1004,10 +1004,14 @@ class ContinuousBatcher:
         (B=1 staging is the steady-state shape: one new request arriving
         while every slot is busy).  Default widths cover EVERY 32-wide
         admission bucket up to max_text_width; pass an explicit list to
-        warm fewer.  Intermediate batch buckets (2, 4, …) still compile
-        lazily on the first matching burst.  Compiles land in the
-        persistent cache, so this is a first-deploy cost only.  Call
-        BEFORE starting an external drive loop (run() drains inline)."""
+        warm fewer.  INTERMEDIATE batch buckets (2, 4, …) are warmed too:
+        they only occur under concurrent admission bursts, which is
+        exactly when a 5-min remote cold compile hurts most (r5: an
+        8-client bench measured TTFA p50 of 23.7 s on a "warmed" pool —
+        every burst of 2-7 requests hit a lazy admit/stage compile).
+        Compiles land in the persistent cache, so this is a first-deploy
+        cost only.  Call BEFORE starting an external drive loop (run()
+        drains inline)."""
         if widths is None:
             # max_text_width + 32 so the CAPPED top bucket (width
             # max_text_width + 2 after the start/stop tokens) is included —
@@ -1028,6 +1032,21 @@ class ContinuousBatcher:
             # direct-admission bucket
             self.submit(text, max_new=0)
             self.run()
+            # intermediate power-of-two batch buckets (concurrent-burst
+            # shapes): direct admission at bucket b, then staging at
+            # bucket b behind a full pool
+            b = 2
+            while b < self.S:
+                for _ in range(b):
+                    self.submit(text, max_new=2)
+                self.run()
+                if self.K > 1 and b != self.K:
+                    for _ in range(self.S):
+                        self.submit(text, max_new=2)
+                    for _ in range(min(b, self.K)):
+                        self.submit(text, max_new=0)
+                    self.run()
+                b *= 2
 
 
 class PoolGroup:

@@ -158,6 +158,11 @@ def e2e_main(args) -> None:
     pool = eng.create_batcher(num_slots=args.slots,
                               steps_per_tick=args.steps_per_tick,
                               staging_rows=args.staging)
+    # precompile EVERY admission/staging batch bucket before the drive
+    # loop exists (r5: without this, concurrent bursts of 2-7 requests hit
+    # lazy admit compiles mid-measurement — TTFA p50 was 23.7 s of compile
+    # wait, not serving time)
+    pool.warmup()
     stop = threading.Event()
 
     def drive():
@@ -195,10 +200,18 @@ def e2e_main(args) -> None:
             with res_lock:
                 results.append((wall, ttfa or wall, audio_s))
 
-    # warm pass (compiles: admit buckets, step, latent, vocoder widths)
+    # warm pass (latent/vocoder width compiles) — CONCURRENT like the
+    # measured pass, so the traffic shape (burst sizes, overlap) matches
     drv = threading.Thread(target=drive, daemon=True)
     drv.start()
-    client(reqs[: min(4, len(reqs))])
+    warm = reqs[: min(2 * args.clients, len(reqs))]
+    warm_lists = [warm[i :: args.clients] for i in range(args.clients)]
+    warm_threads = [threading.Thread(target=client, args=(wl,))
+                    for wl in warm_lists if wl]
+    for th in warm_threads:
+        th.start()
+    for th in warm_threads:
+        th.join()
     results.clear()
     tail["wall"], tail["calls"] = 0.0, 0
 
