@@ -134,6 +134,141 @@ def bucket_sentences(sentences: Sequence[Sequence[str]],
     return out_buckets
 
 
+class _VocodeJob:
+    """One codes→wav tail job awaiting the coordinator (a tiny future)."""
+
+    __slots__ = ("cond", "mel", "id_lists", "codes", "lens", "_done",
+                 "_wav", "_exc")
+
+    def __init__(self, cond, mel, id_lists, codes, lens):
+        self.cond = cond            # [1, 32, D] device (per-request)
+        self.mel = mel              # [1, T_mel, n_mels] device
+        self.id_lists = id_lists
+        self.codes = codes          # [B_j, W] np
+        self.lens = lens            # [B_j] np
+        self._done = threading.Event()
+        self._wav: Optional[np.ndarray] = None
+        self._exc: Optional[BaseException] = None
+
+    @property
+    def rows(self) -> int:
+        return len(self.id_lists)
+
+    def key(self):
+        return (tuple(self.mel.shape), str(self.mel.dtype))
+
+    def fulfill(self, wav: np.ndarray) -> None:
+        self._wav = wav
+        self._done.set()
+
+    def fail(self, exc: BaseException) -> None:
+        self._exc = exc
+        self._done.set()
+
+    def result(self, timeout: Optional[float] = None) -> np.ndarray:
+        if not self._done.wait(timeout):
+            raise TimeoutError("vocode job timed out")
+        if self._exc is not None:
+            raise self._exc
+        return self._wav
+
+
+class _VocodeCoordinator:
+    """Cross-request micro-batching of the codes→wav tail (VERDICT r4 #3).
+
+    Under concurrent pool serving the GPT decode pool batches across
+    requests but each request's latent re-forward + vocoder ran alone:
+    the r5 e2e bench measured the tail at 71.5% of wall with 8 clients
+    (one ~0.45 s vocode per sentence, serialized through the chip).  This
+    coordinator queues finished sentences for up to `max_wait_s` and
+    vocodes compatible jobs (same prompt-mel shape) as ONE batched
+    latent+vocoder call — per-row speaker conditioning is native in
+    models/bigvgan.py:119 (mel_ref is [B, T, n_mels]), so rows from
+    different requests batch exactly like infer_fast's within-request
+    buckets (reference analogue: infer.py:726-766 chunks vocoding, but
+    only within one request).
+
+    Batched groups are padded to power-of-two row counts (dummy rows
+    repeat row 0 and are sliced off) so the compile set stays the warmable
+    {1, 2, 4, 8} × width-bucket grid rather than every burst size.
+    """
+
+    def __init__(self, eng: "IndexTTS", max_rows: int = 8,
+                 max_wait_s: float = 0.025):
+        self.eng = eng
+        self.max_rows = int(max_rows)
+        self.max_wait_s = float(max_wait_s)
+        self._q: List[_VocodeJob] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="vocode-coordinator")
+        self._thread.start()
+
+    def submit(self, cond, mel, id_lists, codes, lens) -> _VocodeJob:
+        job = _VocodeJob(cond, mel, id_lists, codes, lens)
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("vocode coordinator is closed")
+            self._q.append(job)
+            self._cv.notify()
+        return job
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=30)
+
+    def _pop_first(self) -> Optional[_VocodeJob]:
+        with self._cv:
+            while not self._q and not self._stop:
+                self._cv.wait()
+            if self._q:
+                return self._q.pop(0)
+            return None  # stopped and drained
+
+    def _pop_compatible(self, key, max_rows: int,
+                        deadline: float) -> Optional[_VocodeJob]:
+        """Next queued job with the same mel shape fitting in `max_rows`,
+        waiting until `deadline` only while the queue is empty (an
+        incompatible head is left for the next group, not waited behind)."""
+        with self._cv:
+            while True:
+                for i, j in enumerate(self._q):
+                    if j.key() == key and j.rows <= max_rows:
+                        return self._q.pop(i)
+                if self._q or self._stop:
+                    return None
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    return None
+                self._cv.wait(remaining)
+
+    def _worker(self) -> None:
+        while True:
+            job = self._pop_first()
+            if job is None:
+                return
+            group = [job]
+            rows = job.rows
+            deadline = time.perf_counter() + self.max_wait_s
+            while rows < self.max_rows:
+                nxt = self._pop_compatible(job.key(), self.max_rows - rows,
+                                           deadline)
+                if nxt is None:
+                    break
+                group.append(nxt)
+                rows += nxt.rows
+            try:
+                wavs = self.eng._codes_to_wav_group(group)
+                for j, w in zip(group, wavs):
+                    j.fulfill(w)
+            except BaseException as e:  # noqa: BLE001 — propagate to waiters
+                for j in group:
+                    j.fail(e)
+
+
 class IndexTTS:
     """Zero-shot TTS engine (reference surface: indextts/infer.py:184)."""
 
@@ -228,6 +363,9 @@ class IndexTTS:
         # RLock.release() from a non-owner thread raises and would leave the
         # engine permanently locked (ADVICE r2 high).
         self._infer_lock = threading.Lock()
+        # cross-request vocode micro-batching (opt-in; --continuous servers
+        # and the e2e pool bench enable it): None = the per-request tail
+        self._vocode_coord: Optional[_VocodeCoordinator] = None
 
         # --- tensor-parallel inference (opt-in) ---------------------------
         # The TPU analogue of the reference's multi-GPU inference model
@@ -947,6 +1085,90 @@ class IndexTTS:
         ]
         return np.concatenate(wavs) if wavs else np.zeros(1, np.int16)
 
+    def enable_vocode_batching(self, max_rows: int = 8,
+                               max_wait_ms: float = 25.0) -> None:
+        """Start the cross-request vocode coordinator: pool synthesis tails
+        (`pool_infer`/`pool_infer_stream`) batch their latent re-forward +
+        vocoder across concurrently-finished requests (see
+        `_VocodeCoordinator`).  Dedicated paths (infer/infer_fast) already
+        batch within a request and are unaffected."""
+        if self._vocode_coord is None:
+            self._vocode_coord = _VocodeCoordinator(
+                self, max_rows=max_rows, max_wait_s=max_wait_ms / 1e3)
+
+    def disable_vocode_batching(self) -> None:
+        coord, self._vocode_coord = self._vocode_coord, None
+        if coord is not None:
+            coord.close()
+
+    def _vocode_tail(self, cond_latent, mel_ref, id_lists,
+                     codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Pool-path codes→wav: through the coordinator when batching is
+        enabled, else the direct per-request tail."""
+        coord = self._vocode_coord
+        if coord is None:
+            return self._codes_to_wav(cond_latent, mel_ref, id_lists,
+                                      codes, lens)
+        return coord.submit(cond_latent, mel_ref, id_lists, codes,
+                            lens).result()
+
+    def _codes_to_wav_group(self, group) -> List[np.ndarray]:
+        """Batched tail for a coordinator group: rows from every job run as
+        ONE latent re-forward + ONE vocoder call with per-row conditioning,
+        padded to a power-of-two row count (dummy rows repeat row 0 and are
+        sliced off) so batch-size programs stay on the warmable
+        {1, 2, 4, 8} grid.  Returns one concatenated wav per job."""
+        if len(group) == 1 and (group[0].rows & (group[0].rows - 1)) == 0:
+            j = group[0]
+            return [self._codes_to_wav(j.cond, j.mel, j.id_lists, j.codes,
+                                       j.lens)]
+        id_lists = [ids for j in group for ids in j.id_lists]
+        rows = len(id_lists)
+        padded = 1
+        while padded < rows:
+            padded *= 2
+        width = max(1, max(int(j.codes.shape[1]) for j in group))
+        codes = np.full((padded, width), self.stop_mel_token, np.int32)
+        lens = np.ones((padded,), np.int64)
+        conds, mels = [], []
+        r = 0
+        for j in group:
+            b = j.rows
+            codes[r : r + b, : j.codes.shape[1]] = j.codes
+            lens[r : r + b] = j.lens
+            conds.append(jnp.broadcast_to(j.cond, (b,) + j.cond.shape[1:]))
+            mels.append(jnp.broadcast_to(j.mel, (b,) + j.mel.shape[1:]))
+            r += b
+        for p in range(rows, padded):  # dummy rows: row 0, len 1
+            codes[p, : group[0].codes.shape[1]] = group[0].codes[0]
+        pad_n = padded - rows
+        if pad_n:
+            conds.append(jnp.broadcast_to(group[0].cond,
+                                          (pad_n,) + group[0].cond.shape[1:]))
+            mels.append(jnp.broadcast_to(group[0].mel,
+                                         (pad_n,) + group[0].mel.shape[1:]))
+            id_lists = id_lists + [group[0].id_lists[0]] * pad_n
+        codes, lens = remove_long_silence(codes, lens,
+                                          stop_token=self.stop_mel_token)
+        latents = self._latents_batch_dev(jnp.concatenate(conds, axis=0),
+                                          id_lists, codes, lens)
+        wav = self._vocoder_fn(self.bigvgan_params,
+                               latents.astype(self.vocoder_dtype),
+                               jnp.concatenate(mels, axis=0
+                                               ).astype(self.vocoder_dtype))
+        wav_host = np.asarray(wav)
+        row_wavs = [
+            wav_host[i, 0][: max(1, min(int(lens[i]), latents.shape[1]))
+                           * self.cfg.gpt.mel_length_compression]
+            for i in range(rows)
+        ]
+        out: List[np.ndarray] = []
+        r = 0
+        for j in group:
+            out.append(np.concatenate(row_wavs[r : r + j.rows]))
+            r += j.rows
+        return out
+
     @staticmethod
     def _sentence_seed(seed: Optional[int], si: int) -> Optional[int]:
         """Per-sentence seed from a request seed: each sentence samples an
@@ -1011,7 +1233,7 @@ class IndexTTS:
         for i, c in enumerate(code_lists):
             codes[i, : len(c)] = c
             lens[i] = len(c)
-        wav = self._codes_to_wav(cond_latent, mel_ref, id_lists, codes, lens)
+        wav = self._vocode_tail(cond_latent, mel_ref, id_lists, codes, lens)
         return self.cfg.dataset.sample_rate, wav
 
     def pool_infer_stream(self, batcher, audio_prompt: Optional[str],
@@ -1074,8 +1296,8 @@ class IndexTTS:
                     codes = np.full((1, max(1, n)), self.stop_mel_token,
                                     np.int32)
                     codes[0, :n] = sent_codes
-                    wav = self._codes_to_wav(cond_latent, mel_ref, [ids],
-                                             codes, np.asarray([n], np.int64))
+                    wav = self._vocode_tail(cond_latent, mel_ref, [ids],
+                                            codes, np.asarray([n], np.int64))
                     emitted = si + 1
                     yield sr, wav.astype(np.int16)
             finally:

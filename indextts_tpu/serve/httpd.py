@@ -112,6 +112,10 @@ class TTSService:
                 raise RuntimeError("TTSService is closed")
             if self._pool is None:
                 pool = self.engine().create_batcher(**self._pool_kwargs)
+                # concurrent requests' latent+vocode tails batch into one
+                # call (engine._VocodeCoordinator — the r5 e2e bench
+                # measured the serialized tail at 71.5% of serving wall)
+                self.engine().enable_vocode_batching()
                 if self.warmup_pool:
                     # precompile admit/stage/step BEFORE the drive thread
                     # starts (warmup drains inline; the first real request
@@ -137,6 +141,7 @@ class TTSService:
                 kw.setdefault("num_groups", 2)
                 pool = self.engine().create_beam_batcher(
                     num_beams=self.BEAM_NB, do_sample=do_sample, **kw)
+                self.engine().enable_vocode_batching()
                 if self.warmup_pool:
                     pool.warmup()
                 self._beam_pools[do_sample] = pool
@@ -159,7 +164,9 @@ class TTSService:
             self._pool = None
             self._pool_thread = None
             self._beam_pools = {}
-            self._tts = None
+            tts, self._tts = self._tts, None
+        if tts is not None:
+            tts.disable_vocode_batching()  # stop + join the coordinator
         for t in threads:
             t.join(timeout)
 
@@ -211,7 +218,11 @@ class TTSService:
         resolved = os.path.abspath(resolved)
         with self._lock:
             self.gpt_path = resolved
-            self._tts = None  # lazily rebuilt with the new weights
+            old_tts, self._tts = self._tts, None  # lazily rebuilt
+            if old_tts is not None:
+                # join the old engine's vocode coordinator — a leaked
+                # worker would pin the dropped engine's params in HBM
+                old_tts.disable_vocode_batching()
             # the decode pools hold the OLD engine's GPT params — keeping
             # them would make reload a silent no-op for every pooled
             # request.  The old drive threads drain in-flight work, then

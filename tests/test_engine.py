@@ -554,3 +554,73 @@ def test_pool_infer_stream_matches_pool_infer(engine):
     finally:
         stop.set()
         t.join(10)
+
+
+def test_vocode_batching_matches_direct(engine):
+    """Cross-request vocode micro-batching (engine._VocodeCoordinator,
+    VERDICT r4 #3): concurrently submitted codes→wav tails are grouped into
+    one batched latent+vocoder call (with power-of-two row padding) and
+    each request's waveform equals the direct per-request tail."""
+    import threading
+
+    eng = engine
+    mel = eng._prompt_mel(SAMPLE)
+    cond = eng._conditioning(mel, None)
+    mel_ref = eng._mel_ref(mel, None)
+    rng = np.random.default_rng(7)
+    jobs = []
+    for _ in range(5):
+        n = int(rng.integers(4, 12))
+        ids = rng.integers(2, 40, (int(rng.integers(3, 8)),)).astype(np.int32)
+        codes = np.full((1, n), eng.stop_mel_token, np.int32)
+        codes[0, :n] = rng.integers(0, 50, (n,))
+        jobs.append(([ids], codes, np.asarray([n], np.int64)))
+    direct = [eng._codes_to_wav(cond, mel_ref, *j) for j in jobs]
+
+    group_rows = []
+    orig_group = eng._codes_to_wav_group
+
+    def spy_group(group):
+        group_rows.append(sum(j.rows for j in group))
+        return orig_group(group)
+
+    eng._codes_to_wav_group = spy_group
+    eng.enable_vocode_batching(max_rows=8, max_wait_ms=300.0)
+    outs = [None] * len(jobs)
+    try:
+        def call(k):
+            outs[k] = eng._vocode_tail(cond, mel_ref, *jobs[k])
+
+        threads = [threading.Thread(target=call, args=(k,))
+                   for k in range(len(jobs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+    finally:
+        eng.disable_vocode_batching()
+        eng._codes_to_wav_group = orig_group
+
+    assert sum(group_rows) == len(jobs)
+    # 5 near-simultaneous jobs under a 300 ms window must actually batch
+    # (a group >1 row exercises the padded multi-request path)
+    assert max(group_rows) > 1, group_rows
+    for d, o in zip(direct, outs):
+        assert o is not None and o.dtype == np.int16 and len(o) == len(d)
+        np.testing.assert_array_equal(o, d)
+
+
+def test_vocode_batching_close_joins_worker(engine):
+    """disable_vocode_batching() stops AND joins the coordinator thread
+    (thread hygiene — the r4 suite crash was accumulated leaked threads)."""
+    import threading
+
+    before = {t.ident for t in threading.enumerate()}
+    engine.enable_vocode_batching()
+    coord = engine._vocode_coord
+    assert coord is not None and coord._thread.is_alive()
+    engine.disable_vocode_batching()
+    assert not coord._thread.is_alive()
+    assert engine._vocode_coord is None
+    after = {t.ident for t in threading.enumerate()}
+    assert after <= before | set()

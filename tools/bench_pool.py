@@ -140,20 +140,26 @@ def e2e_main(args) -> None:
     eng = engine_mod.IndexTTS(cfg_path=os.path.join(d, "config.yaml"),
                               model_dir=d, precision_config=prec)
 
-    # wrap the codes→wav tail to measure the vocode+latent share
-    tail = {"wall": 0.0, "calls": 0}
-    tail_lock = threading.Lock()
-    orig_tail = eng._codes_to_wav
+    # cross-request vocode micro-batching, as the --continuous servers run
+    eng.enable_vocode_batching()
 
-    def timed_tail(*a, **kw):
+    # wrap the coordinator's group tail (with batching on, EVERY pool tail
+    # flows through it) to measure the vocode+latent share; each group call
+    # counts the request rows it served
+    tail = {"wall": 0.0, "calls": 0, "rows": 0}
+    tail_lock = threading.Lock()
+    orig_group = eng._codes_to_wav_group
+
+    def timed_group(group):
         t0 = time.perf_counter()
-        out = orig_tail(*a, **kw)
+        out = orig_group(group)
         with tail_lock:
             tail["wall"] += time.perf_counter() - t0
             tail["calls"] += 1
+            tail["rows"] += sum(j.rows for j in group)
         return out
 
-    eng._codes_to_wav = timed_tail
+    eng._codes_to_wav_group = timed_group
 
     pool = eng.create_batcher(num_slots=args.slots,
                               steps_per_tick=args.steps_per_tick,
@@ -213,7 +219,7 @@ def e2e_main(args) -> None:
     for th in warm_threads:
         th.join()
     results.clear()
-    tail["wall"], tail["calls"] = 0.0, 0
+    tail["wall"], tail["calls"], tail["rows"] = 0.0, 0, 0
 
     # measured pass: clients share the worklist round-robin
     lists = [reqs[i::args.clients] for i in range(args.clients)]
@@ -244,6 +250,7 @@ def e2e_main(args) -> None:
         "ttfa_p95_s": round(float(np.percentile(ttfas, 95)), 3),
         "vocode_latent_share": round(tail["wall"] / wall_total, 3),
         "vocode_calls": tail["calls"],
+        "vocode_rows": tail["rows"],
         "wall_s": round(wall_total, 2),
     }
     print(json.dumps(out, ensure_ascii=False))
